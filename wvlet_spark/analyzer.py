@@ -1,0 +1,213 @@
+"""Analyzer: resolves language-level constructs before SQL generation.
+
+Re-implements (fresh) the reference compiler's model expansion
+(GenSQL model inlining with arg binding + cycle detection), `val`
+substitution, scalar `def` function inlining (FunctionInliner), and
+partial-query application — all as AST -> AST rewrites, so the generator
+only ever sees plain relational nodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from copy import deepcopy
+
+from wvlet_spark import nodes as N
+from wvlet_spark.generator import CompileError
+
+MAX_EXPANSION_DEPTH = 100
+
+
+def _is_node(x) -> bool:
+    return isinstance(x, N.Node)
+
+
+def transform(node, expr_fn=None, rel_fn=None, _depth=0):
+    """Bottom-up structural rewrite over dataclass AST nodes."""
+    if _depth > 500:
+        raise CompileError("expression tree too deep")
+    if isinstance(node, list):
+        return [transform(x, expr_fn, rel_fn, _depth + 1) for x in node]
+    if isinstance(node, tuple):
+        return tuple(transform(x, expr_fn, rel_fn, _depth + 1) for x in node)
+    if not _is_node(node):
+        return node
+    if dataclasses.is_dataclass(node):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            nv = transform(v, expr_fn, rel_fn, _depth + 1)
+            if nv is not v:
+                changes[f.name] = nv
+        if changes:
+            node = dataclasses.replace(node, **changes)
+    if isinstance(node, N.Expr) and expr_fn is not None:
+        node = expr_fn(node)
+    if isinstance(node, N.Relation) and rel_fn is not None:
+        node = rel_fn(node)
+    return node
+
+
+class Analyzer:
+    """Holds the session's definitions and rewrites query plans."""
+
+    def __init__(self):
+        self.models: dict[str, N.ModelDef] = {}
+        self.vals: dict[str, N.ValDef] = {}
+        self.functions: dict[str, N.FunctionDef] = {}
+        self.partials: dict[str, N.PartialQueryDef] = {}
+        self.types: dict[str, N.TypeDef] = {}
+
+    # -- registration --------------------------------------------------------
+
+    def register(self, stmt: N.Statement) -> None:
+        if isinstance(stmt, N.ModelDef):
+            self.models[stmt.name] = stmt
+        elif isinstance(stmt, N.ValDef):
+            self.vals[stmt.name] = stmt
+        elif isinstance(stmt, N.FunctionDef):
+            self.functions[stmt.name] = stmt
+        elif isinstance(stmt, N.PartialQueryDef):
+            self.partials[stmt.name] = stmt
+        elif isinstance(stmt, N.TypeDef):
+            self.types[stmt.name] = stmt
+
+    # -- main entry -----------------------------------------------------------
+
+    def resolve(self, rel: N.Relation, _stack: tuple[str, ...] = ()) -> N.Relation:
+        """Expand models / vals / partial queries / scalar defs in a plan."""
+
+        def rel_fn(node: N.Relation) -> N.Relation:
+            if isinstance(node, N.TableRef):
+                name = node.name
+                if name in self.models:
+                    return self._expand_model(name, [], _stack)
+                if name in self.vals and self.vals[name].table is not None:
+                    return deepcopy(self.vals[name].table)
+                return node
+            if isinstance(node, N.ModelScan):
+                if node.name in self.models:
+                    return self._expand_model(node.name, node.args, _stack)
+                raise CompileError(f"unknown model: {node.name}")
+            if isinstance(node, N.PartialApply):
+                return self._apply_partial(node, _stack)
+            if isinstance(node, N.Subscribe):
+                child = node.child
+                if isinstance(child, N.ModelScan) and child.name in self.models:
+                    mdl = self.models[child.name]
+                    wm = mdl.config.get("watermark_column")
+                    ws = mdl.config.get("window_size")
+                    return N.Subscribe(
+                        self._expand_model(child.name, child.args, _stack),
+                        watermark_column=wm,
+                        window_size=ws,
+                    )
+                return node
+            return node
+
+        def expr_fn(node: N.Expr) -> N.Expr:
+            if isinstance(node, N.Ident):
+                v = self.vals.get(node.name)
+                if v is not None and v.expr is not None:
+                    return deepcopy(v.expr)
+                return node
+            if isinstance(node, N.FunctionApply) and node.name in self.functions:
+                return self._inline_function(node, _stack)
+            return node
+
+        return transform(rel, expr_fn=expr_fn, rel_fn=rel_fn)
+
+    # -- models ---------------------------------------------------------------
+
+    def _expand_model(
+        self, name: str, args: list[tuple[str | None, N.Expr]], stack: tuple[str, ...]
+    ) -> N.Relation:
+        if name in stack:
+            raise CompileError(
+                f"recursive model reference: {' -> '.join(stack + (name,))}"
+            )
+        if len(stack) >= MAX_EXPANSION_DEPTH:
+            raise CompileError(f"model expansion too deep (>{MAX_EXPANSION_DEPTH})")
+        mdl = self.models[name]
+        body = deepcopy(mdl.body)
+        bindings = self._bind_params(mdl.params, args, f"model {name}")
+        if bindings:
+            body = substitute_idents(body, bindings)
+        expanded = self.resolve(body, stack + (name,))
+        return N.ParenRelation(expanded)
+
+    def _bind_params(
+        self,
+        params: list[tuple[str, str | None, N.Expr | None]],
+        args: list[tuple[str | None, N.Expr]],
+        what: str,
+    ) -> dict[str, N.Expr]:
+        bindings: dict[str, N.Expr] = {}
+        positional = [a for n, a in args if n is None]
+        named = {n: a for n, a in args if n is not None}
+        for i, (pname, _ptype, default) in enumerate(params):
+            if pname in named:
+                bindings[pname] = named[pname]
+            elif i < len(positional):
+                bindings[pname] = positional[i]
+            elif default is not None:
+                bindings[pname] = default
+            else:
+                raise CompileError(f"missing argument {pname!r} for {what}")
+        return bindings
+
+    # -- partial queries ------------------------------------------------------
+
+    def _apply_partial(self, node: N.PartialApply, stack: tuple[str, ...]) -> N.Relation:
+        from wvlet_spark.parser import _HoleRelation
+
+        pq = self.partials.get(node.name)
+        if pq is None:
+            raise CompileError(f"unknown partial query: {node.name}")
+        key = f"partial:{node.name}"
+        if key in stack:
+            raise CompileError(f"recursive partial query: {node.name}")
+        body = deepcopy(pq.ops[0])
+        bindings = self._bind_params(pq.params, [(None, a) for a in node.args], f"def {node.name}")
+
+        def fill_hole(r: N.Relation) -> N.Relation:
+            if isinstance(r, _HoleRelation):
+                return node.child
+            return r
+
+        body = transform(body, rel_fn=fill_hole)
+        if bindings:
+            body = substitute_idents(body, bindings)
+        return self.resolve(body, stack + (key,))
+
+    # -- scalar function inlining ---------------------------------------------
+
+    def _inline_function(self, call: N.FunctionApply, stack: tuple[str, ...]) -> N.Expr:
+        fn = self.functions[call.name]
+        key = f"def:{call.name}"
+        if key in stack:
+            raise CompileError(f"recursive function: {call.name}")
+        body = deepcopy(fn.body)
+        bindings = self._bind_params(
+            fn.params, [(None, a) for a in call.args], f"def {call.name}"
+        )
+        if bindings:
+            body = substitute_idents(body, bindings)
+        # allow nested def calls
+        def expr_fn(node: N.Expr) -> N.Expr:
+            if isinstance(node, N.FunctionApply) and node.name in self.functions:
+                return self._inline_function(node, stack + (key,))
+            return node
+
+        return transform(body, expr_fn=expr_fn)
+
+
+def substitute_idents(tree, bindings: dict[str, N.Expr]):
+    """Replace bare Ident(name) occurrences with bound argument expressions."""
+
+    def expr_fn(node: N.Expr) -> N.Expr:
+        if isinstance(node, N.Ident) and node.name in bindings:
+            return deepcopy(bindings[node.name])
+        return node
+
+    return transform(tree, expr_fn=expr_fn)

@@ -1,0 +1,1221 @@
+"""Lowering: wvlet AST -> SQL text (Spark dialect for execution, DuckDB
+dialect for oracle cross-checks).
+
+Unlike the reference's SqlGenerator (which implements SELECT-block fusion to
+emit pretty SQL for many dialects), this generator targets exactly two
+dialects and leans on Catalyst: blocks are fused only where trivially safe
+and otherwise nested — Spark's optimizer collapses nested projections,
+pushes filters, and prunes columns, so the emitted shape does not affect the
+physical plan quality.
+
+Key semantic rules re-implemented from the reference language:
+- `group by` keys + following `agg`/`select` form one aggregation
+  (relation.scala Agg/GroupBy semantics)
+- `where` after `group by` = HAVING
+- bare `group by` = keys + any_value(non-key) for every non-key column
+- dot-aggregation sugar: `_.count`, `col.sum`, `(a*b).sum`, `x.count_distinct`
+- `= null` / `!= null` mean IS [NOT] NULL
+- 1-origin array indexing
+- asof join lowered to join + row_number (Spark) / native ASOF (DuckDB)
+- pivot lowered to group-by + conditional aggregation (both dialects)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from wvlet_spark import nodes as N
+from wvlet_spark.lexer import WvletSyntaxError
+
+
+class CompileError(Exception):
+    pass
+
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# function name translation (wvlet/common name -> per-dialect)
+FUNC_MAP: dict[str, dict[str, str]] = {
+    "arbitrary": {SPARK: "any_value", DUCKDB: "arbitrary"},
+    "any_value": {SPARK: "any_value", DUCKDB: "arbitrary"},
+    "array_agg": {SPARK: "collect_list", DUCKDB: "array_agg"},
+    "to_array": {SPARK: "collect_list", DUCKDB: "array_agg"},
+    "string_agg": {SPARK: "string_agg", DUCKDB: "string_agg"},
+    "strftime": {SPARK: "date_format", DUCKDB: "strftime"},
+    "regexp_matches": {SPARK: "regexp_like", DUCKDB: "regexp_matches"},
+    "regexp_like": {SPARK: "regexp_like", DUCKDB: "regexp_matches"},
+    "approx_distinct": {SPARK: "approx_count_distinct", DUCKDB: "approx_count_distinct"},
+    "count_approx_distinct": {SPARK: "approx_count_distinct", DUCKDB: "approx_count_distinct"},
+    "approx_quantile": {SPARK: "percentile_approx", DUCKDB: "approx_quantile"},
+    "unnest": {SPARK: "explode", DUCKDB: "unnest"},
+    "list_contains": {SPARK: "array_contains", DUCKDB: "list_contains"},
+}
+
+AGG_FUNCS = {
+    "count", "sum", "avg", "min", "max", "stddev", "stddev_samp", "stddev_pop",
+    "var_samp", "var_pop", "variance", "median", "mode", "count_if", "max_by",
+    "min_by", "array_agg", "collect_list", "collect_set", "to_array", "first",
+    "last", "arbitrary", "any_value", "string_agg", "approx_quantile",
+    "percentile_approx", "approx_count_distinct", "count_distinct",
+    "count_approx_distinct", "approx_distinct", "bool_and", "bool_or",
+    "bit_and", "bit_or", "product", "corr", "covar_samp", "covar_pop",
+}
+
+SCALAR_METHOD_CASTS = {
+    "to_int": "int",
+    "to_long": "long",
+    "to_float": "float",
+    "to_double": "double",
+    "to_string": "string",
+    "to_boolean": "boolean",
+    "to_date": "date",
+    "to_timestamp": "timestamp",
+}
+
+_SAFE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def type_sql(t: str, dialect: str) -> str:
+    base = t.strip()
+    m = re.match(r"^([A-Za-z_]+)\s*(\(.*\))?$", base)
+    args = ""
+    if m:
+        name = m.group(1).lower()
+        args = m.group(2) or ""
+    else:
+        name = base.lower()
+    mapping = {
+        "int": "INTEGER", "integer": "INTEGER", "int32": "INTEGER",
+        "long": "BIGINT", "bigint": "BIGINT", "int64": "BIGINT",
+        "short": "SMALLINT", "byte": "TINYINT",
+        "float": "FLOAT", "real": "FLOAT",
+        "double": "DOUBLE",
+        "string": "STRING" if dialect == SPARK else "VARCHAR",
+        "varchar": "STRING" if dialect == SPARK else "VARCHAR",
+        "boolean": "BOOLEAN", "bool": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "decimal": "DECIMAL" + args,
+        "json": "STRING" if dialect == SPARK else "JSON",
+        "binary": "BINARY" if dialect == SPARK else "BLOB",
+        "interval": "INTERVAL",
+    }
+    if name in mapping:
+        return mapping[name]
+    if name == "array" and "[" in base:
+        inner = base[base.index("[") + 1 : base.rindex("]")]
+        if dialect == SPARK:
+            return f"ARRAY<{type_sql(inner, dialect)}>"
+        return f"{type_sql(inner, dialect)}[]"
+    return base.upper()
+
+
+@dataclass
+class GenContext:
+    dialect: str = SPARK
+    # table name -> list of column names (best-effort; None ok)
+    table_columns: object = None        # Callable[[str], list[str] | None]
+    # pivot value prober: Callable[[sql_text], list of values] | None
+    prober: object = None
+    # table name -> SQL-addressable name (view registration etc.)
+    table_name_map: object = None       # Callable[[str], str]
+
+
+class SqlGenerator:
+    def __init__(self, ctx: GenContext):
+        self.ctx = ctx
+        self.dialect = ctx.dialect
+        self._alias_n = 0
+
+    # ------------------------------------------------------------------ util
+
+    def fresh(self, prefix: str = "wv") -> str:
+        self._alias_n += 1
+        return f"__{prefix}{self._alias_n}"
+
+    def q(self, name: str) -> str:
+        if _SAFE_IDENT.match(name) and name.lower() not in _RESERVED:
+            return name
+        if self.dialect == SPARK:
+            return "`" + name.replace("`", "``") + "`"
+        return '"' + name.replace('"', '""') + '"'
+
+    def str_lit(self, s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # ------------------------------------------------------- statement entry
+
+    def generate(self, rel: N.Relation) -> str:
+        blk = self.gen_rel(rel)
+        return self.render(blk)
+
+    # -------------------------------------------------------------- blocks
+
+    @dataclass
+    class Block:
+        source: str                     # FROM-clause text ('' = no input)
+        where: list[str] = field(default_factory=list)
+        group_keys: list | None = None  # list[N.NamedExpr] pending aggregation
+        having: list[str] = field(default_factory=list)
+        select: list[str] | None = None
+        distinct: bool = False
+        order: list[str] = field(default_factory=list)
+        limit: int | None = None
+        offset: int | None = None
+        columns: list[str] | None = None   # best-effort output column names
+
+    def render(self, b: Block) -> str:
+        if b.group_keys is not None and b.select is None:
+            self._materialize_default_agg(b)
+        parts = ["SELECT"]
+        if b.distinct:
+            parts.append("DISTINCT")
+        parts.append(", ".join(b.select) if b.select else "*")
+        if b.source:
+            parts.append("FROM " + b.source)
+        if b.where:
+            parts.append("WHERE " + " AND ".join(f"({w})" for w in b.where))
+        if b.group_keys is not None and b.group_keys != []:
+            keys = [self.expr(k.expr) for k in b.group_keys]
+            parts.append("GROUP BY " + ", ".join(keys))
+        elif b.group_keys == []:
+            pass  # global aggregation — no GROUP BY clause
+        if b.having:
+            parts.append("HAVING " + " AND ".join(f"({h})" for h in b.having))
+        if b.order:
+            parts.append("ORDER BY " + ", ".join(b.order))
+        if b.limit is not None:
+            parts.append(f"LIMIT {b.limit}")
+        if b.offset is not None:
+            parts.append(f"OFFSET {b.offset}")
+        return " ".join(parts)
+
+    def wrap(self, b: Block) -> "SqlGenerator.Block":
+        cols = b.columns
+        sql = self.render(b)
+        return SqlGenerator.Block(source=f"({sql}) AS {self.q(self.fresh())}", columns=cols)
+
+    def _needs_wrap_for_filter(self, b: Block) -> bool:
+        return b.select is not None or b.limit is not None or b.offset is not None or bool(b.order)
+
+    def _materialize_default_agg(self, b: Block) -> None:
+        """bare `group by` — select keys + any_value(col) for non-key columns
+        (reference: SqlGenerator default-arbitrary lowering)."""
+        keys = b.group_keys or []
+        key_sqls = []
+        key_names = []
+        for k in keys:
+            ksql = self.expr(k.expr)
+            kname = k.alias or self._derived_name(k.expr)
+            key_names.append(kname)
+            if k.alias:
+                key_sqls.append(f"{ksql} AS {self.q(k.alias)}")
+            else:
+                key_sqls.append(ksql)
+        non_keys: list[str] = []
+        if b.columns:
+            non_keys = [c for c in b.columns if c not in key_names]
+        arb = "any_value" if self.dialect == SPARK else "arbitrary"
+        agg_sqls = [f"{arb}({self.q(c)}) AS {self.q(c)}" for c in non_keys]
+        b.select = key_sqls + agg_sqls
+        b.columns = key_names + non_keys
+
+    # ---------------------------------------------------------- relations
+
+    def gen_rel(self, rel: N.Relation) -> "SqlGenerator.Block":
+        from wvlet_spark.parser import _HoleRelation, _NoInput
+
+        B = SqlGenerator.Block
+        if isinstance(rel, _NoInput):
+            return B(source="", columns=[])
+        if isinstance(rel, _HoleRelation):
+            raise CompileError("unresolved partial-query hole (internal)")
+        if isinstance(rel, N.TableRef):
+            name = rel.name
+            if self.ctx.table_name_map:
+                name = self.ctx.table_name_map(name)
+            cols = self.ctx.table_columns(rel.name) if self.ctx.table_columns else None
+            qname = ".".join(self.q(p) for p in name.split("."))
+            return B(source=qname, columns=cols)
+        if isinstance(rel, N.FileScan):
+            return self._gen_filescan(rel)
+        if isinstance(rel, N.RawSQL):
+            return B(source=f"({rel.sql}) AS {self.q(self.fresh('sql'))}")
+        if isinstance(rel, N.Values):
+            return self._gen_values(rel)
+        if isinstance(rel, N.ModelScan):
+            raise CompileError(
+                f"unknown model or table function: {rel.name!r} (models must be "
+                "expanded by the analyzer before SQL generation)"
+            )
+        if isinstance(rel, N.TableFunctionCall):
+            return self._gen_table_function(rel)
+        if isinstance(rel, N.AliasedRelation):
+            child = self.gen_rel(rel.child)
+            inner = self.render(child)
+            alias = self.q(rel.alias)
+            if rel.columns:
+                alias += "(" + ", ".join(self.q(c) for c in rel.columns) + ")"
+            cols = rel.columns or child.columns
+            return B(source=f"({inner}) AS {alias}", columns=cols)
+        if isinstance(rel, N.ParenRelation):
+            child = self.gen_rel(rel.child)
+            return self.wrap(child) if _block_dirty(child) else child
+        if isinstance(rel, N.Filter):
+            b = self.gen_rel(rel.child)
+            cond = self.expr(rel.cond)
+            if b.group_keys is not None and b.select is None:
+                b.having.append(cond)
+            else:
+                if self._needs_wrap_for_filter(b):
+                    b = self.wrap(b)
+                b.where.append(cond)
+            return b
+        if isinstance(rel, N.GroupBy):
+            b = self.gen_rel(rel.child)
+            if b.select is not None or b.group_keys is not None or b.order or b.limit is not None:
+                b = self.wrap(b)
+            b.group_keys = rel.keys
+            return b
+        if isinstance(rel, (N.Project, N.Agg)):
+            return self._gen_projection(rel)
+        if isinstance(rel, N.Transform):
+            return self._gen_transform(rel)
+        if isinstance(rel, N.AddColumns):
+            b = self.gen_rel(rel.child)
+            if _block_dirty(b):
+                b = self.wrap(b)
+            items = [self._select_item(i) for i in rel.items]
+            b.select = ["*"] + items
+            if b.columns is not None:
+                b.columns = b.columns + [self._item_name(i) for i in rel.items]
+            return b
+        if isinstance(rel, N.PrependColumns):
+            b = self.gen_rel(rel.child)
+            if _block_dirty(b):
+                b = self.wrap(b)
+            items = [self._select_item(i) for i in rel.items]
+            b.select = items + ["*"]
+            if b.columns is not None:
+                b.columns = [self._item_name(i) for i in rel.items] + b.columns
+            return b
+        if isinstance(rel, N.ExcludeColumns):
+            b = self.gen_rel(rel.child)
+            if _block_dirty(b):
+                b = self.wrap(b)
+            if self.dialect == SPARK:
+                b.select = ["* EXCEPT (" + ", ".join(self.q(c) for c in rel.names) + ")"]
+            else:
+                b.select = ["* EXCLUDE (" + ", ".join(self.q(c) for c in rel.names) + ")"]
+            if b.columns is not None:
+                b.columns = [c for c in b.columns if c not in set(rel.names)]
+            return b
+        if isinstance(rel, N.RenameColumns):
+            return self._gen_rename(rel)
+        if isinstance(rel, N.ShiftColumns):
+            b = self.gen_rel(rel.child)
+            if _block_dirty(b):
+                b = self.wrap(b)
+            names = ", ".join(self.q(c) for c in rel.names)
+            except_kw = "EXCEPT" if self.dialect == SPARK else "EXCLUDE"
+            if rel.to_left:
+                b.select = [names, f"* {except_kw} ({names})"]
+            else:
+                b.select = [f"* {except_kw} ({names})", names]
+            if b.columns is not None:
+                rest = [c for c in b.columns if c not in set(rel.names)]
+                b.columns = (rel.names + rest) if rel.to_left else (rest + rel.names)
+            return b
+        if isinstance(rel, N.Join):
+            return self._gen_join(rel)
+        if isinstance(rel, N.SetOp):
+            return self._gen_setop(rel)
+        if isinstance(rel, N.Sort):
+            b = self.gen_rel(rel.child)
+            if b.limit is not None or b.offset is not None:
+                b = self.wrap(b)
+            if b.group_keys is not None and b.select is None:
+                self._materialize_default_agg(b)
+            b.order = [self.sort_item(s) for s in rel.items]
+            return b
+        if isinstance(rel, N.Limit):
+            b = self.gen_rel(rel.child)
+            if b.limit is not None and b.limit < rel.n:
+                return b
+            if b.group_keys is not None and b.select is None:
+                self._materialize_default_agg(b)
+            b.limit = rel.n
+            return b
+        if isinstance(rel, N.Offset):
+            b = self.gen_rel(rel.child)
+            b.offset = rel.n
+            return b
+        if isinstance(rel, N.Dedup):
+            b = self.gen_rel(rel.child)
+            if _block_dirty(b):
+                b = self.wrap(b)
+            b.distinct = True
+            return b
+        if isinstance(rel, N.Sample):
+            return self._gen_sample(rel)
+        if isinstance(rel, N.CountRel):
+            b = self.gen_rel(rel.child)
+            b = self.wrap(b)
+            b.select = ["COUNT(*) AS count"]
+            b.columns = ["count"]
+            return b
+        if isinstance(rel, N.Pivot):
+            return self._gen_pivot(rel)
+        if isinstance(rel, N.Unpivot):
+            return self._gen_unpivot(rel)
+        if isinstance(rel, N.WithQuery):
+            return self._gen_with(rel)
+        if isinstance(rel, (N.TestRelation, N.Debug)):
+            return self.gen_rel(rel.child)
+        if isinstance(rel, N.Describe):
+            return self._gen_describe(rel)
+        if isinstance(rel, N.Subscribe):
+            # batch fallback: read the underlying model/table directly;
+            # session layer implements real watermark semantics
+            return self.gen_rel(rel.child)
+        raise CompileError(f"SQL generation not implemented for {type(rel).__name__}")
+
+    # ----- leaf sources
+
+    def _gen_filescan(self, rel: N.FileScan) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        cols = self.ctx.table_columns(rel.path) if self.ctx.table_columns else None
+        if self.dialect == SPARK:
+            # Spark SQL direct file query: parquet.`path` / csv.`...`
+            if self.ctx.table_name_map:
+                mapped = self.ctx.table_name_map(rel.path)
+                if mapped != rel.path:
+                    return B(source=mapped, columns=cols)
+            return B(source=f"{rel.fmt}.`{rel.path}`", columns=cols)
+        fn = {"parquet": "read_parquet", "csv": "read_csv_auto", "json": "read_json_auto"}[rel.fmt]
+        return B(source=f"{fn}({self.str_lit(rel.path)})", columns=cols)
+
+    def _gen_values(self, rel: N.Values) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        rows = ", ".join("(" + ", ".join(self.expr(v) for v in row) + ")" for row in rel.rows)
+        alias = self.q(rel.alias or self.fresh("values"))
+        cols = ""
+        if rel.columns:
+            cols = "(" + ", ".join(self.q(c) for c in rel.columns) + ")"
+        if self.dialect == SPARK:
+            return B(source=f"(VALUES {rows}) AS {alias}{cols}", columns=rel.columns)
+        return B(source=f"(VALUES {rows}) AS {alias}{cols}", columns=rel.columns)
+
+    def _gen_table_function(self, rel: N.TableFunctionCall) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        if rel.name == "unnest":
+            arg = self.expr(rel.args[0])
+            col = (rel.columns[0] if rel.columns else None) or "value"
+            alias = self.q(rel.alias or self.fresh("u"))
+            if self.dialect == SPARK:
+                sql = f"SELECT explode({arg}) AS {self.q(col)}"
+                return B(source=f"({sql}) AS {alias}", columns=[col])
+            sql = f"SELECT unnest({arg}) AS {self.q(col)}"
+            return B(source=f"({sql}) AS {alias}", columns=[col])
+        args = ", ".join(self.expr(a) for a in rel.args)
+        alias = self.q(rel.alias or self.fresh("tf"))
+        return B(source=f"{rel.name}({args}) AS {alias}", columns=rel.columns)
+
+    # ----- projection / aggregation
+
+    def _gen_projection(self, rel) -> "SqlGenerator.Block":
+        b = self.gen_rel(rel.child)
+        is_agg_op = isinstance(rel, N.Agg)
+        items = rel.items
+        if b.select is not None or (b.order and not is_agg_op) or b.limit is not None:
+            b = self.wrap(b)
+
+        if b.group_keys is not None:
+            # aggregation projection
+            key_items: list[str] = []
+            key_names: list[str] = []
+            for k in b.group_keys:
+                ksql = self.expr(k.expr)
+                kname = k.alias or self._derived_name(k.expr)
+                key_names.append(kname)
+                key_items.append(f"{ksql} AS {self.q(kname)}" if k.alias else ksql)
+            sel_items: list[str] = []
+            names: list[str] = []
+            if is_agg_op:
+                sel_items.extend(key_items)
+                names.extend(key_names)
+            for it in items:
+                if isinstance(it, N.Star):
+                    sel_items.extend(key_items)
+                    names.extend(key_names)
+                    continue
+                sel_items.append(self._select_item(it, group_keys=b.group_keys))
+                names.append(self._item_name(it))
+            b.select = sel_items
+            b.columns = names
+            if getattr(rel, "distinct", False):
+                b = self.wrap(b)
+                b.distinct = True
+            return b
+
+        # global aggregation without group by: `agg` with agg funcs only
+        if is_agg_op:
+            b.group_keys = []
+            b.select = [self._select_item(it) for it in items]
+            b.columns = [self._item_name(it) for it in items]
+            return b
+
+        sel: list[str] = []
+        names: list[str] = []
+        for it in items:
+            if isinstance(it, N.Star):
+                sel.append("*" if not it.qualifier else f"{self.q(it.qualifier)}.*")
+                if b.columns:
+                    names.extend(b.columns)
+                continue
+            sel.append(self._select_item(it))
+            names.append(self._item_name(it))
+        # a plain select containing aggregate functions = implicit global agg
+        if any(self._contains_agg(it.expr) for it in items if isinstance(it, N.NamedExpr)):
+            b.group_keys = []
+        b.select = sel
+        b.distinct = getattr(rel, "distinct", False)
+        b.columns = names
+        return b
+
+    def _select_item(self, it: N.NamedExpr, group_keys=None) -> str:
+        sql = self.expr(it.expr)
+        name = it.alias
+        if name:
+            return f"{sql} AS {self.q(name)}"
+        return sql
+
+    def _item_name(self, it) -> str:
+        if isinstance(it, N.Star):
+            return "*"
+        if it.alias:
+            return it.alias
+        return self._derived_name(it.expr)
+
+    def _derived_name(self, e: N.Expr) -> str:
+        if isinstance(e, N.Ident):
+            return e.name
+        if isinstance(e, N.Ref):
+            return e.name
+        if isinstance(e, N.Cast):
+            return self._derived_name(e.expr)
+        if isinstance(e, N.MethodCall):
+            inner = self._derived_name(e.target)
+            return f"{e.method}({inner})"
+        if isinstance(e, N.FunctionApply):
+            return e.name
+        return self.expr(e)
+
+    def _gen_transform(self, rel: N.Transform) -> "SqlGenerator.Block":
+        b = self.gen_rel(rel.child)
+        if _block_dirty(b):
+            b = self.wrap(b)
+        updates = {it.alias: self.expr(it.expr) for it in rel.items if it.alias}
+        if b.columns:
+            sel = []
+            for c in b.columns:
+                if c in updates:
+                    sel.append(f"{updates[c]} AS {self.q(c)}")
+                else:
+                    sel.append(self.q(c))
+            b.select = sel
+        else:
+            except_kw = "EXCEPT" if self.dialect == SPARK else "EXCLUDE"
+            names = ", ".join(self.q(c) for c in updates)
+            b.select = [f"* {except_kw} ({names})"] + [
+                f"{sql} AS {self.q(c)}" for c, sql in updates.items()
+            ]
+        return b
+
+    def _gen_rename(self, rel: N.RenameColumns) -> "SqlGenerator.Block":
+        b = self.gen_rel(rel.child)
+        if _block_dirty(b):
+            b = self.wrap(b)
+        ren = dict(rel.renames)
+        if b.columns:
+            sel = []
+            out = []
+            for c in b.columns:
+                if c in ren:
+                    sel.append(f"{self.q(c)} AS {self.q(ren[c])}")
+                    out.append(ren[c])
+                else:
+                    sel.append(self.q(c))
+                    out.append(c)
+            b.select = sel
+            b.columns = out
+        elif self.dialect == DUCKDB:
+            pairs = ", ".join(f"{self.q(a)} AS {self.q(c)}" for a, c in rel.renames)
+            b.select = [f"* RENAME ({pairs})"]
+        else:
+            olds = ", ".join(self.q(a) for a, _ in rel.renames)
+            b.select = [f"* EXCEPT ({olds})"] + [
+                f"{self.q(a)} AS {self.q(c)}" for a, c in rel.renames
+            ]
+        return b
+
+    # ----- joins
+
+    def _gen_join(self, rel: N.Join) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        if rel.asof:
+            return self._gen_asof_join(rel)
+        lb = self.gen_rel(rel.left)
+        if _block_dirty(lb):
+            lb = self.wrap(lb)
+        rb = self.gen_rel(rel.right)
+        right_alias = _relation_alias(rel.right)
+        if _block_dirty(rb) or right_alias is None:
+            rsrc = f"({self.render(rb)}) AS {self.q(right_alias or self.fresh('r'))}"
+        else:
+            rsrc = rb.source
+        jt = {
+            "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+            "full": "FULL JOIN", "cross": "CROSS JOIN",
+        }[rel.join_type]
+        cols: list[str] | None
+        if rel.using:
+            using = ", ".join(self.q(c) for c in rel.using)
+            src = f"{lb.source} {jt} {rsrc} USING ({using})"
+            lcols = lb.columns or []
+            rcols = rb.columns or []
+            cols = (
+                rel.using
+                + [c for c in lcols if c not in rel.using]
+                + [c for c in rcols if c not in rel.using]
+            ) if (lb.columns is not None and rb.columns is not None) else None
+        elif rel.cond is not None:
+            src = f"{lb.source} {jt} {rsrc} ON {self.expr(rel.cond)}"
+            cols = (lb.columns + rb.columns) if (lb.columns is not None and rb.columns is not None) else None
+        else:
+            src = f"{lb.source} CROSS JOIN {rsrc}"
+            cols = (lb.columns + rb.columns) if (lb.columns is not None and rb.columns is not None) else None
+        out = B(source=src, columns=cols)
+        out.where.extend(lb.where)
+        return out
+
+    def _gen_asof_join(self, rel: N.Join) -> "SqlGenerator.Block":
+        """AsOf join: for each left row pick the single best matching right row
+        by the inequality condition (most recent for <=/<).
+
+        Spark lowering (no native asof): tag left rows with a unique id,
+        inner/left join on the full condition, keep row_number()=1 per left id
+        ordered by the right-side inequality column.  DuckDB has native ASOF.
+        (reference semantics: website/docs/syntax/asof-join.md)
+        """
+        B = SqlGenerator.Block
+        if rel.cond is None:
+            raise CompileError("asof join requires an ON condition")
+        jt = "LEFT JOIN" if rel.join_type == "left" else "JOIN"
+        left_alias = _relation_alias(rel.left) or "l"
+        right_alias = _relation_alias(rel.right) or "r"
+        lb = self.gen_rel(rel.left)
+        rb = self.gen_rel(rel.right)
+        lsql = self.render(lb)
+        rsql = self.render(rb)
+
+        # columns duplicated on both sides resolve to the LEFT side (matches
+        # the reference's output for `select symbol, date, ...` after asof)
+        if lb.columns is not None and rb.columns is not None:
+            right_only = [c for c in rb.columns if c not in set(lb.columns)]
+            rproj = ", ".join(f"{self.q(right_alias)}.{self.q(c)}" for c in right_only)
+            cols = lb.columns + right_only
+        else:
+            rproj = f"{self.q(right_alias)}.*"
+            cols = None
+        lsel = f"{self.q(left_alias)}.*" + (f", {rproj}" if rproj else "")
+
+        if self.dialect == DUCKDB:
+            src = (
+                f"(SELECT {lsel} "
+                f"FROM ({lsql}) AS {self.q(left_alias)} ASOF {jt} ({rsql}) AS {self.q(right_alias)} "
+                f"ON {self.expr(rel.cond)}) AS {self.q(self.fresh('asof'))}"
+            )
+            return B(source=src, columns=cols)
+
+        lid = "__wv_asof_lid"
+        rn = "__wv_asof_rn"
+        order_expr, descending = self._asof_order(rel.cond, right_alias)
+        direction = "DESC" if descending else "ASC"
+        inner = (
+            f"SELECT {lsel}, "
+            f"ROW_NUMBER() OVER (PARTITION BY {self.q(left_alias)}.{lid} "
+            f"ORDER BY {order_expr} {direction} NULLS LAST) AS {rn} "
+            f"FROM (SELECT *, monotonically_increasing_id() AS {lid} FROM ({lsql})) AS {self.q(left_alias)} "
+            f"{jt} ({rsql}) AS {self.q(right_alias)} ON {self.expr(rel.cond)}"
+        )
+        outer = (
+            f"SELECT * EXCEPT ({lid}, {rn}) FROM ({inner}) AS {self.q(self.fresh('asof'))} "
+            f"WHERE {rn} = 1"
+        )
+        return B(source=f"({outer}) AS {self.q(self.fresh('asofo'))}", columns=cols)
+
+    def _asof_order(self, cond: N.Expr, right_alias: str) -> tuple[str, bool]:
+        """Find the inequality conjunct; return (right-side order expr SQL,
+        descending?)."""
+        conjuncts: list[N.Expr] = []
+
+        def collect(e):
+            if isinstance(e, N.And):
+                collect(e.left)
+                collect(e.right)
+            else:
+                conjuncts.append(e)
+
+        collect(cond)
+        for c in conjuncts:
+            if isinstance(c, N.Comparison) and c.op in ("<", "<=", ">", ">="):
+                left_is_right = _references_alias(c.left, right_alias)
+                right_is_right = _references_alias(c.right, right_alias)
+                if left_is_right and not right_is_right:
+                    # right_expr OP left_expr : e.g. stock.date <= holding.date
+                    return self.expr(c.left), c.op in ("<", "<=")
+                if right_is_right and not left_is_right:
+                    # holding.date >= stock.date → same as stock.date <= holding.date
+                    return self.expr(c.right), c.op in (">", ">=")
+        for c in conjuncts:
+            if isinstance(c, N.Comparison) and c.op in ("<", "<=", ">", ">="):
+                return self.expr(c.left), c.op in ("<", "<=")
+        raise CompileError("asof join requires an inequality condition (e.g. r.time <= l.time)")
+
+    # ----- set ops
+
+    def _gen_setop(self, rel: N.SetOp) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        lb = self.gen_rel(rel.left)
+        l = self.render(lb)
+        r = self.render(self.gen_rel(rel.right))
+        kw = {
+            "union_all": "UNION ALL",
+            "union": "UNION",
+            "intersect": "INTERSECT",
+            "intersect_all": "INTERSECT ALL",
+            "except": "EXCEPT",
+            "except_all": "EXCEPT ALL",
+        }[rel.op]
+        return B(source=f"({l} {kw} {r}) AS {self.q(self.fresh('set'))}", columns=lb.columns)
+
+    # ----- sampling
+
+    def _gen_sample(self, rel: N.Sample) -> "SqlGenerator.Block":
+        b = self.gen_rel(rel.child)
+        if _block_dirty(b):
+            b = self.wrap(b)
+        if rel.method == "reservoir" and rel.is_rows:
+            # fixed-size sample: deterministic via seeded rand + top-n
+            b2 = self.wrap(b)
+            rand = "rand(42)" if self.dialect == SPARK else "random()"
+            b2.order = [rand]
+            b2.limit = int(rel.size)
+            return self.wrap(b2)
+        if self.dialect == SPARK:
+            if rel.is_rows:
+                b.source += f" TABLESAMPLE ({int(rel.size)} ROWS)"
+            else:
+                b.source += f" TABLESAMPLE ({rel.size} PERCENT)"
+            return b
+        # duckdb
+        if rel.is_rows:
+            b.source += f" USING SAMPLE {int(rel.size)} ROWS"
+        else:
+            method = rel.method if rel.method != "default" else "bernoulli"
+            b.source += f" USING SAMPLE {rel.size} PERCENT ({method})"
+        return b
+
+    # ----- pivot / unpivot
+
+    def _gen_pivot(self, rel: N.Pivot) -> "SqlGenerator.Block":
+        """Pivot lowered to group-by + conditional aggregation — the same
+        rewrite the reference applies for engines without native PIVOT
+        (TrinoRewritePivot semantics), and what Catalyst does internally."""
+        b = self.gen_rel(rel.child)
+        if _block_dirty(b):
+            b = self.wrap(b)
+        pivot_sql = self.expr(rel.pivot_col)
+        values = rel.values
+        if values is None:
+            if self.ctx.prober is None:
+                raise CompileError("pivot without IN values requires a value prober")
+            probe_sql = f"SELECT DISTINCT {pivot_sql} AS v FROM {b.source} ORDER BY v LIMIT 1000"
+            values = [N.Literal(v, _literal_kind(v)) for v in self.ctx.prober(probe_sql)]
+        agg_items = rel.agg_items or [N.NamedExpr(N.MethodCall(N.Underscore(), "count"), None)]
+        sel: list[str] = []
+        names: list[str] = []
+        for k in rel.group_by:
+            ksql = self.expr(k.expr)
+            kname = k.alias or self._derived_name(k.expr)
+            sel.append(f"{ksql} AS {self.q(kname)}" if k.alias else ksql)
+            names.append(kname)
+        for v in values:
+            vsql = self.expr(v)
+            vname = str(v.value) if isinstance(v, N.Literal) else self.expr(v)
+            for it in agg_items:
+                fn_sql = self._conditional_agg(it.expr, f"({pivot_sql} = {vsql})")
+                label = vname if len(agg_items) == 1 else f"{vname}_{self._item_name(it)}"
+                sel.append(f"{fn_sql} AS {self.q(label)}")
+                names.append(label)
+        b.group_keys = list(rel.group_by)
+        b.select = sel
+        b.columns = names
+        return b
+
+    def _conditional_agg(self, e: N.Expr, cond_sql: str) -> str:
+        """Render aggregate expr filtered by cond (FILTER clause works on both
+        Spark and DuckDB)."""
+        agg_sql = self.expr(e)
+        return f"{agg_sql} FILTER (WHERE {cond_sql})"
+
+    def _gen_unpivot(self, rel: N.Unpivot) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        b = self.gen_rel(rel.child)
+        if _block_dirty(b):
+            b = self.wrap(b)
+        if b.columns is None:
+            raise CompileError("unpivot requires known input columns")
+        ids = [c for c in b.columns if c not in set(rel.columns)]
+        selects = []
+        for c in rel.columns:
+            id_sql = ", ".join(self.q(i) for i in ids)
+            prefix = f"{id_sql}, " if ids else ""
+            selects.append(
+                f"SELECT {prefix}{self.str_lit(c)} AS {self.q(rel.name_col)}, "
+                f"{self.q(c)} AS {self.q(rel.value_col)} FROM {b.source}"
+            )
+        src = " UNION ALL ".join(selects)
+        cols = ids + [rel.name_col, rel.value_col]
+        return B(source=f"({src}) AS {self.q(self.fresh('unpv'))}", columns=cols)
+
+    # ----- with / describe
+
+    def _gen_with(self, rel: N.WithQuery) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        defs = []
+        for name, q in rel.defs:
+            defs.append(f"{self.q(name)} AS ({self.render(self.gen_rel(q))})")
+        body = self.render(self.gen_rel(rel.body))
+        kw = "WITH RECURSIVE " if rel.recursive else "WITH "
+        sql = kw + ", ".join(defs) + " " + body
+        return B(source=f"({sql}) AS {self.q(self.fresh('cte'))}")
+
+    def _gen_describe(self, rel: N.Describe) -> "SqlGenerator.Block":
+        B = SqlGenerator.Block
+        inner = self.render(self.gen_rel(rel.child))
+        if self.dialect == DUCKDB:
+            return B(source=f"(DESCRIBE {inner})")
+        return B(source=f"(DESCRIBE QUERY {inner})")
+
+    # ------------------------------------------------------------ expressions
+
+    def expr(self, e: N.Expr) -> str:
+        if isinstance(e, N.Literal):
+            return self._literal(e)
+        if isinstance(e, N.Ident):
+            return self.q(e.name)
+        if isinstance(e, N.Ref):
+            return f"{self.expr(e.qualifier)}.{self.q(e.name)}"
+        if isinstance(e, N.Star):
+            return f"{self.q(e.qualifier)}.*" if e.qualifier else "*"
+        if isinstance(e, N.Underscore):
+            return "*"
+        if isinstance(e, N.FunctionApply):
+            return self._function(e)
+        if isinstance(e, N.MethodCall):
+            return self._method(e)
+        if isinstance(e, N.ArithmeticOp):
+            return self._arith(e)
+        if isinstance(e, N.UnaryOp):
+            return f"(-{self.expr(e.expr)})" if e.op == "-" else self.expr(e.expr)
+        if isinstance(e, N.Comparison):
+            return f"({self.expr(e.left)} {e.op} {self.expr(e.right)})"
+        if isinstance(e, N.And):
+            return f"({self.expr(e.left)} AND {self.expr(e.right)})"
+        if isinstance(e, N.Or):
+            return f"({self.expr(e.left)} OR {self.expr(e.right)})"
+        if isinstance(e, N.Not):
+            return f"(NOT {self.expr(e.expr)})"
+        if isinstance(e, N.Between):
+            kw = "NOT BETWEEN" if e.negated else "BETWEEN"
+            return f"({self.expr(e.expr)} {kw} {self.expr(e.lower)} AND {self.expr(e.upper)})"
+        if isinstance(e, N.IsNull):
+            kw = "IS NOT NULL" if e.negated else "IS NULL"
+            return f"({self.expr(e.expr)} {kw})"
+        if isinstance(e, N.IsDistinctFrom):
+            kw = "IS NOT DISTINCT FROM" if e.negated else "IS DISTINCT FROM"
+            return f"({self.expr(e.left)} {kw} {self.expr(e.right)})"
+        if isinstance(e, N.InList):
+            kw = "NOT IN" if e.negated else "IN"
+            vals = ", ".join(self.expr(v) for v in e.values)
+            return f"({self.expr(e.expr)} {kw} ({vals}))"
+        if isinstance(e, N.InSubquery):
+            kw = "NOT IN" if e.negated else "IN"
+            sub = self.render(self.gen_rel(e.query))
+            return f"({self.expr(e.expr)} {kw} ({sub}))"
+        if isinstance(e, N.Exists):
+            sub = self.render(self.gen_rel(e.query))
+            kw = "NOT EXISTS" if e.negated else "EXISTS"
+            return f"({kw} ({sub}))"
+        if isinstance(e, N.Like):
+            op = "RLIKE" if e.is_rlike else "LIKE"
+            if e.is_rlike and self.dialect == DUCKDB:
+                fn = "regexp_matches"
+                inner = f"{fn}({self.expr(e.expr)}, {self.expr(e.pattern)})"
+                return f"(NOT {inner})" if e.negated else inner
+            kw = f"NOT {op}" if e.negated else op
+            esc = f" ESCAPE {self.expr(e.escape)}" if e.escape else ""
+            return f"({self.expr(e.expr)} {kw} {self.expr(e.pattern)}{esc})"
+        if isinstance(e, N.IfExpr):
+            other = self.expr(e.otherwise) if e.otherwise is not None else "NULL"
+            return f"(CASE WHEN {self.expr(e.cond)} THEN {self.expr(e.then)} ELSE {other} END)"
+        if isinstance(e, N.CaseExpr):
+            parts = ["CASE"]
+            if e.target is not None:
+                parts.append(self.expr(e.target))
+            for cond, val in e.whens:
+                parts.append(f"WHEN {self.expr(cond)} THEN {self.expr(val)}")
+            if e.otherwise is not None:
+                parts.append(f"ELSE {self.expr(e.otherwise)}")
+            parts.append("END")
+            return "(" + " ".join(parts) + ")"
+        if isinstance(e, N.Cast):
+            fn = "TRY_CAST" if e.try_cast else "CAST"
+            return f"{fn}({self.expr(e.expr)} AS {type_sql(e.to_type, self.dialect)})"
+        if isinstance(e, N.ArrayCtor):
+            items = ", ".join(self.expr(i) for i in e.items)
+            if self.dialect == SPARK:
+                return f"array({items})"
+            return f"[{items}]"
+        if isinstance(e, N.MapCtor):
+            if self.dialect == SPARK:
+                kv = ", ".join(f"{self.expr(k)}, {self.expr(v)}" for k, v in e.entries)
+                return f"map({kv})"
+            keys = ", ".join(self.expr(k) for k, _ in e.entries)
+            vals = ", ".join(self.expr(v) for _, v in e.entries)
+            return f"map([{keys}], [{vals}])"
+        if isinstance(e, N.StructCtor):
+            if self.dialect == SPARK:
+                kv = ", ".join(self.str_lit(k) + ", " + self.expr(v) for k, v in e.entries)
+                return f"named_struct({kv})"
+            kv = ", ".join(f"{self.q(k)}: {self.expr(v)}" for k, v in e.entries)
+            return f"{{{kv}}}"
+        if isinstance(e, N.RowCtor):
+            items = ", ".join(self.expr(i) for i in e.items)
+            return f"({items})"
+        if isinstance(e, N.Subscript):
+            # wvlet arrays are 1-origin
+            if self.dialect == SPARK:
+                return f"element_at({self.expr(e.target)}, {self.expr(e.index)})"
+            return f"{self.expr(e.target)}[{self.expr(e.index)}]"
+        if isinstance(e, N.Lambda):
+            params = ", ".join(e.params)
+            head = params if len(e.params) == 1 else f"({params})"
+            return f"{head} -> {self.expr(e.body)}"
+        if isinstance(e, N.ScalarSubquery):
+            return f"({self.render(self.gen_rel(e.query))})"
+        if isinstance(e, N.InterpString):
+            parts = []
+            for p in e.parts:
+                if isinstance(p, str):
+                    parts.append(self.str_lit(p))
+                else:
+                    cast_t = "STRING" if self.dialect == SPARK else "VARCHAR"
+                    parts.append(f"CAST({self.expr(p)} AS {cast_t})")
+            if not parts:
+                return self.str_lit("")
+            if len(parts) == 1:
+                return parts[0]
+            return f"concat({', '.join(parts)})"
+        if isinstance(e, N.IntervalLiteral):
+            v = e.value.strip("'")
+            return f"INTERVAL '{v}' {e.unit.upper()}"
+        if isinstance(e, N.RawSQLExpr):
+            return f"({e.sql})"
+        if isinstance(e, N.NamedExpr):
+            return self.expr(e.expr)
+        raise CompileError(f"expression generation not implemented for {type(e).__name__}")
+
+    def _literal(self, e: N.Literal) -> str:
+        if e.kind == "null":
+            return "NULL"
+        if e.kind == "bool":
+            return "TRUE" if e.value else "FALSE"
+        if e.kind == "string":
+            return self.str_lit(str(e.value))
+        if e.kind == "duration":
+            return self.str_lit(str(e.value))
+        return str(e.value)
+
+    def _arith(self, e: N.ArithmeticOp) -> str:
+        l, r = self.expr(e.left), self.expr(e.right)
+        if e.op == "//":
+            if self.dialect == SPARK:
+                return f"({l} DIV {r})"
+            return f"({l} // {r})"
+        if e.op == "+" and (_is_stringy(e.left) or _is_stringy(e.right)):
+            return f"concat({l}, {r})"
+        return f"({l} {e.op} {r})"
+
+    def _map_fn(self, name: str) -> str:
+        m = FUNC_MAP.get(name.lower())
+        if m:
+            return m[self.dialect]
+        return name
+
+    def _function(self, e: N.FunctionApply) -> str:
+        name = self._map_fn(e.name)
+        if e.name.lower() == "count" and (not e.args or isinstance(e.args[0], N.Star)):
+            core = "COUNT(*)"
+        else:
+            args = ", ".join(self.expr(a) for a in e.args)
+            dist = "DISTINCT " if e.is_distinct else ""
+            core = f"{name}({dist}{args})"
+        if e.filter is not None:
+            core += f" FILTER (WHERE {self.expr(e.filter)})"
+        if e.window is not None:
+            core += f" OVER ({self.window(e.window)})"
+        return core
+
+    def _method(self, e: N.MethodCall) -> str:
+        m = e.method.lower()
+        t = e.target
+        is_group = isinstance(t, N.Underscore)
+
+        core: str | None = None
+        if m in SCALAR_METHOD_CASTS:
+            core = f"CAST({self.expr(t)} AS {type_sql(SCALAR_METHOD_CASTS[m], self.dialect)})"
+        elif m == "count":
+            core = "COUNT(*)" if is_group else f"COUNT({self.expr(t)})"
+        elif m == "count_distinct":
+            arg = e.args[0] if e.args else t
+            core = f"COUNT(DISTINCT {self.expr(arg)})"
+        elif m == "count_if":
+            arg = e.args[0] if e.args else t
+            core = f"count_if({self.expr(arg)})"
+        elif m in ("count_approx_distinct", "approx_distinct"):
+            arg = e.args[0] if e.args else t
+            core = f"approx_count_distinct({self.expr(arg)})"
+        elif m == "approx_quantile":
+            fn = "percentile_approx" if self.dialect == SPARK else "approx_quantile"
+            core = f"{fn}({self.expr(t)}, {self.expr(e.args[0])})"
+        elif m in ("max_by", "min_by", "string_agg", "corr"):
+            # `_.max_by(a, b)` → max_by(a, b); `x.max_by(y)` → max_by(x, y)
+            call_args = e.args if is_group else [t] + e.args
+            rendered = ", ".join(self.expr(a) for a in call_args)
+            core = f"{self._map_fn(m)}({rendered})"
+        elif m in ("array_agg", "to_array"):
+            arg = e.args[0] if (is_group and e.args) else t
+            fn = "array_agg"
+            core = f"{fn}({self.expr(arg)})"
+        elif m in AGG_FUNCS:
+            if is_group:
+                args = ", ".join(self.expr(a) for a in e.args)
+                core = f"{self._map_fn(m)}({args})" if e.args else f"{self._map_fn(m)}(*)"
+            else:
+                fn = self._map_fn(m)
+                extra = "".join(", " + self.expr(a) for a in e.args)
+                core = f"{fn}({self.expr(t)}{extra})"
+        elif m == "or_else":
+            core = f"coalesce({self.expr(t)}, {self.expr(e.args[0])})"
+        elif m == "in":
+            vals = ", ".join(self.expr(a) for a in e.args)
+            core = f"({self.expr(t)} IN ({vals}))"
+        elif m == "between":
+            core = f"({self.expr(t)} BETWEEN {self.expr(e.args[0])} AND {self.expr(e.args[1])})"
+        elif m == "like":
+            core = f"({self.expr(t)} LIKE {self.expr(e.args[0])})"
+        elif m == "regexp_like":
+            if self.dialect == SPARK:
+                core = f"({self.expr(t)} RLIKE {self.expr(e.args[0])})"
+            else:
+                core = f"regexp_matches({self.expr(t)}, {self.expr(e.args[0])})"
+        elif m == "extract":
+            core = f"extract({self.expr(e.args[0]).strip(chr(39))} FROM {self.expr(t)})"
+        else:
+            # generic method → function call with target as first argument
+            fn = self._map_fn(m)
+            extra = "".join(", " + self.expr(a) for a in e.args)
+            core = f"{fn}({self.expr(t)}{extra})"
+        if e.window is not None:
+            core += f" OVER ({self.window(e.window)})"
+        return core
+
+    def window(self, w: N.WindowSpec) -> str:
+        parts = []
+        if w.partition_by:
+            parts.append("PARTITION BY " + ", ".join(self.expr(p) for p in w.partition_by))
+        if w.order_by:
+            parts.append("ORDER BY " + ", ".join(self.sort_item(s) for s in w.order_by))
+        if w.frame_type:
+            start = self._frame_bound(w.frame_start)
+            end = self._frame_bound(w.frame_end)
+            parts.append(f"{w.frame_type.upper()} BETWEEN {start} AND {end}")
+        return " ".join(parts)
+
+    def _frame_bound(self, b: N.FrameBound | None) -> str:
+        if b is None:
+            return "CURRENT ROW"
+        return {
+            "unbounded_preceding": "UNBOUNDED PRECEDING",
+            "preceding": f"{b.n} PRECEDING",
+            "current": "CURRENT ROW",
+            "following": f"{b.n} FOLLOWING",
+            "unbounded_following": "UNBOUNDED FOLLOWING",
+        }[b.kind]
+
+    def sort_item(self, s: N.SortItem) -> str:
+        sql = self.expr(s.expr)
+        if s.ascending is False:
+            sql += " DESC"
+        elif s.ascending is True:
+            sql += " ASC"
+        if s.nulls_first is True:
+            sql += " NULLS FIRST"
+        elif s.nulls_first is False:
+            sql += " NULLS LAST"
+        return sql
+
+    def _contains_agg(self, e: N.Expr) -> bool:
+        found = False
+
+        def walk(x):
+            nonlocal found
+            if found or x is None:
+                return
+            if isinstance(x, N.FunctionApply):
+                if x.name.lower() in AGG_FUNCS and x.window is None:
+                    found = True
+                    return
+                for a in x.args:
+                    walk(a)
+            elif isinstance(x, N.MethodCall):
+                if x.method.lower() in AGG_FUNCS and x.window is None:
+                    found = True
+                    return
+                walk(x.target)
+                for a in x.args:
+                    walk(a)
+            elif isinstance(x, (N.ArithmeticOp, N.Comparison)):
+                walk(x.left)
+                walk(x.right)
+            elif isinstance(x, (N.And, N.Or)):
+                walk(x.left)
+                walk(x.right)
+            elif isinstance(x, N.Not):
+                walk(x.expr)
+            elif isinstance(x, N.UnaryOp):
+                walk(x.expr)
+            elif isinstance(x, N.Cast):
+                walk(x.expr)
+            elif isinstance(x, N.IfExpr):
+                walk(x.cond)
+                walk(x.then)
+                walk(x.otherwise)
+            elif isinstance(x, N.CaseExpr):
+                for c, v in x.whens:
+                    walk(c)
+                    walk(v)
+                walk(x.otherwise)
+            elif isinstance(x, N.Between):
+                walk(x.expr)
+                walk(x.lower)
+                walk(x.upper)
+
+        walk(e)
+        return found
+
+
+_RESERVED = {
+    "select", "from", "where", "group", "order", "by", "limit", "join", "left",
+    "right", "full", "inner", "cross", "on", "union", "all", "distinct", "as",
+    "case", "when", "then", "else", "end", "and", "or", "not", "null", "true",
+    "false", "between", "like", "in", "is", "cast", "having", "over",
+    "partition", "values", "table", "create", "insert", "update", "delete",
+    "default", "current_date", "current_time", "current_timestamp", "user",
+}
+
+
+def _block_dirty(b: "SqlGenerator.Block") -> bool:
+    return (
+        b.select is not None
+        or bool(b.where)
+        or b.group_keys is not None
+        or bool(b.having)
+        or bool(b.order)
+        or b.limit is not None
+        or b.offset is not None
+        or b.distinct
+    )
+
+
+def _relation_alias(rel: N.Relation) -> str | None:
+    if isinstance(rel, N.AliasedRelation):
+        return rel.alias
+    if isinstance(rel, N.Values):
+        return rel.alias
+    if isinstance(rel, N.TableFunctionCall):
+        return rel.alias
+    if isinstance(rel, N.TableRef):
+        return rel.name.split(".")[-1]
+    if isinstance(rel, N.ParenRelation):
+        return _relation_alias(rel.child)
+    if isinstance(rel, (N.Filter, N.Project)):
+        return None
+    return None
+
+
+def _references_alias(e: N.Expr, alias: str) -> bool:
+    found = False
+
+    def walk(x):
+        nonlocal found
+        if found or x is None:
+            return
+        if isinstance(x, N.Ref):
+            q = x.qualifier
+            if isinstance(q, N.Ident) and q.name == alias:
+                found = True
+                return
+            walk(q)
+        elif isinstance(x, N.ArithmeticOp):
+            walk(x.left)
+            walk(x.right)
+        elif isinstance(x, N.Cast):
+            walk(x.expr)
+        elif isinstance(x, N.FunctionApply):
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, N.MethodCall):
+            walk(x.target)
+            for a in x.args:
+                walk(a)
+
+    walk(e)
+    return found
+
+
+def _is_stringy(e: N.Expr) -> bool:
+    if isinstance(e, N.Literal) and e.kind == "string":
+        return True
+    if isinstance(e, N.InterpString):
+        return True
+    if isinstance(e, N.ArithmeticOp) and e.op == "+":
+        return _is_stringy(e.left) or _is_stringy(e.right)
+    return False
+
+
+def _literal_kind(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return "string"

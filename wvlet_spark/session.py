@@ -1,0 +1,372 @@
+"""WvletSession — compile and run wvlet queries on a SparkSession.
+
+Execution model (mirrors the reference's Compiler + QueryExecutor split,
+re-imagined for Spark):
+
+    parse -> register defs -> analyze (expand models/vals/defs)
+          -> stage special sources (files, show-commands) as temp views
+          -> generate Spark SQL -> spark.sql(...) -> DataFrame
+
+The DuckDB dialect of the same generator produces oracle SQL used by the
+test-suite / driver to cross-check results.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from wvlet_spark import nodes as N
+from wvlet_spark.analyzer import Analyzer, transform
+from wvlet_spark.generator import DUCKDB, SPARK, CompileError, GenContext, SqlGenerator
+from wvlet_spark.parser import Parser, _SaveMarker
+
+
+class WvletSession:
+    def __init__(self, spark=None, table_dir: str | None = None, file_base: str | None = None,
+                 test_mode: bool = True):
+        """
+        spark: SparkSession (optional for compile-only use)
+        table_dir: directory of <table>.parquet files auto-registered as views
+        file_base: base dir for relative 'file.ext' scans
+        test_mode: evaluate in-query `test` assertions after execution
+        """
+        self.spark = spark
+        self.analyzer = Analyzer()
+        self.file_base = file_base
+        self.test_mode = test_mode
+        self._schema_cache: dict[str, list[str]] = {}
+        self._file_views: dict[str, str] = {}
+        self._view_n = 0
+        self._watermarks: dict[str, object] = {}
+        self.last_test_results: list[tuple[bool, str]] = []
+        if table_dir and spark is not None:
+            self.register_parquet_dir(table_dir)
+
+    # ------------------------------------------------------------- catalog
+
+    def register_parquet_dir(self, table_dir: str) -> None:
+        for fn in sorted(os.listdir(table_dir)):
+            if fn.endswith(".parquet"):
+                name = fn[: -len(".parquet")]
+                path = os.path.join(table_dir, fn)
+                df = read_parquet_robust(self.spark, path)
+                df.createOrReplaceTempView(name)
+                self._schema_cache[name] = df.columns
+
+    def table_columns(self, name: str) -> list[str] | None:
+        if name in self._schema_cache:
+            return self._schema_cache[name]
+        if self.spark is None:
+            return None
+        try:
+            cols = self.spark.table(name).columns
+            self._schema_cache[name] = cols
+            return cols
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------- compile
+
+    def _make_ctx(self, dialect: str) -> GenContext:
+        def name_map(name: str) -> str:
+            if name in self._file_views:
+                return self._file_views[name]
+            return name
+
+        prober = None
+        if self.spark is not None and dialect == SPARK:
+            def prober(sql: str):
+                return [r[0] for r in self.spark.sql(sql).collect()]
+
+        return GenContext(
+            dialect=dialect,
+            table_columns=self.table_columns,
+            prober=prober,
+            table_name_map=name_map,
+        )
+
+    def parse(self, text: str) -> list[N.Statement]:
+        return Parser(text).parse_statements()
+
+    def compile_to_sql(self, text: str, dialect: str = SPARK) -> str:
+        """Compile the last query statement in `text` to SQL."""
+        stmts = self.parse(text)
+        sql = None
+        for stmt in stmts:
+            self.analyzer.register(stmt)
+            if isinstance(stmt, N.QueryStatement):
+                sql = self._gen_sql(stmt.body, dialect)
+        if sql is None:
+            raise CompileError("no query statement found")
+        return sql
+
+    def _gen_sql(self, rel: N.Relation, dialect: str) -> str:
+        plan = self.analyzer.resolve(rel)
+        if dialect == SPARK and self.spark is not None:
+            plan = self._stage_sources(plan)
+        gen = SqlGenerator(self._make_ctx(dialect))
+        return gen.generate(plan)
+
+    # -------------------------------------------------- special source staging
+
+    def _stage_sources(self, plan: N.Relation) -> N.Relation:
+        """Register file scans (with correct read options) and show-commands
+        as temp views so the generated SQL can reference them."""
+
+        def rel_fn(node: N.Relation) -> N.Relation:
+            if isinstance(node, N.FileScan):
+                return N.TableRef(self._stage_file(node))
+            if isinstance(node, N.Show):
+                return N.TableRef(self._stage_show(node))
+            if isinstance(node, N.Subscribe):
+                return self._stage_subscribe(node)
+            return node
+
+        return transform(plan, rel_fn=rel_fn)
+
+    def _resolve_path(self, path: str) -> str:
+        if re.match(r"^[a-z0-9+.-]+://", path) or os.path.isabs(path):
+            return path
+        if self.file_base:
+            return os.path.join(self.file_base, path)
+        return path
+
+    def _stage_file(self, node: N.FileScan) -> str:
+        key = f"{node.fmt}:{node.path}"
+        if key in self._file_views:
+            return self._file_views[key]
+        path = self._resolve_path(node.path)
+        reader = self.spark.read
+        if node.fmt == "json":
+            # wvlet's file scans accept JSON arrays (person.json style)
+            df = reader.option("multiLine", "true").json(path)
+        elif node.fmt == "csv":
+            df = reader.option("header", "true").option("inferSchema", "true").csv(path)
+        else:
+            df = reader.parquet(path)
+        self._view_n += 1
+        view = f"__wv_file_{self._view_n}"
+        df.createOrReplaceTempView(view)
+        self._file_views[key] = view
+        self._file_views[node.path] = view
+        self._schema_cache[view] = df.columns
+        return view
+
+    def _stage_show(self, node: N.Show) -> str:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        spark = self.spark
+        kind = node.kind
+        if kind == "tables":
+            rows = [(t.name,) for t in spark.catalog.listTables(node.in_target)]
+            schema = StructType([StructField("table_name", StringType())])
+        elif kind == "schemas":
+            rows = [(d.name,) for d in spark.catalog.listDatabases()]
+            schema = StructType([StructField("schema_name", StringType())])
+        elif kind == "catalogs":
+            rows = [(c.name,) for c in spark.catalog.listCatalogs()]
+            schema = StructType([StructField("catalog_name", StringType())])
+        elif kind == "models":
+            rows = [(m,) for m in sorted(self.analyzer.models)]
+            schema = StructType([StructField("name", StringType())])
+        elif kind == "functions":
+            rows = [(f.name,) for f in spark.catalog.listFunctions()]
+            schema = StructType([StructField("function_name", StringType())])
+        elif kind == "columns":
+            target = node.in_target or ""
+            rows = [(c.name, c.dataType) for c in spark.catalog.listColumns(target)]
+            schema = StructType(
+                [StructField("column_name", StringType()), StructField("data_type", StringType())]
+            )
+        else:
+            raise CompileError(f"unsupported show kind: {kind}")
+        if node.like:
+            pat = re.compile("^" + node.like.replace("%", ".*").replace("_", ".") + "$", re.I)
+            rows = [r for r in rows if pat.match(r[0])]
+        df = spark.createDataFrame(rows, schema)
+        self._view_n += 1
+        view = f"__wv_show_{self._view_n}"
+        df.createOrReplaceTempView(view)
+        self._schema_cache[view] = df.columns
+        return df and view
+
+    def _stage_subscribe(self, node: N.Subscribe) -> N.Relation:
+        """Batch incremental read: rows with wm < ts <= wm + window.
+        (reference semantics: website/docs/index.md incremental processing)"""
+        from wvlet_spark.streaming import subscribe_filter
+
+        return subscribe_filter(self, node)
+
+    # ------------------------------------------------------------- execute
+
+    def run(self, text: str):
+        """Execute all statements; return the last result DataFrame (or None)."""
+        stmts = self.parse(text)
+        result = None
+        self.last_test_results = []
+        for stmt in stmts:
+            result = self._run_stmt(stmt) or result
+        return result
+
+    def _run_stmt(self, stmt: N.Statement):
+        if isinstance(stmt, (N.ModelDef, N.FunctionDef, N.PartialQueryDef, N.TypeDef)):
+            self.analyzer.register(stmt)
+            return None
+        if isinstance(stmt, N.ValDef):
+            self.analyzer.register(stmt)
+            return None
+        if isinstance(stmt, N.ImportStmt):
+            return None
+        if isinstance(stmt, N.QueryStatement):
+            df = self.sql_df(stmt.body)
+            if self.test_mode and stmt.tests:
+                from wvlet_spark.testing import evaluate_tests
+
+                self.last_test_results.extend(evaluate_tests(df, stmt.tests))
+            return df
+        if isinstance(stmt, N.SaveTo):
+            df = self.sql_df(stmt.child)
+            if stmt.is_file:
+                self._write_file(df, stmt.target, mode="overwrite")
+            else:
+                df.write.mode("overwrite").saveAsTable(stmt.target)
+                self._schema_cache[stmt.target] = df.columns
+            return None
+        if isinstance(stmt, N.AppendTo):
+            df = self.sql_df(stmt.child)
+            if stmt.is_file:
+                self._write_file(df, stmt.target, mode="append")
+            else:
+                exists = self.spark.catalog.tableExists(stmt.target)
+                df.write.mode("append" if exists else "overwrite").saveAsTable(stmt.target)
+            return None
+        if isinstance(stmt, N.DeleteStmt):
+            return self._run_delete(stmt)
+        if isinstance(stmt, N.TruncateStmt):
+            self.spark.sql(f"TRUNCATE TABLE {stmt.table}")
+            return None
+        if isinstance(stmt, N.ExecuteStmt):
+            return self.spark.sql(stmt.sql)
+        if isinstance(stmt, N.ExplainStmt):
+            if stmt.sql is not None:
+                return self.spark.sql(f"EXPLAIN {stmt.sql}")
+            sql = self._gen_sql(stmt.body, SPARK)
+            return self.spark.sql(f"EXPLAIN FORMATTED {sql}")
+        raise CompileError(f"cannot execute statement {type(stmt).__name__}")
+
+    def sql_df(self, rel: N.Relation):
+        # run debug side-channels eagerly (they print, input passes through)
+        self._run_debugs(rel)
+        body = rel
+        if isinstance(body, N.Describe):
+            inner_sql = self._gen_sql(body.child, SPARK)
+            return self.spark.sql(f"DESCRIBE QUERY {inner_sql}")
+        sql = self._gen_sql(rel, SPARK)
+        return self.spark.sql(sql)
+
+    def _run_debugs(self, rel: N.Relation) -> None:
+        debugs: list[N.Debug] = []
+
+        def rel_fn(node):
+            if isinstance(node, N.Debug):
+                debugs.append(node)
+            return node
+
+        transform(rel, rel_fn=rel_fn)
+        for d in debugs:
+            body = d.body if d.body is not None else d.child
+            try:
+                from wvlet_spark.parser import _HoleRelation
+
+                def fill(n):
+                    return d.child if isinstance(n, _HoleRelation) else n
+
+                body = transform(body, rel_fn=fill)
+                df = self.spark.sql(self._gen_sql(body, SPARK))
+                df.show(20, truncate=False)
+            except Exception as ex:  # debug must never fail the main query
+                print(f"[debug] failed: {ex}")
+
+    def _write_file(self, df, path: str, mode: str) -> None:
+        path = self._resolve_path(path)
+        fmt = _infer_format(path)
+        if fmt == "csv":
+            df.write.mode(mode).option("header", "true").csv(path)
+        elif fmt == "json":
+            df.write.mode(mode).json(path)
+        else:
+            df.write.mode(mode).parquet(path)
+
+    def _run_delete(self, stmt: N.DeleteStmt):
+        # peel filters down to the base table
+        conds: list[N.Expr] = []
+        node = stmt.child
+        while isinstance(node, N.Filter):
+            conds.append(node.cond)
+            node = node.child
+        if not isinstance(node, N.TableRef):
+            raise CompileError("delete requires a filtered table pipeline")
+        table = node.name
+        gen = SqlGenerator(self._make_ctx(SPARK))
+        keep = " AND ".join(f"NOT ({gen.expr(c)})" for c in conds) if conds else "FALSE"
+        remaining = self.spark.sql(f"SELECT * FROM {table} WHERE {keep}")
+        remaining = remaining.cache()
+        remaining.count()
+        remaining.write.mode("overwrite").saveAsTable(table)
+        return None
+
+    # ------------------------------------------------------------- oracle
+
+    def oracle_sql(self, text: str) -> str:
+        """DuckDB-dialect SQL for the same query (for cross-checking)."""
+        return self.compile_to_sql(text, dialect=DUCKDB)
+
+
+def compile_to_sql(text: str, dialect: str = SPARK) -> str:
+    return WvletSession(spark=None).compile_to_sql(text, dialect)
+
+
+def read_parquet_robust(spark, path: str):
+    """spark.read.parquet with a workaround for TIMESTAMP(NANOS) columns,
+    which Spark's parquet reader rejects: read nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong) and convert to timestamp columns
+    losslessly at microsecond precision. Stays fully distributed — the
+    conversion is a projected expression, not a driver-side rewrite."""
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        for f in schema:
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns":
+                ns_cols.append(f.name)
+    except Exception:
+        pass
+    if not ns_cols:
+        return spark.read.parquet(path)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS LONG))"))
+        return df
+    except Exception:
+        # fallback: arrow-side conversion (driver memory; small tables only)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        pdf = tbl.to_pandas()
+        return spark.createDataFrame(pdf)
+
+
+def _infer_format(path: str) -> str:
+    p = path.lower()
+    if p.endswith(".csv") or p.endswith(".csv.gz"):
+        return "csv"
+    if p.endswith(".json") or p.endswith(".json.gz"):
+        return "json"
+    return "parquet"

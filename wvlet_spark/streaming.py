@@ -1,0 +1,127 @@
+"""Incremental / subscription processing.
+
+The reference's `model.subscribe()` is micro-batch incremental consumption:
+each run reads only rows with
+    watermark < ts AND ts <= watermark + window_size
+then advances the stored watermark (reference: website/docs/index.md,
+relation.scala Subscribe / IncrementalTableScan).
+
+Two modes here:
+- batch mode (default): the documented watermark-slice semantics with a
+  per-session watermark store (`subscribe_filter`)
+- structured streaming mode: `read_stream` builds a Structured Streaming
+  DataFrame with `withWatermark` for true streaming pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from wvlet_spark import nodes as N
+from wvlet_spark.generator import CompileError
+
+_DURATION_RE = re.compile(r"^(\d+(?:\.\d+)?)\s*(ms|s|m|h|d|w)$")
+
+_UNIT_SECONDS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def parse_duration_seconds(s: str) -> float:
+    m = _DURATION_RE.match(s.strip())
+    if not m:
+        # also accept "1 hour" style
+        m2 = re.match(r"^(\d+(?:\.\d+)?)\s*(second|minute|hour|day|week)s?$", s.strip())
+        if m2:
+            unit = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+            return float(m2.group(1)) * unit[m2.group(2)]
+        raise CompileError(f"cannot parse duration: {s!r}")
+    return float(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+
+
+def subscribe_filter(session, node: N.Subscribe) -> N.Relation:
+    """Lower Subscribe to a Filter over the snapshot with watermark bounds,
+    advancing the session's stored watermark."""
+    wm_col = node.watermark_column
+    if wm_col is None:
+        # no watermark config: plain read-through
+        return node.child
+
+    key = id_key(node)
+    spark = session.spark
+    from wvlet_spark.generator import SPARK, SqlGenerator
+
+    inner_sql = SqlGenerator(session._make_ctx(SPARK)).generate(
+        session._stage_sources(node.child) if spark is not None else node.child
+    )
+
+    wm = session._watermarks.get(key)
+    if wm is None and spark is not None:
+        row = spark.sql(f"SELECT min({wm_col}) AS lo FROM ({inner_sql})").collect()[0]
+        lo = row["lo"]
+        if lo is None:
+            wm = None
+        else:
+            import datetime
+
+            wm = lo - datetime.timedelta(microseconds=1) if hasattr(lo, "isoformat") else lo
+
+    window_sql = ""
+    cond: N.Expr
+    col = N.Ident(wm_col)
+    if wm is None:
+        cond = N.Literal(True, "bool")
+    else:
+        wm_lit = N.Literal(str(wm), "string")
+        lower = N.Comparison(">", col, N.Cast(wm_lit, "timestamp"))
+        if node.window_size:
+            secs = parse_duration_seconds(node.window_size)
+            upper_expr = N.RawSQLExpr(
+                f"CAST('{wm}' AS TIMESTAMP) + INTERVAL {int(secs)} SECOND"
+            )
+            upper = N.Comparison("<=", col, upper_expr)
+            cond = N.And(lower, upper)
+        else:
+            cond = lower
+
+        # advance the stored watermark to the window upper bound
+        if node.window_size and spark is not None:
+            import datetime
+
+            if hasattr(wm, "isoformat"):
+                session._watermarks[key] = wm + datetime.timedelta(
+                    seconds=parse_duration_seconds(node.window_size)
+                )
+        elif spark is not None:
+            row = spark.sql(f"SELECT max({wm_col}) AS hi FROM ({inner_sql})").collect()[0]
+            if row["hi"] is not None:
+                session._watermarks[key] = row["hi"]
+    if wm is not None and key not in session._watermarks:
+        session._watermarks[key] = wm
+    return N.Filter(node.child, cond)
+
+
+def id_key(node: N.Subscribe) -> str:
+    child = node.child
+    if isinstance(child, N.ModelScan):
+        return f"model:{child.name}"
+    if isinstance(child, N.TableRef):
+        return f"table:{child.name}"
+    return f"plan:{id(child)}"
+
+
+def read_stream(spark, table_or_path: str, watermark_column: str | None = None,
+                delay: str = "10 minutes", fmt: str = "parquet", schema=None):
+    """Structured Streaming source with optional watermark — the Spark-native
+    upgrade path for `subscribe()` pipelines."""
+    if "/" in table_or_path or table_or_path.endswith(".parquet"):
+        reader = spark.readStream.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            static = spark.read.format(fmt).load(table_or_path)
+            reader = reader.schema(static.schema)
+        df = reader.load(table_or_path)
+    else:
+        df = spark.readStream.table(table_or_path)
+    if watermark_column:
+        df = df.withWatermark(watermark_column, delay)
+    return df
