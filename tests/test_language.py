@@ -1,0 +1,318 @@
+"""Operator/language-level tests modeled on the reference spec corpus
+(spec/basic/*.wv) — inline values, in-query test assertions, and
+compile-only checks that don't need testdata."""
+
+import pytest
+
+from wvlet_spark.generator import CompileError
+from wvlet_spark.lexer import WvletSyntaxError
+from wvlet_spark.session import compile_to_sql
+
+
+def run(ws, text):
+    return ws.run(text)
+
+
+def rows(df):
+    return [list(r) for r in df.collect()]
+
+
+def test_values_and_filter(ws):
+    df = run(ws, """
+from [
+  [1, "alice", 10],
+  [2, "bob", 20],
+  [3, "clark", 30]
+] as p(id, name, age)
+where id = 1
+test _.rows = [[1, "alice", 10]]
+""")
+    assert rows(df) == [[1, "alice", 10]]
+
+
+def test_left_join_using(ws):
+    df = run(ws, """
+from [[1, "alice", 10], [2, "bob", 20], [3, "clark", 30]] as p(id, name, age)
+left join [[1, "home"], [2, "work"]] as w(id, location)
+on id
+order by id
+""")
+    assert rows(df) == [
+        [1, "alice", 10, "home"],
+        [2, "bob", 20, "work"],
+        [3, "clark", 30, None],
+    ]
+
+
+def test_asof_join_values(ws):
+    df = run(ws, """
+from [
+  ['AAPL', '2024-11-07', 1.0],
+  ['AAPL', '2024-11-08', 2.0],
+  ['AAPL', '2024-11-09', 3.0],
+  ['AAPL', '2024-11-10', 4.0],
+] as holding(symbol, date, shares)
+asof join {
+  from [
+    ['AAPL', '2024-11-07', 10],
+    ['AAPL', '2024-11-08', 50],
+    ['AAPL', '2024-11-09', 100],
+  ] as stock(symbol, date, price)
+} on stock.symbol = holding.symbol and stock.date <= holding.date
+add price * shares as holding_value
+select symbol, date, shares, price, holding_value
+order by date
+""")
+    got = [[r[0], r[1], float(r[2]), r[3], float(r[4])] for r in rows(df)]
+    assert got == [
+        ["AAPL", "2024-11-07", 1.0, 10, 10.0],
+        ["AAPL", "2024-11-08", 2.0, 50, 100.0],
+        ["AAPL", "2024-11-09", 3.0, 100, 300.0],
+        ["AAPL", "2024-11-10", 4.0, 100, 400.0],
+    ]
+
+
+def test_group_by_having(ws):
+    df = run(ws, """
+from [[1, 'x'], [1, 'y'], [2, 'z']] as t(id, v)
+group by id
+where _.count >= 2
+agg n = _.count
+""")
+    assert rows(df) == [[1, 2]]
+
+
+def test_array_agg_and_index(ws):
+    df = run(ws, """
+from [[1, "a"], [1, "b"], [2, "c"]] as tbl(id, v)
+group by id
+agg arr = v.to_array
+order by id
+""")
+    r = rows(df)
+    assert r[0][0] == 1 and sorted(r[0][1]) == ["a", "b"]
+    assert r[1][0] == 2 and r[1][1] == ["c"]
+
+
+def test_one_origin_indexing(ws):
+    df = run(ws, "select x = [10, 20, 30][1]")
+    assert rows(df) == [[10]]
+
+
+def test_case_without_end(ws):
+    df = run(ws, """
+from [[1, 'apple'], [2, 'banana'], [3, 'box']] as items(id, name)
+select
+  case name
+    when 'apple' then 'fruit'
+    when 'banana' then 'fruit'
+    else 'other'
+  as category
+order by category
+""")
+    assert [r[0] for r in rows(df)] == ["fruit", "fruit", "other"]
+
+
+def test_if_else_chain(ws):
+    df = run(ws, """
+from [[1, 'apple'], [3, 'box']] as items(id, name)
+select
+  r = if name is 'apple' then 'fruit' else 'other'
+order by r
+""")
+    assert [r[0] for r in rows(df)] == ["fruit", "other"]
+
+
+def test_null_equality_sugar(ws):
+    df = run(ws, """
+from [[1, 'a'], [2, null]] as t(id, v)
+where v = null
+select id
+""")
+    assert rows(df) == [[2]]
+
+
+def test_unnest(ws):
+    df = run(ws, "from unnest([1, 2, 3]) as t(number)")
+    assert sorted(r[0] for r in rows(df)) == [1, 2, 3]
+
+
+def test_partial_query_def(ws):
+    df = run(ws, """
+def is_big = where v >= 10
+from [[1, 5], [2, 15], [3, 25]] as t(id, v) | is_big
+count
+""")
+    assert rows(df) == [[2]]
+
+
+def test_model_with_params(ws):
+    df = run(ws, """
+model above(bound: int) = {
+  from [[1, 5], [2, 15], [3, 25]] as t(id, v)
+  where v > bound
+}
+from above(bound = 10)
+count
+""")
+    assert rows(df) == [[2]]
+
+
+def test_val_substitution(ws):
+    df = run(ws, """
+val threshold = 20
+from [[1, 5], [2, 15], [3, 25]] as t(id, v)
+where v > threshold
+select id
+""")
+    assert rows(df) == [[3]]
+
+
+def test_function_def_inline(ws):
+    df = run(ws, """
+def double_it(x: int): int = x * 2
+select y = double_it(21)
+""")
+    assert rows(df) == [[42]]
+
+
+def test_string_concat_plus(ws):
+    df = run(ws, "select s = 'a' + 'b' + 'c'")
+    assert rows(df) == [["abc"]]
+
+
+def test_interpolation(ws):
+    df = run(ws, "select s = s\"v=${1 + 2}!\"")
+    assert rows(df) == [["v=3!"]]
+
+
+def test_pivot_inline(ws):
+    df = run(ws, """
+from [[2023, 'a'], [2023, 'b'], [2024, 'c']] as t(year, v)
+pivot on year in (2023, 2024)
+agg _.count
+""")
+    r = rows(df)
+    assert r == [[2, 1]]
+    assert df.columns == ["2023", "2024"]
+
+
+def test_intersect_except_all(ws):
+    df = run(ws, """
+from [[1], [2], [2], [3]] as a(x)
+except { from [[2]] as b(x) }
+order by x
+""")
+    assert rows(df) == [[1], [3]]
+
+
+def test_window_compact_frame(ws):
+    df = run(ws, """
+from [[1, 10], [2, 20], [3, 30]] as t(id, v)
+select id, s = sum(v) over (order by id rows[-1,0])
+order by id
+""")
+    assert rows(df) == [[1, 10], [2, 30], [3, 50]]
+
+
+def test_transform_update(ws):
+    df = run(ws, """
+from [[1, 'a']] as t(id, v)
+transform v = upper(v)
+""")
+    assert rows(df) == [[1, "A"]]
+    assert df.columns == ["id", "v"]
+
+
+def test_shift_and_exclude(ws):
+    df = run(ws, """
+from [[1, 'a', true]] as t(id, v, flag)
+shift v
+exclude flag
+""")
+    assert df.columns == ["v", "id"]
+
+
+def test_in_list_and_between(ws):
+    df = run(ws, """
+from [[1], [5], [9]] as t(x)
+where x in (1, 9) or x between 4 and 6
+order by x
+""")
+    assert rows(df) == [[1], [5], [9]]
+
+
+def test_count_shorthand(ws):
+    df = run(ws, "from [[1], [2]] as t(x)\ncount")
+    assert rows(df) == [[2]]
+    assert df.columns == ["count"]
+
+
+def test_dedup(ws):
+    df = run(ws, "from [[1], [1], [2]] as t(x)\ndedup\norder by x")
+    assert rows(df) == [[1], [2]]
+
+
+def test_limit_offset(ws):
+    df = run(ws, "from [[1], [2], [3]] as t(x)\norder by x\nlimit 2\noffset 1")
+    assert rows(df) == [[2], [3]]
+
+
+def test_concat_union_all(ws):
+    df = run(ws, """
+from [[1]] as a(x)
+concat { from [[2]] as b(x) }
+order by x
+""")
+    assert rows(df) == [[1], [2]]
+
+
+def test_recursion_detected(ws):
+    with pytest.raises(CompileError, match="recursive"):
+        ws.run("model m1 = { from m2 }\nmodel m2 = { from m1 }\nfrom m1")
+
+
+def test_missing_model_arg(ws):
+    with pytest.raises(CompileError, match="missing argument"):
+        ws.run("model m(x: int) = { from [[1]] as t(a) where a = x }\nfrom m()")
+
+
+def test_syntax_error_position():
+    with pytest.raises(WvletSyntaxError):
+        compile_to_sql("from t where limit ???")
+
+
+def test_compile_only_both_dialects():
+    wv = "from t where a > 1 group by b select b, n = _.count order by n desc limit 5"
+    s = compile_to_sql(wv, "spark")
+    d = compile_to_sql(wv, "duckdb")
+    assert "GROUP BY" in s and "LIMIT 5" in s
+    assert "GROUP BY" in d
+
+
+def test_describe(ws):
+    df = ws.run("describe nation")
+    cols = {r[0] for r in df.collect()}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+
+
+def test_show_tables(ws):
+    df = ws.run("show tables")
+    names = {r[0] for r in df.collect()}
+    assert "lineitem" in names and "orders" in names
+
+
+def test_in_query_test_failure(ws):
+    from wvlet_spark.testing import TestFailure
+
+    with pytest.raises(TestFailure):
+        ws.run("from [[1]] as t(x)\ntest _.size should be 99")
+
+
+def test_save_and_read_table(ws):
+    ws.run("from [[1, 'a'], [2, 'b']] as t(id, v)\nsave to wv_saved_t1")
+    df = ws.run("from wv_saved_t1\norder by id")
+    assert [list(r) for r in df.collect()] == [[1, "a"], [2, "b"]]
+    ws.run("from [[3, 'c']] as t(id, v)\nappend to wv_saved_t1")
+    df = ws.run("from wv_saved_t1 count")
+    assert df.collect()[0][0] == 3

@@ -51,6 +51,16 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "approx_quantile": {SPARK: "percentile_approx", DUCKDB: "approx_quantile"},
     "unnest": {SPARK: "explode", DUCKDB: "unnest"},
     "list_contains": {SPARK: "array_contains", DUCKDB: "list_contains"},
+    "array_contains": {SPARK: "array_contains", DUCKDB: "list_contains"},
+    "transform": {SPARK: "transform", DUCKDB: "list_transform"},
+    "filter": {SPARK: "filter", DUCKDB: "list_filter"},
+    "json_extract_string": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
+    "get_json_object": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
+    "array_sort": {SPARK: "array_sort", DUCKDB: "list_sort"},
+    "array_distinct": {SPARK: "array_distinct", DUCKDB: "list_distinct"},
+    "instr": {SPARK: "instr", DUCKDB: "instr"},
+    "split": {SPARK: "split", DUCKDB: "string_split_regex"},
+    "date_diff": {SPARK: "datediff", DUCKDB: "date_diff"},
 }
 
 AGG_FUNCS = {
@@ -969,7 +979,9 @@ class SqlGenerator:
 
     def _function(self, e: N.FunctionApply) -> str:
         name = self._map_fn(e.name)
-        if e.name.lower() == "count" and (not e.args or isinstance(e.args[0], N.Star)):
+        if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
+            core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+        elif e.name.lower() == "count" and (not e.args or isinstance(e.args[0], N.Star)):
             core = "COUNT(*)"
         else:
             args = ", ".join(self.expr(a) for a in e.args)

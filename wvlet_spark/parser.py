@@ -413,10 +413,8 @@ class Parser:
             rel = N.ParenRelation(body)
         elif t.kind in ("IDENT", "BQIDENT"):
             name = self.parse_qualified_name()
-            if name.endswith(".subscribe") or (self.at_op(".") and self.at_kw("subscribe", offset=1)):
-                pass  # handled below via suffix check
             if self.at_op("("):
-                args = self.parse_call_args()
+                args = self.parse_call_args(allow_named=True)
                 if name.split(".")[-1] == "subscribe":
                     base = name.rsplit(".", 1)[0]
                     rel = N.Subscribe(N.ModelScan(base), params=[])
@@ -452,13 +450,15 @@ class Parser:
                 rel = N.AliasedRelation(rel, alias, cols)
         return rel
 
-    def parse_call_args(self) -> list[N.Expr]:
+    def parse_call_args(self, allow_named: bool = False) -> list[N.Expr]:
         self.expect_op("(")
         args = []
         while not self.at_op(")"):
-            # named arg: name = expr
+            # named arg: name = expr (model/table-function calls only —
+            # inside ordinary function calls `=` is a comparison)
             if (
-                self.peek().kind == "IDENT"
+                allow_named
+                and self.peek().kind == "IDENT"
                 and self.at_op("=", offset=1)
                 and not self.at_op("==", offset=1)
             ):
@@ -812,7 +812,7 @@ class Parser:
     def parse_pivot(self, rel: N.Relation) -> N.Relation:
         self.expect_kw("pivot")
         self.expect_kw("on")
-        pivot_col = self.parse_expr()
+        pivot_col = self.parse_additive()  # not parse_expr: `in (...)` follows
         values = None
         if self.at_kw("in"):
             self.next()
@@ -1252,6 +1252,14 @@ class Parser:
                         self.next()
                 self.expect_op("}")
                 return N.MapCtor(entries)
+            if w == "extract" and self.at_op("(", offset=1):
+                self.next()
+                self.next()
+                fld = self.expect_ident()
+                self.expect_kw("from")
+                inner = self.parse_expr()
+                self.expect_op(")")
+                return N.FunctionApply("extract", [N.Ident(fld), inner])
             if w in ("cast", "try_cast") and self.at_op("(", offset=1):
                 self.next()
                 self.next()

@@ -1,0 +1,836 @@
+"""The correctness query suite: wvlet text + independent DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver's testdata tables (region nation customer supplier part orders
+lineitem events documents embeddings).  The wvlet text is compiled and run
+by the engine on Spark; the oracle SQL is hand-written ANSI SQL executed by
+DuckDB — the driver hash-compares both sides.
+
+Determinism rules (so value hashes match across engines):
+- money doubles are cast to DECIMAL(18,2) *before* aggregation — decimal
+  sums are exact and order-independent (double sums are not, at scale)
+- averages are computed as exact decimal sums divided as DOUBLE
+- every computed column is aliased identically on both sides
+- ORDER BY carries full tie-breaks where order matters
+"""
+
+from __future__ import annotations
+
+# name -> (wvlet_text, oracle_sql or None)
+SUITE: dict[str, tuple[str, str | None]] = {}
+
+
+def q(name: str, wv: str, oracle: str | None):
+    SUITE[name] = (wv, oracle)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core
+# ---------------------------------------------------------------------------
+
+q(
+    "tpch_q1",
+    """
+from lineitem
+where l_shipdate <= '1998-09-02'::date
+group by l_returnflag, l_linestatus
+select
+  l_returnflag,
+  l_linestatus,
+  sum_qty        = l_quantity::decimal(18,2).sum::decimal(38,2),
+  sum_base_price = l_extendedprice::decimal(18,2).sum::decimal(38,2),
+  sum_disc_price = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4),
+  sum_charge     = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2)) * (1 + l_tax::decimal(18,2))).sum::decimal(38,6),
+  avg_qty        = (l_quantity::decimal(18,2).sum::double / _.count)::double,
+  avg_price      = (l_extendedprice::decimal(18,2).sum::double / _.count)::double,
+  avg_disc       = (l_discount::decimal(18,2).sum::double / _.count)::double,
+  count_order    = _.count
+order by l_returnflag, l_linestatus
+""",
+    """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+q(
+    "tpch_q3",
+    """
+from customer, orders, lineitem
+where c_mktsegment = 'BUILDING'
+  and c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate < '1995-03-15'::date
+  and l_shipdate > '1995-03-15'::date
+group by l_orderkey, o_orderdate, o_orderpriority
+select
+  l_orderkey,
+  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4),
+  o_orderdate,
+  o_orderpriority
+order by revenue desc, o_orderdate, l_orderkey
+limit 10
+""",
+    """
+SELECT
+  l_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+
+q(
+    "tpch_q5",
+    """
+from customer, orders, lineitem, supplier, nation, region
+where c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and l_suppkey = s_suppkey
+  and c_nationkey = s_nationkey
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'ASIA'
+  and o_orderdate >= '1994-01-01'::date
+  and o_orderdate < '1995-01-01'::date
+group by n_name
+select
+  n_name,
+  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4)
+order by revenue desc, n_name
+""",
+    """
+SELECT
+  n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1994-01-01'
+  AND o_orderdate < DATE '1995-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+
+q(
+    "tpch_q6",
+    """
+from lineitem
+where l_shipdate >= '1994-01-01'::date
+  and l_shipdate < '1995-01-01'::date
+  and l_discount between 0.05 and 0.07
+  and l_quantity < 24
+select revenue = (l_extendedprice::decimal(18,2) * l_discount::decimal(18,2)).sum::decimal(38,4)
+""",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01'
+  AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+q(
+    "tpch_q10_like",
+    """
+from customer, orders, lineitem, nation
+where c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate >= '1993-10-01'::date
+  and o_orderdate < '1994-01-01'::date
+  and l_returnflag = 'R'
+  and c_nationkey = n_nationkey
+group by c_custkey, c_name, n_name, c_mktsegment
+select
+  c_custkey, c_name,
+  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4),
+  n_name, c_mktsegment
+order by revenue desc, c_custkey
+limit 20
+""",
+    """
+SELECT
+  c_custkey, c_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+  n_name, c_mktsegment
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1993-10-01'
+  AND o_orderdate < DATE '1994-01-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+
+# correlated scalar subquery (Q2/Q17 pattern)
+q(
+    "scalar_subquery_corr",
+    """
+from part
+where p_retailprice = {
+  from part as p2
+  where p2.p_brand = part.p_brand
+  select p2.p_retailprice.min
+}
+select p_partkey, p_brand, p_retailprice
+order by p_brand, p_partkey
+""",
+    """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part
+WHERE p_retailprice = (
+  SELECT min(p2.p_retailprice) FROM part AS p2 WHERE p2.p_brand = part.p_brand
+)
+ORDER BY p_brand, p_partkey
+""",
+)
+
+# IN-subquery (semi-join pattern, Q18-ish)
+q(
+    "in_subquery",
+    """
+from orders
+where o_orderkey in {
+  from lineitem
+  group by l_orderkey
+  where l_quantity.sum > 300
+  select l_orderkey
+}
+group by o_orderpriority
+agg n = _.count, total = o_totalprice::decimal(18,2).sum::decimal(38,2)
+order by o_orderpriority
+""",
+    """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# EXISTS / NOT EXISTS (Q4 / anti-join pattern)
+q(
+    "exists_subquery",
+    """
+from orders
+where o_orderdate >= '1993-07-01'::date
+  and o_orderdate < '1993-10-01'::date
+  and exists {
+    from lineitem
+    where l_orderkey = o_orderkey and l_shipdate > '1995-06-01'::date
+  }
+group by o_orderpriority
+agg order_count = _.count
+order by o_orderpriority
+""",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1993-07-01'
+  AND o_orderdate < DATE '1993-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1995-06-01'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+q(
+    "anti_join_not_in",
+    """
+from customer
+where c_custkey not in { from orders select o_custkey }
+select n_lost = _.count
+""",
+    """
+SELECT count(*) AS n_lost
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+
+# outer joins + using-join + coalesce
+q(
+    "left_join_agg",
+    """
+from customer
+left join orders on c_custkey = o_custkey
+group by c_mktsegment
+select
+  c_mktsegment,
+  n_orders = o_orderkey.count,
+  n_customers = c_custkey.count_distinct
+order by c_mktsegment
+""",
+    """
+SELECT c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+# window functions with frames
+q(
+    "window_rank",
+    """
+from orders
+where o_orderdate >= '1997-01-01'::date
+add rnk = rank() over (partition by o_orderpriority order by o_totalprice desc, o_orderkey)
+where rnk <= 3
+select o_orderpriority, rnk, o_orderkey, o_totalprice
+order by o_orderpriority, rnk, o_orderkey
+""",
+    """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+FROM (
+  SELECT *, rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+) t
+WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk, o_orderkey
+""",
+)
+
+q(
+    "window_frame_moving",
+    """
+from orders
+where o_custkey <= 50
+select
+  o_custkey, o_orderkey, o_orderdate,
+  mv = o_totalprice::decimal(18,2).sum over (partition by o_custkey order by o_orderdate, o_orderkey rows[-2,0])::decimal(38,2),
+  rn = row_number() over (partition by o_custkey order by o_orderdate, o_orderkey)
+order by o_custkey, rn
+""",
+    """
+SELECT
+  o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mv,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+FROM orders
+WHERE o_custkey <= 50
+ORDER BY o_custkey, rn
+""",
+)
+
+q(
+    "window_lag_lead",
+    """
+from events
+where user_id <= 20
+select
+  user_id, event_id, ts,
+  prev_value = lag(value) over (partition by user_id order by ts, event_id)::double,
+  next_type = lead(event_type) over (partition by user_id order by ts, event_id)
+order by user_id, ts, event_id
+""",
+    """
+SELECT
+  user_id, event_id, ts,
+  CAST(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS prev_value,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+WHERE user_id <= 20
+ORDER BY user_id, ts, event_id
+""",
+)
+
+# column ops: add / exclude / rename / shift / transform / prepend
+q(
+    "column_ops",
+    """
+from nation
+add label = s"nation ${n_name}"
+rename n_name as name
+exclude n_regionkey
+shift name
+transform label = upper(label)
+order by n_nationkey
+""",
+    """
+SELECT name, n_nationkey, upper(label) AS label FROM (
+  SELECT n_nationkey, n_name AS name, concat('nation ', n_name) AS label
+  FROM nation
+) t
+ORDER BY n_nationkey
+""",
+)
+
+# group by without agg (default any_value/arbitrary) — 1-row groups for determinism
+q(
+    "groupby_default_agg",
+    """
+from nation
+group by n_nationkey
+order by n_nationkey
+""",
+    """
+SELECT n_nationkey, arbitrary(n_name) AS n_name, arbitrary(n_regionkey) AS n_regionkey
+FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
+""",
+)
+
+# HAVING via where-after-group-by
+q(
+    "having_filter",
+    """
+from lineitem
+group by l_orderkey
+where _.count >= 6
+agg n_lines = _.count, qty = l_quantity::decimal(18,2).sum::decimal(38,2)
+order by l_orderkey
+limit 50
+""",
+    """
+SELECT l_orderkey, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) >= 6
+ORDER BY l_orderkey
+LIMIT 50
+""",
+)
+
+# dot-aggregation variety: count_distinct / max_by / min_by / count_if / approx
+q(
+    "agg_sugar",
+    """
+from orders
+group by o_orderstatus
+select
+  o_orderstatus,
+  n = _.count,
+  n_cust = _.count_distinct(o_custkey),
+  top_order = _.max_by(o_orderkey, o_totalprice),
+  n_urgent = _.count_if(o_orderpriority = '1-URGENT'),
+  max_price = o_totalprice.max::decimal(18,2)
+order by o_orderstatus
+""",
+    """
+SELECT
+  o_orderstatus,
+  count(*) AS n,
+  count(DISTINCT o_custkey) AS n_cust,
+  max_by(o_orderkey, o_totalprice) AS top_order,
+  count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+# case / if expressions
+q(
+    "case_if_expr",
+    """
+from part
+select
+  p_partkey,
+  size_class = case
+    when p_size < 10 then 'small'
+    when p_size < 30 then 'medium'
+    else 'large',
+  pricey = if p_retailprice > 1500 then 'yes' else 'no'
+order by p_partkey
+limit 100
+""",
+    """
+SELECT
+  p_partkey,
+  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+  CASE WHEN p_retailprice > 1500 THEN 'yes' ELSE 'no' END AS pricey
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+)
+
+# string functions + interpolation + like
+q(
+    "string_funcs",
+    """
+from documents
+where lang like 'e%'
+select
+  doc_id,
+  head = substring(text, 1, 20),
+  n_up = upper(source),
+  ln = length(text),
+  tagged = s"[${lang}] ${source}"
+order by doc_id
+limit 200
+""",
+    """
+SELECT
+  doc_id,
+  substring(text, 1, 20) AS head,
+  upper(source) AS n_up,
+  length(text) AS ln,
+  concat('[', lang, '] ', source) AS tagged
+FROM documents
+WHERE lang LIKE 'e%'
+ORDER BY doc_id
+LIMIT 200
+""",
+)
+
+# date functions
+q(
+    "date_funcs",
+    """
+from orders
+group by ym = date_trunc('month', o_orderdate)
+agg n = _.count, total = o_totalprice::decimal(18,2).sum::decimal(38,2)
+order by ym
+""",
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS ym, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+ORDER BY ym
+""",
+)
+
+q(
+    "extract_parts",
+    """
+from orders
+where extract(year from o_orderdate) = 1995
+group by m = extract(month from o_orderdate)::long
+agg n = _.count
+order by m
+""",
+    """
+SELECT CAST(extract(MONTH FROM o_orderdate) AS BIGINT) AS m, count(*) AS n
+FROM orders
+WHERE extract(YEAR FROM o_orderdate) = 1995
+GROUP BY 1
+ORDER BY m
+""",
+)
+
+# CTE / with
+q(
+    "with_cte",
+    """
+with big as {
+  from orders
+  where o_totalprice > 200000
+}
+from big
+join customer on c_custkey = o_custkey
+group by c_mktsegment
+agg n = _.count
+order by c_mktsegment
+""",
+    """
+WITH big AS (SELECT * FROM orders WHERE o_totalprice > 200000)
+SELECT c_mktsegment, count(*) AS n
+FROM big JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+# set ops
+q(
+    "set_ops",
+    """
+from customer
+where c_acctbal > 9000
+select key = c_custkey
+concat {
+  from supplier
+  where s_acctbal > 9000
+  select key = s_suppkey
+}
+group by key
+agg n = _.count
+order by key
+limit 100
+""",
+    """
+SELECT key, count(*) AS n FROM (
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT s_suppkey AS key FROM supplier WHERE s_acctbal > 9000
+) t
+GROUP BY key ORDER BY key LIMIT 100
+""",
+)
+
+q(
+    "intersect_except",
+    """
+from orders
+select k = o_custkey
+intersect {
+  from customer
+  where c_acctbal < 0
+  select k = c_custkey
+}
+order by k
+""",
+    """
+SELECT o_custkey AS k FROM orders
+INTERSECT
+SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+ORDER BY k
+""",
+)
+
+# values / inline tables / dedup / count
+q(
+    "values_inline",
+    """
+from [
+  [1, 'a'], [2, 'b'], [2, 'b'], [3, 'c'],
+] as t(id, tag)
+dedup
+order by id
+""",
+    """
+SELECT DISTINCT id, tag FROM (VALUES (1, 'a'), (2, 'b'), (2, 'b'), (3, 'c')) t(id, tag)
+ORDER BY id
+""",
+)
+
+q(
+    "bare_count",
+    """
+from lineitem
+where l_returnflag = 'R'
+count
+""",
+    """
+SELECT count(*) AS count FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+
+# pivot (conditional-agg rewrite on both engines)
+q(
+    "pivot_status",
+    """
+from orders
+pivot on o_orderstatus in ('F', 'O', 'P')
+group by o_orderpriority
+agg _.count
+order by o_orderpriority
+""",
+    """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# unpivot
+q(
+    "unpivot_part",
+    """
+from part
+where p_partkey <= 50
+select p_partkey, size_d = p_size::double, price_d = p_retailprice::double
+unpivot metric_value for metric_name in (size_d, price_d)
+order by p_partkey, metric_name
+""",
+    """
+SELECT p_partkey, metric_name, metric_value FROM (
+  SELECT p_partkey, 'size_d' AS metric_name, CAST(p_size AS DOUBLE) AS metric_value FROM part WHERE p_partkey <= 50
+  UNION ALL
+  SELECT p_partkey, 'price_d' AS metric_name, CAST(p_retailprice AS DOUBLE) AS metric_value FROM part WHERE p_partkey <= 50
+) t
+ORDER BY p_partkey, metric_name
+""",
+)
+
+# asof join (events value as-of each order date, per synthetic key join)
+q(
+    "asof_join_events",
+    """
+from orders
+where o_orderkey <= 2000
+asof join {
+  from events
+  where user_id <= 100
+  select e_user = user_id, e_ts = ts, e_value = value
+} on e_user = o_custkey and e_ts <= o_orderdate
+select o_orderkey, o_custkey, e_ts, e_value
+order by o_orderkey
+""",
+    """
+SELECT o_orderkey, o_custkey, e_ts, e_value
+FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) o
+ASOF JOIN (
+  SELECT user_id AS e_user, ts AS e_ts, value AS e_value
+  FROM events WHERE user_id <= 100
+) e ON e.e_user = o.o_custkey AND e.e_ts <= o.o_orderdate
+ORDER BY o_orderkey
+""",
+)
+
+# arrays / structs / 1-origin indexing / lambdas
+q(
+    "array_ops",
+    """
+from nation
+select
+  n_nationkey,
+  arr = [n_nationkey, n_regionkey, 42],
+  first_elem = [n_nationkey, n_regionkey][1],
+  doubled = transform([1, 2, 3], x -> x * n_nationkey)
+order by n_nationkey
+limit 10
+""",
+    """
+SELECT
+  n_nationkey,
+  [n_nationkey, n_regionkey, 42] AS arr,
+  [n_nationkey, n_regionkey][1] AS first_elem,
+  list_transform([1, 2, 3], x -> x * n_nationkey) AS doubled
+FROM nation
+ORDER BY n_nationkey
+LIMIT 10
+""",
+)
+
+# model + partial query composition (language layer)
+q(
+    "model_composition",
+    """
+model high_value = {
+  from orders
+  where o_totalprice > 150000
+}
+def by_priority = group by o_orderpriority | agg n = _.count, avg_price = (o_totalprice::decimal(18,2).sum::double / _.count)::double
+
+from high_value | by_priority
+order by o_orderpriority
+""",
+    """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price
+FROM orders
+WHERE o_totalprice > 150000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# sample — count-stable reservoir (rows-only oracle: values nondeterministic)
+q(
+    "sample_reservoir",
+    """
+from lineitem
+sample reservoir(100)
+count
+""",
+    """
+SELECT CAST(100 AS BIGINT) AS count
+""",
+)
+
+# distinct projection
+q(
+    "select_distinct",
+    """
+from lineitem
+select distinct l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""",
+    """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+# is null / null equality sugar / coalesce
+q(
+    "null_handling",
+    """
+from customer
+left join orders on c_custkey = o_custkey
+where o_orderkey = null
+select c_custkey, flag = o_orderkey.or_else(-1)
+order by c_custkey
+""",
+    """
+SELECT c_custkey, coalesce(o_orderkey, -1) AS flag
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IS NULL
+ORDER BY c_custkey
+""",
+)
+
+# JSON extraction from string column (events.props)
+q(
+    "json_extract",
+    """
+from events
+where user_id <= 30
+select
+  event_id,
+  device = json_extract_string(props, '$.device')
+order by event_id
+limit 200
+""",
+    """
+SELECT event_id, json_extract_string(props, '$.device') AS device
+FROM events
+WHERE user_id <= 30
+ORDER BY event_id
+LIMIT 200
+""",
+)
