@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship TPC-H Q1 via the wvlet_spark engine at sf0.001
+queries()      — every implemented operator as (spark, sf_dir) -> DataFrame
+oracle_sql()   — hand-written DuckDB ANSI SQL for each query
+
+Most queries run wvlet text through the engine (parser -> analyzer ->
+Spark SQL -> Catalyst); extension operators (dedup / similarity / text
+analysis) call the native PySpark operator modules directly.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+_SESSIONS: dict[tuple[int, str], object] = {}
+
+
+def _ws(spark: SparkSession, sf_dir: str):
+    """One WvletSession per (spark, sf_dir) — registers <table> temp views."""
+    from wvlet_spark import WvletSession
+
+    key = (id(spark), sf_dir)
+    if key not in _SESSIONS:
+        _SESSIONS[key] = WvletSession(spark, table_dir=sf_dir, test_mode=False)
+    return _SESSIONS[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from wvlet_spark.suite import SUITE
+
+    ws = _ws(spark, "/root/testdata/sf0.001")
+    return ws.run(SUITE["tpch_q1"][0])
+
+
+def _suite_query(wv_text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ws(spark, sf_dir).run(wv_text)
+
+    return fn
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wvlet_spark.suite import SUITE
+    from wvlet_spark.ops import entry_queries as ext_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for name, (wv, _osql) in SUITE.items():
+        out[name] = _suite_query(wv)
+    out.update(ext_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wvlet_spark.suite import SUITE
+    from wvlet_spark.ops import entry_oracles as ext_oracles
+
+    out: dict[str, str] = {}
+    for name, (_wv, osql) in SUITE.items():
+        if osql is not None:
+            out[name] = osql
+    out.update(ext_oracles())
+    return out

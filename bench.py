@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall time of one full pass over the headline query set
+(median of 3 passes per query, excluding Spark/session startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+HEADLINE = [
+    # engine-compiled wvlet queries (name -> from suite)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10_like",
+    "in_subquery", "exists_subquery", "window_rank", "having_filter",
+    "agg_sugar", "date_funcs", "with_cte", "pivot_status",
+    # native extension operators
+    "ext_exact_dedup", "ext_minhash_pairs", "ext_cosine_topk",
+    "ext_language_id", "ext_quality_score", "ext_token_stats",
+]
+
+REPEATS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .appName("wvlet_spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wvlet_spark import WvletSession
+    from wvlet_spark.ops import entry_queries
+    from wvlet_spark.suite import SUITE
+
+    ws = WvletSession(spark, table_dir=sf_dir, test_mode=False)
+    ext = entry_queries()
+
+    def run_once(name: str) -> None:
+        if name in SUITE:
+            df = ws.run(SUITE[name][0])
+        else:
+            df = ext[name](spark, sf_dir)
+        # count() forces full execution without driver-side row transfer
+        df.count()
+
+    # warm-up: JVM/codegen + file footers (one pass, untimed)
+    for name in HEADLINE:
+        run_once(name)
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run_once(name)
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "repeats": REPEATS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

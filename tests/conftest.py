@@ -10,12 +10,16 @@ SF_SMALL = os.environ.get("WVLET_TEST_SF_SMALL", "/root/testdata/sf0.001")
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="wv_warehouse_")
     s = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.warehouse.dir", warehouse)
         .appName("wvlet_spark-tests")
         .getOrCreate()
     )

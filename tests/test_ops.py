@@ -1,0 +1,92 @@
+"""Extension operators: oracle checks where expressible, semantic checks
+otherwise (deterministic counts, known-duplicate detection)."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from wvlet_spark.oracle import compare
+from wvlet_spark.ops import entry_oracles, entry_queries
+
+QUERIES = entry_queries()
+ORACLES = entry_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_ext_entry(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    if name in ORACLES:
+        good, msg = compare(df, duck, ORACLES[name])
+        assert good, f"{name}: {msg}"
+    else:
+        assert df.count() >= 0
+
+
+def test_minhash_finds_planted_duplicate(spark):
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the hunter sleeps at home"
+    )
+    near = base.replace("green", "dark")  # one-word change
+    other = "completely different content about spark query engines and shuffles " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = minhash_near_dup_pairs(df, num_hashes=64, bands=16, shingle_k=3,
+                                   threshold=0.3).collect()
+    assert any(p.id_a == 1 and p.id_b == 2 for p in pairs)
+    assert not any(p.id_b == 3 or p.id_a == 3 for p in pairs)
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    from wvlet_spark.ops.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "hello world foo bar"), (3, "zzz qqq ppp")],
+        ["doc_id", "text"],
+    )
+    pairs = {(p.id_a, p.id_b): p.hamming for p in simhash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_brute_force_topk_exact(spark):
+    from wvlet_spark.ops.similarity import brute_force_topk
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=1).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_lsh_recall_against_brute_force(spark):
+    """LSH recall on clustered data (the testdata embeddings are
+    near-orthogonal — no similar pairs exist — so recall is measured on a
+    synthetic clustered corpus where true neighbors exist)."""
+    import numpy as np
+
+    from wvlet_spark.ops.similarity import brute_force_topk, lsh_bucket_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((5, 32)) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 5]
+        rows.append((i, (c + rng.standard_normal(32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = centers[0].tolist()
+    exact = {r.vec_id for r in brute_force_topk(df, q, k=10).collect()}
+    approx = {r.vec_id for r in lsh_bucket_topk(df, q, k=10, planes=6, multiprobe=3).collect()}
+    assert len(exact & approx) >= 6
+
+
+def test_multimodal_features_shape(spark):
+    from wvlet_spark.ops.multimodal import decode_image_features, with_binary_payload
+    from wvlet_spark.session import read_parquet_robust
+
+    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet").limit(20)
+    out = decode_image_features(with_binary_payload(docs)).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-6  # normalized histogram

@@ -1,0 +1,214 @@
+"""Deduplication operators for large text corpora.
+
+All operators are pure DataFrame expressions (whole-stage codegen) and use
+LSH banding to avoid O(n^2) comparisons — the shape that survives 100 TB:
+
+- exact_dedup:        hash -> groupBy (one shuffle on the hash)
+- minhash:            per-row signature (map-only) -> band explode ->
+                      bucket groupBy -> within-bucket pair join (candidates
+                      only) -> exact-verify
+- simhash:            per-row 64-bit signature (map-only) -> band buckets
+- ngram_jaccard:      exact Jaccard verification on candidate pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _shingles(text_col: str, k: int):
+    """Word k-shingles as an array column (JVM-side, no UDF)."""
+    w = _tokens(text_col)
+    n = F.size(w)
+    return F.when(n >= k,
+                  F.transform(F.sequence(F.lit(1), n - k + 1),
+                              lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+                  ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep one representative row (min id) per distinct text.
+    Single shuffle keyed on a 128-bit hash, not the full text — at scale the
+    shuffle carries 16 bytes + id instead of documents."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize \
+        else F.col(text_col)
+    h = F.md5(norm)
+    keep = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+    return keep.join(df, on=id_col, how="inner").drop("__h")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
+    """MinHash signature per document: sig[j] = min over shingles of
+    xxhash64(shingle, j).  Map-only; signatures are num_hashes longs."""
+    sh = _shingles(text_col, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+                           threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    bands buckets of r = num_hashes/bands rows each; probability a pair with
+    Jaccard j collides in >=1 band is 1-(1-j^r)^bands.  Candidates are
+    verified by estimated Jaccard = fraction of matching signature slots.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        "minhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("minhash", b * r + 1, r)))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.minhash").alias("sig_a"),
+            F.col("r.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # est_jaccard = matching signature slots / num_hashes
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: majority vote of token-hash bits,
+    weighted by term frequency — all JVM expressions (aggregate/zip_with).
+    Bit positions are unrolled statically (shift amounts must be literals)."""
+    tokens = _tokens(text_col)
+    counters = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1)).cast("long")
+                for b in range(bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    tmp = df.select(F.col(id_col), counters.alias("__cnt"))
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        # signed-long bit values: bit 63 is the sign bit
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at("__cnt", b + 1) > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return tmp.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           band_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any 16-bit band of their
+    simhash (catches all pairs with hamming distance <= 3 for 4 bands).
+    Returns (id_a, id_b, hamming)."""
+    nbands = 64 // band_bits
+    sh = simhash(df, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("bucket"),
+        )
+        for b in range(nbands)
+    ]
+    banded = sh.select(
+        id_col, "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    l, r_ = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r_,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, block_col: str | None = None,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs inside a blocking key
+    (default: same first token) — the verify stage after LSH candidates,
+    or standalone blocked dedup. Returns (id_a, id_b, jaccard)."""
+    grams = F.array_distinct(_shingles(text_col, n))
+    block = F.col(block_col) if block_col else F.element_at(_tokens(text_col), 1)
+    g = df.select(F.col(id_col), grams.alias("g"), block.alias("blk"))
+    l, r_ = g.alias("l"), g.alias("r")
+    pairs = l.join(
+        r_,
+        on=[F.col("l.blk") == F.col("r.blk"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")],
+    )
+    inter = F.size(F.array_intersect(F.col("l.g"), F.col("r.g")))
+    union = F.size(F.array_union(F.col("l.g"), F.col("r.g")))
+    jac = inter / union
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

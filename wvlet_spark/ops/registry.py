@@ -1,0 +1,260 @@
+"""Driver-contract entries for the extension operators.
+
+Each query is a (spark, sf_dir) -> DataFrame callable over the testdata
+`documents` / `embeddings` tables.  Where the computation is expressible in
+portable SQL, a hand-written DuckDB oracle accompanies it; hash-based ops
+(xxhash64 signatures) have no DuckDB equivalent and get the driver's
+weaker rows-only check — their row counts are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    from wvlet_spark.session import read_parquet_robust
+
+    return read_parquet_robust(spark, f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    from wvlet_spark.session import read_parquet_robust
+
+    return read_parquet_robust(spark, f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    from wvlet_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark, sf_dir))
+    return out.select("doc_id", "dup_count", "lang", "source").orderBy("doc_id")
+
+
+O_EXACT_DEDUP = r"""
+WITH h AS (
+  SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS hh,
+         min(doc_id) AS doc_id, count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+SELECT h.doc_id, h.dup_count, d.lang, d.source
+FROM h JOIN documents d ON h.doc_id = d.doc_id
+ORDER BY h.doc_id
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs
+
+    out = minhash_near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")) \
+        .orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from wvlet_spark.ops.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_docs(spark, sf_dir))
+    return out.filter(F.col("hamming") <= 6).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from wvlet_spark.ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, block_col="source", threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")) \
+        .orderBy("id_a", "id_b")
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the all-ones query vector
+    (dimension-agnostic so the oracle needs no literal array)."""
+    emb = _embs(spark, sf_dir)
+    s = F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double"))
+    nrm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                             lambda a, x: a + x.cast("double") * x.cast("double")))
+    dim = F.size("embedding")
+    cos = s / (nrm * F.sqrt(dim.cast("double")))
+    return (
+        emb.select("vec_id", F.round(cos, 5).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+O_COSINE_TOPK = """
+SELECT vec_id,
+       round(list_sum(CAST(embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(CAST(len(embedding) AS DOUBLE))), 5) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    from wvlet_spark.ops.similarity import lsh_bucket_topk
+
+    emb = _embs(spark, sf_dir)
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    out = lsh_bucket_topk(emb, qv, k=10, planes=6, multiprobe=3)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_language_id(spark, sf_dir):
+    from wvlet_spark.ops.text import language_id
+
+    out = language_id(_docs(spark, sf_dir))
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n")).orderBy("lang_pred")
+
+
+def _stop_sql(lang: str) -> str:
+    from wvlet_spark.ops.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _langid_oracle() -> str:
+    score = (
+        "len(list_intersect(list_distinct("
+        "string_split_regex(lower(trim(text)), '\\s+')), {lst}))"
+    )
+    s_en = score.format(lst=_stop_sql("en"))
+    s_de = score.format(lst=_stop_sql("de"))
+    s_fr = score.format(lst=_stop_sql("fr"))
+    s_es = score.format(lst=_stop_sql("es"))
+    return f"""
+WITH scored AS (
+  SELECT {s_en} AS s_en, {s_de} AS s_de, {s_fr} AS s_fr, {s_es} AS s_es
+  FROM documents
+), labeled AS (
+  SELECT CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es' END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, count(*) AS n FROM labeled GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    from wvlet_spark.ops.text import token_stats
+
+    out = token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "n_chars_computed", "n_bpeish",
+        F.round("avg_word_len", 5).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+O_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+       length(text) AS n_chars_computed,
+       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]', 0)) AS n_bpeish,
+       round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(lower(trim(text)), '\s+')), 5) AS avg_word_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    from wvlet_spark.ops.text import quality_score
+
+    out = quality_score(_docs(spark, sf_dir))
+    return out.select("doc_id", F.round("quality", 5).alias("quality")).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    en = _stop_sql("en")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), {en})) AS DOUBLE) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    least(n / 500.0, 1.0) * 0.3
+    + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.3
+    + (1 - (CASE WHEN n > 0 THEN least(punct / n * 10.0, 1.0) ELSE 0.0 END)) * 0.1
+    + least(stop_hits / 5.0, 1.0) * 0.3, 5) AS quality
+FROM t
+ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from wvlet_spark.ops.text import document_fingerprint
+
+    out = document_fingerprint(_docs(spark, sf_dir))
+    return out.select("doc_id", "fingerprint_md5").orderBy("doc_id")
+
+
+O_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from wvlet_spark.ops.multimodal import decode_image_features, with_binary_payload
+
+    df = with_binary_payload(_docs(spark, sf_dir))
+    out = decode_image_features(df)
+    return out.select(
+        "doc_id", "n_bytes", "format", F.size("features").alias("n_features")
+    ).orderBy("doc_id")
+
+
+O_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'fake/rgb8' AS format,
+       4 + 4 AS n_features
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def entry_queries() -> dict:
+    return {
+        "ext_exact_dedup": q_exact_dedup,
+        "ext_minhash_pairs": q_minhash_pairs,
+        "ext_simhash_pairs": q_simhash_pairs,
+        "ext_ngram_jaccard": q_ngram_jaccard,
+        "ext_cosine_topk": q_cosine_topk,
+        "ext_lsh_topk": q_lsh_topk,
+        "ext_language_id": q_language_id,
+        "ext_token_stats": q_token_stats,
+        "ext_quality_score": q_quality_score,
+        "ext_fingerprint": q_fingerprint,
+        "ext_multimodal_decode": q_multimodal_decode,
+    }
+
+
+def entry_oracles() -> dict:
+    return {
+        "ext_exact_dedup": O_EXACT_DEDUP,
+        "ext_cosine_topk": O_COSINE_TOPK,
+        "ext_language_id": _langid_oracle(),
+        "ext_token_stats": O_TOKEN_STATS,
+        "ext_quality_score": _quality_oracle(),
+        "ext_fingerprint": O_FINGERPRINT,
+        "ext_multimodal_decode": O_MULTIMODAL,
+        # ext_minhash_pairs / ext_simhash_pairs / ext_ngram_jaccard /
+        # ext_lsh_topk: xxhash64/LSH internals have no DuckDB equivalent —
+        # rows-only check (deterministic row counts)
+    }

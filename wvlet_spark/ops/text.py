@@ -1,0 +1,91 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  Pure column expressions (codegen, no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "una", "un", "de", "en", "por", "que"],
+}
+
+
+def _tokens(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+_LANG_PRIORITY = {"en": 4, "de": 3, "fr": 2, "es": 1}
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: stopword hit-count per language; argmax with
+    fixed priority en>de>fr>es on ties.
+    (A real model would be a Pandas UDF; the heuristic keeps this JVM-only.)"""
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        lit = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(F.array_distinct(toks), lit)).alias("score"),
+                F.lit(_LANG_PRIORITY[lang]).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    return df.withColumn(out_col, pred)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate + char count.
+    The BPE-ish pattern is RE2-safe (no lookaround) so the DuckDB oracle can
+    run the identical regex."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    # BPE-ish word pieces: letter runs (<=4 chars each piece), digits, punct
+    bpe_pieces = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '[A-Za-z]{{1,4}}|[0-9]|[^\\\\sA-Za-z0-9]', 0)"
+    ))
+    non_space = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    avg_word_len = F.when(n_tokens > 0, non_space / n_tokens).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_computed", n_chars)
+        .withColumn("n_bpeish", bpe_pieces)
+        .withColumn("avg_word_len", avg_word_len.cast("double"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Composite quality heuristic in [0,1]: length band, alpha ratio,
+    punctuation ratio, stopword presence — the usual pretraining filters."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    toks = _tokens(t)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en)).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_penalty = F.when(n > 0, F.least(punct / n * 10.0, F.lit(1.0))).otherwise(F.lit(0.0))
+    stop_score = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    score = (len_score * 0.3 + alpha_ratio * 0.3 + (1 - punct_penalty) * 0.1 + stop_score * 0.3)
+    return df.withColumn(out_col, score.cast("double"))
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text",
+                         out_col: str = "fingerprint") -> DataFrame:
+    """Stable 64-bit content fingerprint: xxhash64 of the
+    whitespace-normalized lowercase text (order-sensitive rolling identity),
+    plus a 128-bit md5 hex for cross-system comparison."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.withColumn(out_col, F.xxhash64(norm))
+        .withColumn("fingerprint_md5", F.md5(norm))
+    )

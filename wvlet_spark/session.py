@@ -230,6 +230,7 @@ class WvletSession:
             if stmt.is_file:
                 self._write_file(df, stmt.target, mode="overwrite")
             else:
+                self.spark.sql(f"DROP TABLE IF EXISTS {stmt.target}")
                 df.write.mode("overwrite").saveAsTable(stmt.target)
                 self._schema_cache[stmt.target] = df.columns
             return None
