@@ -496,6 +496,13 @@ class SqlGenerator:
         return b
 
     def _select_item(self, it: N.NamedExpr, group_keys=None) -> str:
+        # a bare identifier naming an aliased group key resolves to that
+        # key's expression (`group by y = f(x) select y, ...`)
+        if group_keys and isinstance(it.expr, N.Ident):
+            for k in group_keys:
+                if k.alias and k.alias == it.expr.name:
+                    ksql = self.expr(k.expr)
+                    return f"{ksql} AS {self.q(it.alias or k.alias)}"
         sql = self.expr(it.expr)
         name = it.alias
         if name:

@@ -49,11 +49,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
     """MinHash signature per document: sig[j] = min over shingles of
-    xxhash64(shingle, j).  Map-only; signatures are num_hashes longs."""
+    xxhash64(shingle_hash, j).  Map-only; signatures are num_hashes longs.
+
+    Shape matters enormously here: the shingle strings must be built and
+    hashed exactly ONCE per row.  Putting the shingle expression inside a
+    per-j lambda (or behind a projection alias, which CollapseProject
+    inlines right back) re-builds every shingle string num_hashes times in
+    the interpreted higher-order lambda — measured ~1000x slower.  Using
+    F.aggregate with the hashed-shingle array as the *input* argument pins
+    a single evaluation per row no matter how Catalyst rewrites the plan:
+    one fold over shingles, updating all num_hashes running minima via
+    long-only arithmetic."""
     sh = _shingles(text_col, shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    sh_hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        sh_hashed,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(h, F.lit(j)) for j in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return df.select(F.col(id_col), sig.alias("minhash"))
 
