@@ -228,7 +228,7 @@ class Parser:
                 st.sources.append(self.expect_ident())
         if self.at_kw("if"):
             self.next()
-            st.condition = self.parse_expr()
+            st.condition = self.parse_trigger_expr()
         if self.at_kw("depends"):
             self.next()
             self.expect_kw("on")
@@ -275,6 +275,37 @@ class Parser:
             return st
         st.body = self.parse_brace_query()
         return st
+
+    def parse_trigger_expr(self) -> N.Expr:
+        """Stage trigger grammar: `a.failed and (b.done or not c.skipped)`.
+        Deliberately restricted — a full parse_expr would swallow the
+        stage-body `=` as a comparison operator."""
+        left = self.parse_trigger_and()
+        while self.at_kw("or"):
+            self.next()
+            left = N.Or(left, self.parse_trigger_and())
+        return left
+
+    def parse_trigger_and(self) -> N.Expr:
+        left = self.parse_trigger_atom()
+        while self.at_kw("and"):
+            self.next()
+            left = N.And(left, self.parse_trigger_atom())
+        return left
+
+    def parse_trigger_atom(self) -> N.Expr:
+        if self.at_kw("not"):
+            self.next()
+            return N.Not(self.parse_trigger_atom())
+        if self.at_op("("):
+            self.next()
+            e = self.parse_trigger_expr()
+            self.expect_op(")")
+            return e
+        name = self.expect_ident()
+        self.expect_op(".")
+        prop = self.expect_ident()
+        return N.Ref(N.Ident(name), prop)
 
     def parse_flow_route(self) -> N.FlowRoute:
         self.expect_kw("route")

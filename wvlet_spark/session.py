@@ -39,6 +39,8 @@ class WvletSession:
         self._file_views: dict[str, str] = {}
         self._view_n = 0
         self._watermarks: dict[str, object] = {}
+        self._flows: dict[str, N.FlowDef] = {}
+        self._flow_executor = None
         self.last_test_results: list[tuple[bool, str]] = []
         if table_dir and spark is not None:
             self.register_parquet_dir(table_dir)
@@ -254,7 +256,55 @@ class WvletSession:
                 return self.spark.sql(f"EXPLAIN {stmt.sql}")
             sql = self._gen_sql(stmt.body, SPARK)
             return self.spark.sql(f"EXPLAIN FORMATTED {sql}")
+        if isinstance(stmt, N.FlowDef):
+            self._flows[stmt.name] = stmt
+            return None
+        if isinstance(stmt, N.RunFlowStmt):
+            return self._run_flow(stmt)
         raise CompileError(f"cannot execute statement {type(stmt).__name__}")
+
+    # ------------------------------------------------------------- flows
+
+    @property
+    def flow_executor(self):
+        if self._flow_executor is None:
+            from wvlet_spark.flows import FlowExecutor
+
+            self._flow_executor = FlowExecutor(self)
+        return self._flow_executor
+
+    def _run_flow(self, stmt: N.RunFlowStmt):
+        if stmt.name not in self._flows:
+            raise CompileError(f"undefined flow {stmt.name!r}")
+        flow = self._flows[stmt.name]
+        ex = self.flow_executor
+        args = {k: ex._const(v, None) for k, v in stmt.args.items()}
+        summary = ex.run(flow, args, resume_run_id=stmt.resume_run_id)
+        from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                       StructType)
+
+        schema = StructType([
+            StructField("stage", StringType()),
+            StructField("state", StringType()),
+            StructField("attempts", IntegerType()),
+            StructField("error", StringType()),
+            StructField("run_id", StringType()),
+        ])
+        rows = [(s["stage"], s["state"], s["attempts"], s["error"], s["run_id"])
+                for s in summary]
+        return self.spark.createDataFrame(rows, schema)
+
+    def expr_sql(self, e: N.Expr) -> str:
+        """Render one expression to Spark-dialect SQL text."""
+        return SqlGenerator(self._make_ctx(SPARK)).expr(e)
+
+    def df_for_relation(self, rel: N.Relation, params: dict | None = None):
+        """Lower a relation to a DataFrame, with flow/model parameters
+        substituted for same-named identifiers (params shadow columns,
+        matching the reference's model-arg binding)."""
+        if params:
+            rel = _substitute_idents(rel, params)
+        return self.sql_df(rel)
 
     def sql_df(self, rel: N.Relation):
         # run debug side-channels eagerly (they print, input passes through)
@@ -322,6 +372,34 @@ class WvletSession:
     def oracle_sql(self, text: str) -> str:
         """DuckDB-dialect SQL for the same query (for cross-checking)."""
         return self.compile_to_sql(text, dialect=DUCKDB)
+
+
+def _substitute_idents(rel: N.Relation, params: dict):
+    """Deep-copy rewrite replacing Ident(name) with a literal for every
+    bound parameter name."""
+    import copy
+
+    def lit(v):
+        kind = ("null" if v is None else "int" if isinstance(v, bool) is False
+                and isinstance(v, int) else "float" if isinstance(v, float)
+                else "string")
+        return N.Literal(v, kind)
+
+    def walk(node):
+        if isinstance(node, N.Ident) and node.name in params:
+            return lit(params[node.name])
+        if node is None or not hasattr(node, "__dataclass_fields__"):
+            return node
+        node = copy.copy(node)
+        for f in node.__dataclass_fields__:
+            v = getattr(node, f)
+            if isinstance(v, list):
+                setattr(node, f, [walk(i) if hasattr(i, "__dataclass_fields__") else i for i in v])
+            elif hasattr(v, "__dataclass_fields__"):
+                setattr(node, f, walk(v))
+        return node
+
+    return walk(rel)
 
 
 def compile_to_sql(text: str, dialect: str = SPARK) -> str:

@@ -1317,3 +1317,28 @@ GROUP BY 1
 ORDER BY 1
 """,
 )
+
+# ---------------------------------------------------------------------------
+# flow DSL (SURVEY §2.9) — DAG of stages executed by the FlowExecutor;
+# summary relation (stage, state, attempts, error, run_id).  No SQL oracle:
+# orchestration state is not expressible as a DuckDB query (driver records
+# the weaker rows-only check).
+# ---------------------------------------------------------------------------
+
+q(
+    "flow_dag_run",
+    """
+flow suite_etl = {
+  stage extract = { from orders where o_orderstatus = 'F' }
+  stage enrich from extract = {
+    from extract, customer
+    where o_custkey = c_custkey
+    group by c_mktsegment
+    agg n = _.count
+  }
+  stage audit if extract.done = { from extract count }
+}
+run flow suite_etl
+""",
+    None,
+)
