@@ -188,7 +188,7 @@ class SqlGenerator:
         if b.where:
             parts.append("WHERE " + " AND ".join(f"({w})" for w in b.where))
         if b.group_keys is not None and b.group_keys != []:
-            keys = [self.expr(k.expr) for k in b.group_keys]
+            keys = [self._group_key_sql(k.expr) for k in b.group_keys]
             parts.append("GROUP BY " + ", ".join(keys))
         elif b.group_keys == []:
             pass  # global aggregation — no GROUP BY clause
@@ -447,10 +447,9 @@ class SqlGenerator:
             key_items: list[str] = []
             key_names: list[str] = []
             for k in b.group_keys:
-                ksql = self.expr(k.expr)
-                kname = k.alias or self._derived_name(k.expr)
-                key_names.append(kname)
-                key_items.append(f"{ksql} AS {self.q(kname)}" if k.alias else ksql)
+                for ksql, kname in self._group_key_columns(k):
+                    key_names.append(kname)
+                    key_items.append(ksql)
             sel_items: list[str] = []
             names: list[str] = []
             if is_agg_op:
@@ -494,6 +493,38 @@ class SqlGenerator:
         b.distinct = getattr(rel, "distinct", False)
         b.columns = names
         return b
+
+    _GROUP_MODIFIERS = ("cube", "rollup", "grouping_sets")
+
+    def _group_key_sql(self, e: N.Expr) -> str:
+        """GROUP BY item; multi-grouping modifiers render as SQL keywords:
+        cube(a,b) -> CUBE(a, b), grouping_sets((a,b),(a)) -> GROUPING SETS
+        ((a, b), (a)).  Both Spark and DuckDB accept these forms."""
+        if isinstance(e, N.FunctionApply) and e.name.lower() in self._GROUP_MODIFIERS:
+            args = ", ".join(self.expr(a) for a in e.args)
+            kw = {"cube": "CUBE", "rollup": "ROLLUP",
+                  "grouping_sets": "GROUPING SETS"}[e.name.lower()]
+            return f"{kw} ({args})"
+        return self.expr(e)
+
+    def _group_key_columns(self, k: N.NamedExpr) -> list[tuple[str, str]]:
+        """(select_sql, name) pairs a group key contributes to the output.
+        A cube/rollup/grouping-sets key contributes each underlying column."""
+        e = k.expr
+        if isinstance(e, N.FunctionApply) and e.name.lower() in self._GROUP_MODIFIERS:
+            out: list[tuple[str, str]] = []
+            seen: set[str] = set()
+            for a in e.args:
+                cols = a.items if isinstance(a, N.RowCtor) else [a]
+                for c in cols:
+                    name = self._derived_name(c)
+                    if name not in seen:
+                        seen.add(name)
+                        out.append((self.expr(c), name))
+            return out
+        name = k.alias or self._derived_name(e)
+        sql = self.expr(e)
+        return [(f"{sql} AS {self.q(name)}" if k.alias else sql, name)]
 
     def _select_item(self, it: N.NamedExpr, group_keys=None) -> str:
         # a bare identifier naming an aliased group key resolves to that

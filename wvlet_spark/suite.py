@@ -1342,3 +1342,72 @@ run flow suite_etl
 """,
     None,
 )
+
+# multi-dimensional grouping (SURVEY §2.4: grouping sets / cube / rollup)
+# + unnest lateral expansion (SURVEY §2.3)
+
+q(
+    "rollup_status",
+    """
+from orders
+group by rollup(o_orderstatus, o_orderpriority)
+agg n = _.count, total = o_totalprice::decimal(18,2).sum::decimal(38,2)
+order by o_orderstatus nulls last, o_orderpriority nulls last
+""",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""",
+)
+
+q(
+    "cube_flags",
+    """
+from lineitem
+group by cube(l_returnflag, l_linestatus)
+agg n = _.count
+order by l_returnflag nulls last, l_linestatus nulls last
+""",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""",
+)
+
+q(
+    "grouping_sets_mix",
+    """
+from orders
+group by grouping_sets((o_orderstatus, o_orderpriority), (o_orderstatus))
+agg n = _.count
+order by o_orderstatus, o_orderpriority nulls last
+""",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), o_orderstatus)
+ORDER BY o_orderstatus, o_orderpriority NULLS LAST
+""",
+)
+
+q(
+    "unnest_cross_join",
+    """
+from nation
+cross join unnest([1, 2, 3]) as t(x)
+where n_nationkey <= 2
+select n_nationkey, n_name, x
+order by n_nationkey, x
+""",
+    """
+SELECT n_nationkey, n_name, CAST(x AS BIGINT) AS x
+FROM nation CROSS JOIN unnest([1, 2, 3]) AS t(x)
+WHERE n_nationkey <= 2
+ORDER BY n_nationkey, x
+""",
+)
