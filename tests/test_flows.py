@@ -11,7 +11,13 @@ from tests.conftest import SF_SMALL
 def ws(spark):
     from wvlet_spark import WvletSession
 
-    return WvletSession(spark, table_dir=SF_SMALL, test_mode=False)
+    s = WvletSession(spark, table_dir=SF_SMALL, test_mode=False)
+    yield s
+    # re-point the shared temp views back at the oracle scale factor —
+    # other test modules share this SparkSession
+    from tests.conftest import SF_DIR
+
+    s.register_parquet_dir(SF_DIR)
 
 
 def states(df):

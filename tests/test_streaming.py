@@ -1,0 +1,99 @@
+"""Incremental subscribe() + Structured Streaming coverage (SURVEY §2.10)."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def ws(spark):
+    from wvlet_spark import WvletSession
+
+    s = WvletSession(spark, table_dir=SF_SMALL, test_mode=False)
+    yield s
+    # re-point the shared temp views back at the oracle scale factor —
+    # other test modules share this SparkSession
+    from tests.conftest import SF_DIR
+
+    s.register_parquet_dir(SF_DIR)
+
+
+def test_subscribe_watermark_slices(ws, spark):
+    """model.subscribe() reads only (wm, wm+window] per tick and advances
+    the watermark — the reference's documented incremental semantics."""
+    ws.run("model ev = { from events select event_id, ts, user_id }")
+    total = spark.table("events").count()
+
+    first = ws.run("from ev.subscribe(watermark_column='ts', window_size='12h') count")
+    n1 = first.collect()[0][0]
+    second = ws.run("from ev.subscribe(watermark_column='ts', window_size='12h') count")
+    n2 = second.collect()[0][0]
+    assert 0 < n1 < total
+    assert n2 > 0
+    # consecutive ticks see disjoint slices: watermark advanced
+    assert ws._watermarks, "watermark not stored"
+
+
+def test_subscribe_drains_to_empty(ws, spark):
+    ws.run("model ev2 = { from events select event_id, ts }")
+    seen = 0
+    for _ in range(200):
+        n = ws.run(
+            "from ev2.subscribe(watermark_column='ts', window_size='7d') count"
+        ).collect()[0][0]
+        seen += n
+        if n == 0:
+            break
+    assert seen == spark.table("events").count()
+
+
+def test_read_stream_windowed_agg(spark, tmp_path):
+    """Structured Streaming: file source -> watermark -> tumbling window agg
+    -> memory sink; counts must match the same batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import read_stream
+
+    src_dir = str(tmp_path / "events_stream")
+    events = read_parquet_robust(spark, f"{SF_SMALL}/events.parquet")
+    events.select("event_id", "ts", "event_type").write.parquet(src_dir)
+
+    stream = read_stream(spark, src_dir, watermark_column="ts", delay="1 hour")
+    agg = stream.groupBy(F.window("ts", "1 day"), "event_type").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window"]["start"], r["event_type"]): r["count"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    exp = {
+        (r["window"]["start"], r["event_type"]): r["count"]
+        for r in spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 day"), "event_type").count().collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_ngram_verify_after_lsh(spark):
+    """Compose: minhash LSH candidates -> exact n-gram Jaccard verify."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "sygma")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "totally unrelated words about query engines " * 3)],
+        ["doc_id", "text"],
+    )
+    cands = minhash_near_dup_pairs(df, num_hashes=64, bands=16, shingle_k=3,
+                                   threshold=0.2)
+    verified = ngram_jaccard_pairs(df, n=3, threshold=0.3, candidates=cands).collect()
+    assert any(p.id_a == 1 and p.id_b == 2 for p in verified)
+    assert all(3 not in (p.id_a, p.id_b) for p in verified)

@@ -505,6 +505,7 @@ class Subscribe(Relation):
     watermark_column: str | None = None
     window_size: str | None = None
     params: list[tuple[str, Expr]] = field(default_factory=list)
+    source_name: str | None = None   # stable watermark-store key (model/table name)
 
 
 @dataclass

@@ -270,11 +270,33 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, block_col: str | None = None,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs inside a blocking key
-    (default: same first token) — the verify stage after LSH candidates,
-    or standalone blocked dedup. Returns (id_a, id_b, jaccard)."""
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity. Returns (id_a, id_b, jaccard).
+
+    Pair generation, in order of scale-worthiness:
+    - candidates=(id_a, id_b) DataFrame: verify exactly those pairs — the
+      verify stage after minhash/simhash LSH (compose:
+      ngram_jaccard_pairs(df, candidates=minhash_near_dup_pairs(df, ...))).
+      Candidate count is LSH-bounded, never n².
+    - block_col: all pairs inside a blocking key — fine when blocks are
+      small and numerous; degenerates to n² inside a hot block.
+    - neither: blocks on the first token (cheap heuristic default).
+    """
     grams = F.array_distinct(_shingles(text_col, n))
+    if candidates is not None:
+        g = df.select(F.col(id_col), grams.alias("g"))
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(g.select(F.col(id_col).alias("id_a"), F.col("g").alias("__ga")), "id_a")
+            .join(g.select(F.col(id_col).alias("id_b"), F.col("g").alias("__gb")), "id_b")
+        )
+        inter = F.size(F.array_intersect("__ga", "__gb"))
+        union = F.size(F.array_union("__ga", "__gb"))
+        return (
+            pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     block = F.col(block_col) if block_col else F.element_at(_tokens(text_col), 1)
     g = df.select(F.col(id_col), grams.alias("g"), block.alias("blk"))
     l, r_ = g.alias("l"), g.alias("r")

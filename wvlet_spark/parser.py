@@ -631,7 +631,16 @@ class Parser:
                 args = self.parse_call_args(allow_named=True)
                 if name.split(".")[-1] == "subscribe":
                     base = name.rsplit(".", 1)[0]
-                    rel = N.Subscribe(N.ModelScan(base), params=[])
+                    rel = N.Subscribe(N.ModelScan(base), source_name=base)
+                    for a in args:
+                        if isinstance(a, N.NamedExpr) and a.alias:
+                            val = a.expr.value if isinstance(a.expr, N.Literal) else None
+                            if a.alias == "watermark_column":
+                                rel.watermark_column = val
+                            elif a.alias == "window_size":
+                                rel.window_size = val
+                            else:
+                                rel.params.append((a.alias, a.expr))
                 elif name == "unnest":
                     rel = N.TableFunctionCall(
                         name, [a.expr if isinstance(a, N.NamedExpr) else a for a in args]

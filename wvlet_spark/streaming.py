@@ -100,11 +100,14 @@ def subscribe_filter(session, node: N.Subscribe) -> N.Relation:
 
 
 def id_key(node: N.Subscribe) -> str:
+    if node.source_name:
+        return f"sub:{node.source_name}"
     child = node.child
     if isinstance(child, N.ModelScan):
         return f"model:{child.name}"
     if isinstance(child, N.TableRef):
         return f"table:{child.name}"
+    # object identity would differ across parses — never a stable key
     return f"plan:{id(child)}"
 
 

@@ -700,24 +700,24 @@ ORDER BY p_partkey, metric_name
 q(
     "asof_join_events",
     """
-from orders
-where o_orderkey <= 2000
+from events
+where event_type = 'purchase' and user_id <= 100
 asof join {
   from events
-  where user_id <= 100
-  select e_user = user_id, e_ts = ts, e_value = value
-} on e_user = o_custkey and e_ts <= o_orderdate
-select o_orderkey, o_custkey, e_ts, e_value
-order by o_orderkey
+  where event_type = 'view'
+  select v_user = user_id, v_ts = ts, v_id = event_id
+} on v_user = user_id and v_ts <= ts
+select event_id, user_id, ts, v_ts, v_id
+order by event_id
 """,
     """
-SELECT o_orderkey, o_custkey, e_ts, e_value
-FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) o
+SELECT event_id, user_id, ts, v_ts, v_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id <= 100) p
 ASOF JOIN (
-  SELECT user_id AS e_user, ts AS e_ts, value AS e_value
-  FROM events WHERE user_id <= 100
-) e ON e.e_user = o.o_custkey AND e.e_ts <= o.o_orderdate
-ORDER BY o_orderkey
+  SELECT user_id AS v_user, ts AS v_ts, event_id AS v_id
+  FROM events WHERE event_type = 'view'
+) v ON v.v_user = p.user_id AND v.v_ts <= p.ts
+ORDER BY event_id
 """,
 )
 
