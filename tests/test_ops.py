@@ -90,3 +90,35 @@ def test_multimodal_features_shape(spark):
     for r in out:
         assert len(r.features) == 8
         assert abs(sum(r.features) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_embedding_near_dup_exact_vs_oracle(spark):
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from wvlet_spark.ops.registry import O_EMBEDDING_DEDUP, q_embedding_dedup
+
+    got = {(r.id_a, r.id_b): r.cosine for r in q_embedding_dedup(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    exp = {(a, b): c for a, b, c in con.execute(O_EMBEDDING_DEDUP).fetchall()}
+    assert set(got) == set(exp)
+    assert all(abs(got[k] - exp[k]) < 1e-3 for k in got)
+    assert len(got) > 0
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """The LSH-bucketed variant must recover a planted near-duplicate pair."""
+    import numpy as np
+
+    from wvlet_spark.ops.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.05
+    rows = [(1, [float(x) for x in base]), (2, [float(x) for x in near])]
+    rows += [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(3, 60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, threshold=0.9, use_lsh=True, planes=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got

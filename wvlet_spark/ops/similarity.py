@@ -49,6 +49,44 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             use_lsh: bool = False, planes: int = 8,
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    use_lsh=False (exact baseline): self-join on id inequality — O(n²)
+    dot products, all JVM-side.  Right answer, only viable when one side
+    broadcasts.
+    use_lsh=True (scale path): random-hyperplane bucket equi-join first, so
+    only same-bucket pairs pay a dot product — recall depends on `planes`
+    (fewer planes = bigger buckets = higher recall, more compute).
+    """
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    if use_lsh:
+        dim = len(df.select(vec_col).first()[0])
+        v = rp_lsh_buckets(v, dim, planes, seed, "__v").withColumnRenamed("lsh_bucket", "__b")
+        join_on = [F.col("l.__b") == F.col("r.__b"),
+                   F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
+    else:
+        join_on = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
+    l, r_ = v.alias("l"), v.alias("r")
+    pairs = l.join(r_, on=join_on)
+    dot = F.aggregate(
+        F.zip_with(F.col("l.__v"), F.col("r.__v"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("l.__v")) * _norm(F.col("r.__v")))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((planes, dim))
