@@ -316,3 +316,57 @@ def test_save_and_read_table(ws):
     ws.run("from [[3, 'c']] as t(id, v)\nappend to wv_saved_t1")
     df = ws.run("from wv_saved_t1 count")
     assert df.collect()[0][0] == 3
+
+
+def test_insert_into_and_overwrite(ws, spark):
+    ws.run("from nation where n_regionkey = 0\nsave to ins_t")
+    n0 = spark.table("ins_t").count()
+    ws.run("insert into ins_t { from nation where n_regionkey = 1 }")
+    n1 = spark.table("ins_t").count()
+    exp = spark.sql("SELECT count(*) FROM nation WHERE n_regionkey IN (0,1)").collect()[0][0]
+    assert n1 == exp and n1 > n0
+    ws.run("insert overwrite ins_t { from nation where n_regionkey = 2 }")
+    assert spark.table("ins_t").count() == \
+        spark.sql("SELECT count(*) FROM nation WHERE n_regionkey = 2").collect()[0][0]
+    spark.sql("DROP TABLE IF EXISTS ins_t")
+
+
+def test_insert_with_partition_hints(ws, spark):
+    ws.run("insert into hint_t distribute by n_regionkey sort by n_nationkey { from nation }")
+    assert spark.table("hint_t").count() == spark.table("nation").count()
+    ws.run("insert into hint_t cluster by n_regionkey { from nation }")
+    assert spark.table("hint_t").count() == 2 * spark.table("nation").count()
+    spark.sql("DROP TABLE IF EXISTS hint_t")
+
+
+def test_insert_column_subset_fills_nulls(ws, spark):
+    ws.run("from nation select n_nationkey, n_name, n_regionkey\nsave to sub_t")
+    ws.run("insert into sub_t (n_nationkey, n_name) { from nation select n_nationkey + 100, n_name }")
+    rows = spark.sql("SELECT n_regionkey FROM sub_t WHERE n_nationkey >= 100").collect()
+    assert rows and all(r[0] is None for r in rows)
+    spark.sql("DROP TABLE IF EXISTS sub_t")
+
+
+def test_is_distinct_from(ws):
+    df = ws.run("""
+from [[1, 1], [2, null], [null, null]] as t(a, b)
+where a is distinct from b
+select a, b
+""")
+    rows = {(r[0], r[1]) for r in df.collect()}
+    assert rows == {(2, None)}
+
+
+def test_sample_variants_compile(ws):
+    # bernoulli percentage sampling executes; row count is probabilistic
+    n = ws.run("from lineitem sample 10%").count()
+    total = ws.run("from lineitem count").collect()[0][0]
+    assert 0 < n < total
+    # fixed-size reservoir
+    assert ws.run("from lineitem sample reservoir(50)").count() == 50
+
+
+def test_explain_returns_plan(ws):
+    df = ws.run("explain from nation where n_regionkey = 0 select n_name")
+    text = " ".join(str(r) for r in df.collect())
+    assert "Filter" in text or "plan" in text

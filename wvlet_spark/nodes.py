@@ -593,6 +593,20 @@ class DeleteStmt(Statement):
 
 
 @dataclass
+class InsertStmt(Statement):
+    """insert into / insert overwrite, with Hive-style partition-write
+    hints (reference: update.scala InsertInto/InsertOverwrite +
+    PartitionWriteMode HIVE_{CLUSTER,DISTRIBUTE,SORT}_BY)."""
+    target: str
+    body: Relation
+    columns: list[str] | None = None
+    overwrite: bool = False
+    cluster_by: list[str] = field(default_factory=list)
+    distribute_by: list[str] = field(default_factory=list)
+    sort_by: list[str] = field(default_factory=list)
+
+
+@dataclass
 class TruncateStmt(Statement):
     table: str
 

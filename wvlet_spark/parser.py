@@ -152,6 +152,8 @@ class Parser:
             return self.parse_flow_def()
         if w == "run" and self.at_kw("flow", offset=1):
             return self.parse_run_flow()
+        if w == "insert":
+            return self.parse_insert()
         # query forms: from / select / show / with
         rel, tests = self.parse_query()
         # save/append/delete were folded into pipe parsing; unwrap them
@@ -162,6 +164,46 @@ class Parser:
         if isinstance(rel, _DeleteMarker):
             return N.DeleteStmt(rel.child)
         return N.QueryStatement(rel, tests)
+
+    def parse_insert(self) -> N.InsertStmt:
+        """insert into t [(c1, c2)] [cluster by k | distribute by k [sort by s]] { query }
+        insert overwrite t { query }"""
+        self.expect_kw("insert")
+        overwrite = False
+        if self.at_kw("overwrite"):
+            self.next()
+            overwrite = True
+        else:
+            self.expect_kw("into")
+        target = self.parse_qualified_name()
+        columns = None
+        if self.at_op("("):
+            columns = self.parse_name_list_paren()
+        cluster_by: list[str] = []
+        distribute_by: list[str] = []
+        sort_by: list[str] = []
+        while True:
+            if self.at_kw("cluster") and self.at_kw("by", offset=1):
+                self.next(); self.next()
+                cluster_by = self._ident_list()
+            elif self.at_kw("distribute") and self.at_kw("by", offset=1):
+                self.next(); self.next()
+                distribute_by = self._ident_list()
+            elif self.at_kw("sort") and self.at_kw("by", offset=1):
+                self.next(); self.next()
+                sort_by = self._ident_list()
+            else:
+                break
+        body = self.parse_brace_query()
+        return N.InsertStmt(target, body, columns, overwrite,
+                            cluster_by, distribute_by, sort_by)
+
+    def _ident_list(self) -> list[str]:
+        names = [self.expect_ident()]
+        while self.at_op(","):
+            self.next()
+            names.append(self.expect_ident())
+        return names
 
     # -- flow DSL -----------------------------------------------------------
     # reference surface: model/plan/flow.scala + website/docs/syntax/flow.md

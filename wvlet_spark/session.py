@@ -246,6 +246,8 @@ class WvletSession:
             return None
         if isinstance(stmt, N.DeleteStmt):
             return self._run_delete(stmt)
+        if isinstance(stmt, N.InsertStmt):
+            return self._run_insert(stmt)
         if isinstance(stmt, N.TruncateStmt):
             self.spark.sql(f"TRUNCATE TABLE {stmt.table}")
             return None
@@ -348,6 +350,35 @@ class WvletSession:
             df.write.mode(mode).json(path)
         else:
             df.write.mode(mode).parquet(path)
+
+    def _run_insert(self, stmt: N.InsertStmt):
+        df = self.sql_df(stmt.body)
+        if stmt.columns:
+            df = df.toDF(*stmt.columns)
+            if self.spark.catalog.tableExists(stmt.target):
+                # fill unmentioned target columns with NULLs, in table order
+                from pyspark.sql import functions as F
+
+                tcols = self.spark.table(stmt.target).columns
+                df = df.select(*[
+                    F.col(c) if c in stmt.columns else F.lit(None).alias(c)
+                    for c in tcols
+                ])
+        # Hive partition-write hints -> repartition / sortWithinPartitions
+        if stmt.cluster_by:
+            df = df.repartition(*stmt.cluster_by).sortWithinPartitions(*stmt.cluster_by)
+        else:
+            if stmt.distribute_by:
+                df = df.repartition(*stmt.distribute_by)
+            if stmt.sort_by:
+                df = df.sortWithinPartitions(*stmt.sort_by)
+        exists = self.spark.catalog.tableExists(stmt.target)
+        mode = "overwrite" if (stmt.overwrite or not exists) else "append"
+        if exists and stmt.overwrite:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stmt.target}")
+        df.write.mode(mode).saveAsTable(stmt.target)
+        self._schema_cache[stmt.target] = df.columns
+        return None
 
     def _run_delete(self, stmt: N.DeleteStmt):
         # peel filters down to the base table
