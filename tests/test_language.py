@@ -370,3 +370,15 @@ def test_explain_returns_plan(ws):
     df = ws.run("explain from nation where n_regionkey = 0 select n_name")
     text = " ".join(str(r) for r in df.collect())
     assert "Filter" in text or "plan" in text
+
+
+def test_ddl_passthrough(ws, spark):
+    ws.run("CREATE TABLE ddl_t (id INT, name STRING) USING parquet")
+    assert spark.catalog.tableExists("ddl_t")
+    ws.run("ALTER TABLE ddl_t ADD COLUMNS (extra DOUBLE)")
+    assert "extra" in spark.table("ddl_t").columns
+    ws.run("create view ddl_v as select 1 as one;\nfrom ddl_v")
+    assert spark.table("ddl_v").collect()[0][0] == 1
+    ws.run("DROP VIEW ddl_v")
+    ws.run("DROP TABLE ddl_t")
+    assert not spark.catalog.tableExists("ddl_t")

@@ -154,6 +154,9 @@ class Parser:
             return self.parse_run_flow()
         if w == "insert":
             return self.parse_insert()
+        if w.lower() in ("create", "drop", "alter"):
+            # DDL is conventionally written uppercase; accept both
+            return self.parse_ddl_passthrough()
         # query forms: from / select / show / with
         rel, tests = self.parse_query()
         # save/append/delete were folded into pipe parsing; unwrap them
@@ -164,6 +167,31 @@ class Parser:
         if isinstance(rel, _DeleteMarker):
             return N.DeleteStmt(rel.child)
         return N.QueryStatement(rel, tests)
+
+    def parse_ddl_passthrough(self) -> N.ExecuteStmt:
+        """create/drop/alter … — raw SQL passthrough to Spark, the same
+        delegation the reference's ddl.scala nodes perform.  Consumes the
+        original source text up to `;` or end of input (a DDL statement
+        followed by another statement needs the `;`)."""
+        start_tok = self.peek()
+        line_starts = [0]
+        for i, ch in enumerate(self.text):
+            if ch == "\n":
+                line_starts.append(i + 1)
+
+        def abs_pos(line: int, col: int) -> int:
+            return line_starts[line - 1] + (col - 1)
+
+        start = abs_pos(start_tok.line, start_tok.col)
+        while not self.eof() and not self.at_op(";"):
+            self.next()
+        if self.at_op(";"):
+            t = self.peek()
+            end = abs_pos(t.line, t.col)
+            self.next()
+        else:
+            end = len(self.text)
+        return N.ExecuteStmt(self.text[start:end].strip())
 
     def parse_insert(self) -> N.InsertStmt:
         """insert into t [(c1, c2)] [cluster by k | distribute by k [sort by s]] { query }
