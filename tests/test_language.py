@@ -382,3 +382,33 @@ def test_ddl_passthrough(ws, spark):
     ws.run("DROP VIEW ddl_v")
     ws.run("DROP TABLE ddl_t")
     assert not spark.catalog.tableExists("ddl_t")
+
+
+def test_type_method_extension(ws):
+    df = ws.run("""
+type money = {
+  amount: double
+  def with_tax(rate: double): double = this * (1 + rate)
+  def doubled: double = this * 2
+}
+from [[100.0], [50.0]] as t(amount)
+select total = amount.with_tax(0.1), twice = amount.doubled
+order by total
+""")
+    got = [[round(r[0], 6), round(r[1], 6)] for r in df.collect()]
+    assert got == [[55.0, 100.0], [110.0, 200.0]]
+
+
+def test_type_method_dialect_variant(ws):
+    # reference syntax: the engine scope is on the type header
+    df = ws.run("""
+type s2 in spark = {
+  def shout: string = upper(this) + '!'
+}
+type s2 in duckdb = {
+  def shout: string = upper(this)
+}
+from [['hey']] as t(v)
+select r = v.shout
+""")
+    assert df.collect()[0][0] == "HEY!"

@@ -57,6 +57,7 @@ class Analyzer:
         self.functions: dict[str, N.FunctionDef] = {}
         self.partials: dict[str, N.PartialQueryDef] = {}
         self.types: dict[str, N.TypeDef] = {}
+        self.type_methods: dict[str, N.FunctionDef] = {}
 
     # -- registration --------------------------------------------------------
 
@@ -71,6 +72,16 @@ class Analyzer:
             self.partials[stmt.name] = stmt
         elif isinstance(stmt, N.TypeDef):
             self.types[stmt.name] = stmt
+            for dialect, fn in stmt.methods:
+                # the type header's `in X` is a dialect scope when X names
+                # an engine (reference: `type string in duckdb = {...}`);
+                # we execute on Spark, so only unscoped or spark-scoped
+                # methods apply.  A spark-scoped def overrides an unscoped
+                # one of the same name; other engines' defs are ignored.
+                if dialect is None and fn.name not in self.type_methods:
+                    self.type_methods[fn.name] = fn
+                elif dialect == "spark":
+                    self.type_methods[fn.name] = fn
 
     # -- main entry -----------------------------------------------------------
 
@@ -113,6 +124,12 @@ class Analyzer:
                 return node
             if isinstance(node, N.FunctionApply) and node.name in self.functions:
                 return self._inline_function(node, _stack)
+            if isinstance(node, N.MethodCall) and node.method in self.type_methods:
+                return self._inline_method(node, _stack)
+            # zero-arg method without parens parses as a qualified Ref
+            if isinstance(node, N.Ref) and node.name in self.type_methods:
+                return self._inline_method(
+                    N.MethodCall(node.qualifier, node.name, []), _stack)
             return node
 
         return transform(rel, expr_fn=expr_fn, rel_fn=rel_fn)
@@ -197,6 +214,30 @@ class Analyzer:
         def expr_fn(node: N.Expr) -> N.Expr:
             if isinstance(node, N.FunctionApply) and node.name in self.functions:
                 return self._inline_function(node, stack + (key,))
+            return node
+
+        return transform(body, expr_fn=expr_fn)
+
+    def _inline_method(self, call: N.MethodCall, stack: tuple[str, ...]) -> N.Expr:
+        """Type-method extension: `x.m(a)` inlines the method body with
+        `this` bound to x and params bound to the call args (reference:
+        TypeDef method elems inlined by FunctionInliner)."""
+        fn = self.type_methods[call.method]
+        key = f"method:{call.method}"
+        if key in stack:
+            raise CompileError(f"recursive type method: {call.method}")
+        body = deepcopy(fn.body)
+        bindings = self._bind_params(
+            fn.params, [(None, a) for a in call.args], f"method {call.method}"
+        )
+        bindings["this"] = call.target
+        body = substitute_idents(body, bindings)
+
+        def expr_fn(node: N.Expr) -> N.Expr:
+            if isinstance(node, N.FunctionApply) and node.name in self.functions:
+                return self._inline_function(node, stack + (key,))
+            if isinstance(node, N.MethodCall) and node.method in self.type_methods:
+                return self._inline_method(node, stack + (key,))
             return node
 
         return transform(body, expr_fn=expr_fn)

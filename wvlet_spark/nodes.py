@@ -568,6 +568,9 @@ class TypeDef(Statement):
     parent: str | None = None
     columns: list[tuple[str, str]] = field(default_factory=list)
     binding: str | None = None
+    # method extensions: (dialect | None, FunctionDef) — body may reference
+    # `this` (the receiver); reference: plan.scala TypeDef/TypeElem
+    methods: list = field(default_factory=list)
 
 
 @dataclass

@@ -523,12 +523,16 @@ class Parser:
             binding = self.parse_qualified_name()
         self.expect_op("=")
         cols: list[tuple[str, str]] = []
+        methods: list = []
         if self.at_op("{"):
             self.next()
             while not self.at_op("}"):
                 if self.at_kw("def"):
-                    # method extension — parse and discard (M2+)
-                    self.parse_def()
+                    # dialect scope comes from the type header:
+                    # `type string in duckdb = { def ... }` (reference
+                    # wvlet-stdlib/module/standard/string.wv:27-39)
+                    fn = self.parse_def()
+                    methods.append((binding, fn))
                     continue
                 cname = self.expect_ident()
                 self.expect_op(":")
@@ -540,7 +544,7 @@ class Parser:
         else:
             parent = self.parse_type_name()
             return N.TypeDef(name, parent=parent, binding=binding)
-        return N.TypeDef(name, columns=cols, binding=binding)
+        return N.TypeDef(name, columns=cols, binding=binding, methods=methods)
 
     def parse_type_name(self) -> str:
         base = self.expect_ident()
