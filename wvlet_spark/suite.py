@@ -801,14 +801,15 @@ q(
     "null_handling",
     """
 from customer
-left join orders on c_custkey = o_custkey
+left join { from orders where o_totalprice > 300000 } on c_custkey = o_custkey
 where o_orderkey = null
 select c_custkey, flag = o_orderkey.or_else(-1)
 order by c_custkey
 """,
     """
 SELECT c_custkey, coalesce(o_orderkey, -1) AS flag
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+ON c_custkey = o_custkey
 WHERE o_orderkey IS NULL
 ORDER BY c_custkey
 """,
@@ -1409,5 +1410,30 @@ SELECT n_nationkey, n_name, CAST(x AS BIGINT) AS x
 FROM nation CROSS JOIN unnest([1, 2, 3]) AS t(x)
 WHERE n_nationkey <= 2
 ORDER BY n_nationkey, x
+""",
+)
+
+# window first/last_value + ntile with full-frame rows[,] (SURVEY §2.5)
+q(
+    "window_first_last",
+    """
+from events
+where user_id <= 30
+select
+  user_id, event_id, ts,
+  first_ev = first_value(event_id) over (partition by user_id order by ts, event_id),
+  last_val = last_value(value) over (partition by user_id order by ts, event_id
+                                     rows[, ])::double,
+  nt = ntile(4) over (partition by user_id order by ts, event_id)
+order by user_id, ts, event_id
+""",
+    """
+SELECT user_id, event_id, ts,
+  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_ev,
+  CAST(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_val,
+  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+FROM events WHERE user_id <= 30
+ORDER BY user_id, ts, event_id
 """,
 )
