@@ -220,3 +220,20 @@ def test_duration_parse():
     assert parse_duration_ms("100ms") == 100
     assert parse_duration_ms("'7 days'") == 7 * 86_400_000
     assert parse_duration_ms("1.5h") == 5_400_000
+
+
+def test_flow_fork_block(ws):
+    df = ws.run("""
+flow forked = {
+  stage seed = { from region }
+  fork {
+    stage left_path from seed = { from seed where r_regionkey <= 2 }
+    stage right_path from seed = { from seed where r_regionkey > 2 }
+  }
+  merge all_parts = left_path, right_path
+  stage final from all_parts = { from all_parts count }
+}
+run flow forked
+""")
+    st = {r["stage"]: r["state"] for r in df.collect()}
+    assert set(st.values()) == {"SUCCEEDED"}

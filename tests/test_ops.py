@@ -122,3 +122,23 @@ def test_embedding_near_dup_lsh_recall(spark):
     pairs = embedding_near_dup_pairs(df, threshold=0.9, use_lsh=True, planes=4)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate corpus (identical docs) floods one bucket; the cap drops
+    it. Distinct near-dups in small buckets still surface."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs
+
+    boiler = "lorem ipsum dolor sit amet " * 5
+    rows = [(i, boiler) for i in range(1, 40)]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows += [(100, base), (101, base.replace("mu", "nu"))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = minhash_near_dup_pairs(df, shingle_k=3, threshold=0.3)
+    capped = minhash_near_dup_pairs(df, shingle_k=3, threshold=0.3,
+                                    max_bucket_size=10)
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the boilerplate clique (39*38/2 pairs) is gone, the real pair remains
+    assert (100, 101) in got_capped
+    assert not any(a < 40 and b < 40 for a, b in got_capped)
+    assert len({(r.id_a, r.id_b) for r in uncapped.collect()}) > len(got_capped)

@@ -138,13 +138,21 @@ def _minhash_signatures_expr(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                           threshold: float = 0.7) -> DataFrame:
+                           threshold: float = 0.7,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     bands buckets of r = num_hashes/bands rows each; probability a pair with
     Jaccard j collides in >=1 band is 1-(1-j^r)^bands.  Candidates are
     verified by estimated Jaccard = fraction of matching signature slots.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    max_bucket_size caps hot buckets: a (band, bucket) with more than this
+    many members is dropped before the join.  At 100 TB a degenerate
+    shingle (boilerplate, empty docs) can put millions of documents in one
+    bucket and turn the candidate join quadratic; the cap bounds per-bucket
+    work at the cost of missing pairs that ONLY collide in hot buckets —
+    the standard LSH trade (low-information buckets rarely carry signal).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -166,6 +174,14 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
             )
         ).alias("bb"),
     ).select(id_col, "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        # anti-join against the HOT bucket list: hot buckets are few by
+        # definition, so the list broadcasts; the keep-list would not
+        hot = (banded.groupBy("band", "bucket").count()
+               .filter(F.col("count") > max_bucket_size)
+               .select("band", "bucket"))
+        banded = banded.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
