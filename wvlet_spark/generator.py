@@ -1024,7 +1024,13 @@ class SqlGenerator:
         else:
             args = ", ".join(self.expr(a) for a in e.args)
             dist = "DISTINCT " if e.is_distinct else ""
-            core = f"{name}({dist}{args})"
+            if e.ignore_nulls and self.dialect == DUCKDB:
+                # DuckDB wants the modifier inside the parens
+                core = f"{name}({dist}{args} IGNORE NULLS)"
+            else:
+                core = f"{name}({dist}{args})"
+        if e.ignore_nulls and self.dialect != DUCKDB:
+            core += " IGNORE NULLS"
         if e.filter is not None:
             core += f" FILTER (WHERE {self.expr(e.filter)})"
         if e.window is not None:

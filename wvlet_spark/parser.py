@@ -1574,6 +1574,12 @@ class Parser:
                 for a in raw:
                     args.append(a.expr if isinstance(a, N.NamedExpr) else a)
                 fn = N.FunctionApply(w, args, is_distinct)
+                # `lag(x) ignore nulls over (...)` / `respect nulls`
+                if self.at_kw("ignore") and self.at_kw("nulls", offset=1):
+                    self.next(); self.next()
+                    fn.ignore_nulls = True
+                elif self.at_kw("respect") and self.at_kw("nulls", offset=1):
+                    self.next(); self.next()
                 return fn
             # _1 _2 positional refs arrive as plain idents
             return N.Ident(w)

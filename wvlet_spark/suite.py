@@ -1437,3 +1437,24 @@ FROM events WHERE user_id <= 30
 ORDER BY user_id, ts, event_id
 """,
 )
+
+# ignore-nulls window modifier (SURVEY §2.5; dialect-split rendering)
+q(
+    "window_ignore_nulls",
+    """
+from events
+where user_id <= 20
+select
+  user_id, event_id, ts,
+  last_err = last_value(if event_type = 'error' then value else null) ignore nulls
+             over (partition by user_id order by ts, event_id)::double
+order by user_id, ts, event_id
+""",
+    """
+SELECT user_id, event_id, ts,
+  CAST(last_value(CASE WHEN event_type = 'error' THEN value ELSE NULL END IGNORE NULLS)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS last_err
+FROM events WHERE user_id <= 20
+ORDER BY user_id, ts, event_id
+""",
+)
