@@ -412,3 +412,19 @@ from [['hey']] as t(v)
 select r = v.shout
 """)
     assert df.collect()[0][0] == "HEY!"
+
+
+def test_connector_source(ws, spark):
+    def fake_channels(s):
+        return s.createDataFrame(
+            [("C1", "general", 120), ("C2", "random", 45)],
+            ["channel_id", "name", "members"],
+        )
+
+    ws.register_connector("slack.channels", fake_channels)
+    df = ws.run("""
+from slack.channels
+where members > 100
+select channel_id, name
+""")
+    assert [list(r) for r in df.collect()] == [["C1", "general"]]

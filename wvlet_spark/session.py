@@ -41,6 +41,7 @@ class WvletSession:
         self._watermarks: dict[str, object] = {}
         self._flows: dict[str, N.FlowDef] = {}
         self._flow_executor = None
+        self._connectors: dict[str, object] = {}
         self.last_test_results: list[tuple[bool, str]] = []
         if table_dir and spark is not None:
             self.register_parquet_dir(table_dir)
@@ -123,9 +124,25 @@ class WvletSession:
                 return N.TableRef(self._stage_show(node))
             if isinstance(node, N.Subscribe):
                 return self._stage_subscribe(node)
+            if isinstance(node, N.TableRef) and node.name in self._connectors:
+                return N.TableRef(self._stage_connector(node.name))
             return node
 
         return transform(plan, rel_fn=rel_fn)
+
+    def register_connector(self, name: str, fn) -> None:
+        """Register an external source: `from <name>` calls fn(spark) -> DataFrame
+        and stages the result (the reference's profile-connector tables, e.g.
+        `from slack.channels` — TableScan.connectorName / SourceTableStaging —
+        re-expressed as Python connector functions).  Dotted names allowed."""
+        self._connectors[name] = fn
+
+    def _stage_connector(self, name: str) -> str:
+        df = self._connectors[name](self.spark)
+        view = "__wv_conn_" + re.sub(r"[^A-Za-z0-9_]", "_", name)
+        df.createOrReplaceTempView(view)
+        self._schema_cache[view] = df.columns
+        return view
 
     def _resolve_path(self, path: str) -> str:
         if re.match(r"^[a-z0-9+.-]+://", path) or os.path.isabs(path):
