@@ -428,3 +428,16 @@ where members > 100
 select channel_id, name
 """)
     assert [list(r) for r in df.collect()] == [["C1", "general"]]
+
+
+def test_call_tool(ws, spark):
+    calls = []
+
+    def reindex(s, table="x", depth=1):
+        calls.append((table, depth))
+        return s.createDataFrame([(table, "done")], ["target", "status"])
+
+    ws.register_tool("reindex", reindex)
+    df = ws.run("call reindex(table = 'docs', depth = 2)")
+    assert calls == [("docs", 2)]
+    assert [list(r) for r in df.collect()] == [["docs", "done"]]

@@ -696,6 +696,15 @@ class FlowDef(Statement):
 
 
 @dataclass
+class CallToolStmt(Statement):
+    """call tool(args) — invoke a registered external action; its result (a
+    DataFrame or None) is the statement result (reference: CallTool
+    relation.scala:1182-1205)."""
+    name: str
+    args: dict[str, Expr] = field(default_factory=dict)
+
+
+@dataclass
 class RunFlowStmt(Statement):
     name: str
     args: dict[str, Expr] = field(default_factory=dict)

@@ -157,6 +157,19 @@ class Parser:
         if w.lower() in ("create", "drop", "alter"):
             # DDL is conventionally written uppercase; accept both
             return self.parse_ddl_passthrough()
+        if w == "call":
+            self.next()
+            stmt = N.CallToolStmt(self.parse_qualified_name())
+            if self.at_op("("):
+                self.next()
+                while not self.at_op(")"):
+                    key = self.expect_ident()
+                    self.expect_op("=")
+                    stmt.args[key] = self.parse_expr()
+                    if self.at_op(","):
+                        self.next()
+                self.expect_op(")")
+            return stmt
         # query forms: from / select / show / with
         rel, tests = self.parse_query()
         # save/append/delete were folded into pipe parsing; unwrap them

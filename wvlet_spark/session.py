@@ -42,6 +42,7 @@ class WvletSession:
         self._flows: dict[str, N.FlowDef] = {}
         self._flow_executor = None
         self._connectors: dict[str, object] = {}
+        self._tools: dict[str, object] = {}
         self.last_test_results: list[tuple[bool, str]] = []
         if table_dir and spark is not None:
             self.register_parquet_dir(table_dir)
@@ -136,6 +137,11 @@ class WvletSession:
         `from slack.channels` — TableScan.connectorName / SourceTableStaging —
         re-expressed as Python connector functions).  Dotted names allowed."""
         self._connectors[name] = fn
+
+    def register_tool(self, name: str, fn) -> None:
+        """Register an external action for `call name(args)`:
+        fn(spark, **kwargs) -> DataFrame | None."""
+        self._tools[name] = fn
 
     def _stage_connector(self, name: str) -> str:
         df = self._connectors[name](self.spark)
@@ -280,6 +286,13 @@ class WvletSession:
             return None
         if isinstance(stmt, N.RunFlowStmt):
             return self._run_flow(stmt)
+        if isinstance(stmt, N.CallToolStmt):
+            if stmt.name not in self._tools:
+                raise CompileError(f"unknown tool: {stmt.name}")
+            kwargs = {}
+            for k, v in stmt.args.items():
+                kwargs[k] = v.value if isinstance(v, N.Literal) else v
+            return self._tools[stmt.name](self.spark, **kwargs)
         raise CompileError(f"cannot execute statement {type(stmt).__name__}")
 
     # ------------------------------------------------------------- flows
