@@ -142,3 +142,19 @@ def test_minhash_hot_bucket_cap(spark):
     assert (100, 101) in got_capped
     assert not any(a < 40 and b < 40 for a, b in got_capped)
     assert len({(r.id_a, r.id_b) for r in uncapped.collect()}) > len(got_capped)
+
+
+def test_video_frame_sampling_plumbing(spark):
+    from tests.conftest import SF_DIR
+    from wvlet_spark.ops.multimodal import sample_video_frames, with_binary_payload
+    from wvlet_spark.session import read_parquet_robust
+
+    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet").limit(10)
+    frames = sample_video_frames(with_binary_payload(docs), n_frames=4).collect()
+    assert len(frames) == 40  # xN fan-out
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows_ in by_doc.values():
+        assert sorted(r.frame_idx for r in rows_) == [0, 1, 2, 3]
+        assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in rows_)

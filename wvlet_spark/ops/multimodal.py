@@ -86,3 +86,40 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("offset_ms", LongType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4,
+                        payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling plumbing: one input row fans out to n_frames rows of
+    (frame_idx, offset_ms, frame_payload) via Arrow-batched mapInPandas —
+    the row-explosion shape a real video pipeline needs (partition sizing
+    must account for the xN output amplification).
+
+    Decode is STUBBED: frame payloads are deterministic byte slices of the
+    input (a real impl would demux with pyav/ffmpeg); offsets pretend a
+    30fps/10s clip sampled uniformly."""
+    import pandas as pd
+
+    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "offset_ms": [], "frame_payload": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = payload or b""
+                step = max(1, len(data) // max(1, n_frames))
+                for i in range(n_frames):
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["offset_ms"].append(i * (10_000 // max(1, n_frames)))
+                    out["frame_payload"].append(bytes(data[i * step:(i + 1) * step]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(frame_batches, _FRAME_SCHEMA)
