@@ -441,3 +441,41 @@ def test_call_tool(ws, spark):
     df = ws.run("call reindex(table = 'docs', depth = 2)")
     assert calls == [("docs", 2)]
     assert [list(r) for r in df.collect()] == [["docs", "done"]]
+
+
+def test_struct_literal_access(ws):
+    df = ws.run("""
+select p = {name: 'ann', age: 31}
+add nm = p.name
+""")
+    r = df.collect()[0]
+    assert r["nm"] == "ann"
+
+
+def test_map_literal(ws):
+    df = ws.run("select m = map {'a': 1, 'b': 2}\nadd v = m['b']")
+    assert df.collect()[0]["v"] == 2
+
+
+def test_method_casts_and_or_else(ws):
+    df = ws.run("""
+from [['12', null], ['7', '3']] as t(a, b)
+select
+  x = a.to_int,
+  y = b.or_else('0').to_int
+order by x
+""")
+    assert [list(r) for r in df.collect()] == [[7, 3], [12, 0]]
+
+
+def test_try_cast(ws):
+    df = ws.run("select v = try_cast('abc' as int)")
+    assert df.collect()[0][0] is None
+
+
+def test_string_methods(ws):
+    df = ws.run("""
+from [['  Hello ']] as t(s)
+select n = s.trim.length, up = upper(s.trim)
+""")
+    assert [list(r) for r in df.collect()] == [[5, "HELLO"]]
