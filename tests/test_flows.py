@@ -237,3 +237,32 @@ run flow forked
 """)
     st = {r["stage"]: r["state"] for r in df.collect()}
     assert set(st.values()) == {"SUCCEEDED"}
+
+
+def test_flow_scheduler_fires(ws):
+    """The scheduler thread triggers a run when a cron minute matches."""
+    from wvlet_spark.flows import FlowScheduler
+    from wvlet_spark.parser import Parser
+
+    stmts = Parser("""
+flow tick = {
+  stage s = { from region }
+} with {schedule: cron('* * * * *')}
+""").parse_statements()
+    flow = stmts[0]
+    ex = ws.flow_executor
+    sched = FlowScheduler(ex)
+    sched.add(flow)
+    # every-minute cron: the current minute always matches -> fires on the
+    # first poll tick
+    import time
+
+    before = len(ex.store.runs("tick"))
+    sched.start(poll_s=0.2)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and len(ex.store.runs("tick")) == before:
+            time.sleep(0.2)
+    finally:
+        sched.stop()
+    assert len(ex.store.runs("tick")) > before
