@@ -37,10 +37,10 @@ group by l_returnflag, l_linestatus
 select
   l_returnflag,
   l_linestatus,
-  sum_qty        = l_quantity::decimal(18,2).sum::decimal(38,2),
-  sum_base_price = l_extendedprice::decimal(18,2).sum::decimal(38,2),
-  sum_disc_price = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4),
-  sum_charge     = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2)) * (1 + l_tax::decimal(18,2))).sum::decimal(38,6),
+  sum_qty        = l_quantity::decimal(18,2).sum::double,
+  sum_base_price = l_extendedprice::decimal(18,2).sum::double,
+  sum_disc_price = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double,
+  sum_charge     = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2)) * (1 + l_tax::decimal(18,2))).sum::double,
   avg_qty        = (l_quantity::decimal(18,2).sum::double / _.count)::double,
   avg_price      = (l_extendedprice::decimal(18,2).sum::double / _.count)::double,
   avg_disc       = (l_discount::decimal(18,2).sum::double / _.count)::double,
@@ -51,10 +51,10 @@ order by l_returnflag, l_linestatus
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
   CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disc,
@@ -78,7 +78,7 @@ where c_mktsegment = 'BUILDING'
 group by l_orderkey, o_orderdate, o_orderpriority
 select
   l_orderkey,
-  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4),
+  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double,
   o_orderdate,
   o_orderpriority
 order by revenue desc, o_orderdate, l_orderkey
@@ -87,7 +87,7 @@ limit 10
     """
 SELECT
   l_orderkey,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer, orders, lineitem
@@ -118,13 +118,13 @@ where c_custkey = o_custkey
 group by n_name
 select
   n_name,
-  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4)
+  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double
 order by revenue desc, n_name
 """,
     """
 SELECT
   n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -148,10 +148,10 @@ where l_shipdate >= '1996-01-01'::date
   and l_shipdate < '1997-01-01'::date
   and l_discount between 0.05 and 0.07
   and l_quantity < 24
-select revenue = (l_extendedprice::decimal(18,2) * l_discount::decimal(18,2)).sum::decimal(38,4)
+select revenue = (l_extendedprice::decimal(18,2) * l_discount::decimal(18,2)).sum::double
 """,
     """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01'
   AND l_shipdate < DATE '1997-01-01'
@@ -173,7 +173,7 @@ where c_custkey = o_custkey
 group by c_custkey, c_name, n_name, c_mktsegment
 select
   c_custkey, c_name,
-  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4),
+  revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double,
   n_name, c_mktsegment
 order by revenue desc, c_custkey
 limit 20
@@ -181,7 +181,7 @@ limit 20
     """
 SELECT
   c_custkey, c_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
   n_name, c_mktsegment
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey
@@ -231,13 +231,13 @@ where o_orderkey in {
   select l_orderkey
 }
 group by o_orderpriority
-agg n = _.count, total = o_totalprice::decimal(18,2).sum::decimal(38,2)
+agg n = _.count, total = o_totalprice::decimal(18,2).sum::double
 order by o_orderpriority
 """,
     """
 SELECT o_orderpriority,
        count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
@@ -343,14 +343,14 @@ from orders
 where o_custkey <= 50
 select
   o_custkey, o_orderkey, o_orderdate,
-  mv = o_totalprice::decimal(18,2).sum over (partition by o_custkey order by o_orderdate, o_orderkey rows[-2,0])::decimal(38,2),
+  mv = o_totalprice::decimal(18,2).sum over (partition by o_custkey order by o_orderdate, o_orderkey rows[-2,0])::double,
   rn = row_number() over (partition by o_custkey order by o_orderdate, o_orderkey)
 order by o_custkey, rn
 """,
     """
 SELECT
   o_custkey, o_orderkey, o_orderdate,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mv,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv,
   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
 FROM orders
 WHERE o_custkey <= 50
@@ -422,13 +422,13 @@ q(
 from lineitem
 group by l_orderkey
 where _.count >= 6
-agg n_lines = _.count, qty = l_quantity::decimal(18,2).sum::decimal(38,2)
+agg n_lines = _.count, qty = l_quantity::decimal(18,2).sum::double
 order by l_orderkey
 limit 50
 """,
     """
 SELECT l_orderkey, count(*) AS n_lines,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) >= 6
@@ -449,7 +449,7 @@ select
   n_cust = _.count_distinct(o_custkey),
   top_order = _.max_by(o_orderkey, o_totalprice),
   n_urgent = _.count_if(o_orderpriority = '1-URGENT'),
-  max_price = o_totalprice.max::decimal(18,2)
+  max_price = o_totalprice.max::double
 order by o_orderstatus
 """,
     """
@@ -458,8 +458,8 @@ SELECT
   count(*) AS n,
   count(DISTINCT o_custkey) AS n_cust,
   max_by(o_orderkey, o_totalprice) AS top_order,
-  count_if(o_orderpriority = '1-URGENT') AS n_urgent,
-  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+  CAST(max(o_totalprice) AS DOUBLE) AS max_price
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -527,12 +527,12 @@ q(
     """
 from orders
 group by ym = date_trunc('month', o_orderdate)
-agg n = _.count, total = o_totalprice::decimal(18,2).sum::decimal(38,2)
+agg n = _.count, total = o_totalprice::decimal(18,2).sum::double
 order by ym
 """,
     """
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS ym, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY date_trunc('month', o_orderdate)
 ORDER BY ym
@@ -728,18 +728,18 @@ q(
 from nation
 select
   n_nationkey,
-  arr = [n_nationkey, n_regionkey, 42],
+  arr = to_json([n_nationkey, n_regionkey, 42]),
   first_elem = [n_nationkey, n_regionkey][1],
-  doubled = transform([1, 2, 3], x -> x * n_nationkey)
+  doubled = to_json(transform([1, 2, 3], x -> x * n_nationkey))
 order by n_nationkey
 limit 10
 """,
     """
 SELECT
   n_nationkey,
-  [n_nationkey, n_regionkey, 42] AS arr,
+  to_json([n_nationkey, n_regionkey, 42]) AS arr,
   [n_nationkey, n_regionkey][1] AS first_elem,
-  list_transform([1, 2, 3], x -> x * n_nationkey) AS doubled
+  to_json(list_transform([1, 2, 3], x -> x * n_nationkey)) AS doubled
 FROM nation
 ORDER BY n_nationkey
 LIMIT 10
@@ -912,13 +912,13 @@ where s_suppkey = l_suppkey
     or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
   and l_shipdate between '1996-01-01'::date and '1997-12-31'::date
 group by supp_nation = n1.n_name, cust_nation = n2.n_name, l_year = extract(year from l_shipdate)
-agg revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4)
+agg revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double
 order by supp_nation, cust_nation, l_year
 """,
     """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM supplier, lineitem, orders, customer, nation AS n1, nation AS n2
 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -972,12 +972,12 @@ where l_partkey = p_partkey
   and s_nationkey = n_nationkey
   and p_name like '%red%'
 group by nation = n_name, o_year = extract(year from o_orderdate)
-agg sum_profit = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4)
+agg sum_profit = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double
 order by nation, o_year desc
 """,
     """
 SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_profit
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
 FROM lineitem, part, supplier, orders, nation
 WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
   AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
@@ -1001,12 +1001,12 @@ where (l_extendedprice::decimal(18,2)).sum > {
     and n_name = 'NATION_0'
   select ((l_extendedprice::decimal(18,2)).sum * 0.001::decimal(6,4))
 }
-agg value = (l_extendedprice::decimal(18,2)).sum::decimal(38,2)
+agg value = (l_extendedprice::decimal(18,2)).sum::double
 order by value desc, l_partkey
 """,
     """
 SELECT l_partkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
 FROM lineitem, supplier, nation
 WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_0'
 GROUP BY l_partkey
@@ -1035,8 +1035,8 @@ order by l_returnflag
 """,
     """
 SELECT l_returnflag,
-       count_if(o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') AS high_line_count,
-       count_if(o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH') AS low_line_count
+       CAST(count_if(o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') AS BIGINT) AS high_line_count,
+       CAST(count_if(o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH') AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
   AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -1096,7 +1096,7 @@ with revenue as {
   from lineitem
   where l_shipdate >= '1997-01-01'::date and l_shipdate < '1997-04-01'::date
   group by supplier_no = l_suppkey
-  agg total_revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4)
+  agg total_revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double
 }
 from supplier, revenue
 where s_suppkey = supplier_no
@@ -1107,7 +1107,7 @@ order by s_suppkey
     """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
   GROUP BY l_suppkey
@@ -1176,13 +1176,13 @@ where o_orderkey in {
   and c_custkey = o_custkey
   and o_orderkey = l_orderkey
 group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-agg sum_qty = l_quantity::decimal(18,2).sum::decimal(38,2)
+agg sum_qty = l_quantity::decimal(18,2).sum::double
 order by o_totalprice desc, o_orderdate, o_orderkey
 limit 100
 """,
     """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
@@ -1203,10 +1203,10 @@ where p_partkey = l_partkey
     or (p_brand = 'Brand#23' and p_size between 1 and 25 and l_quantity >= 10 and l_quantity <= 30)
     or (p_brand = 'Brand#34' and p_size between 1 and 35 and l_quantity >= 20 and l_quantity <= 40)
   )
-agg revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::decimal(38,4)
+agg revenue = (l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))).sum::double
 """,
     """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
@@ -1301,12 +1301,12 @@ where substring(c_name, 18, 1) in ('1', '2', '3', '4', '5', '6', '7')
     where o_custkey = c_custkey and o_orderpriority = '1-URGENT'
   }
 group by cntrycode = substring(c_name, 18, 1)
-agg numcust = _.count, totacctbal = c_acctbal::decimal(18,2).sum::decimal(38,2)
+agg numcust = _.count, totacctbal = c_acctbal::decimal(18,2).sum::double
 order by cntrycode
 """,
     """
 SELECT substring(c_name, 18, 1) AS cntrycode, count(*) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE substring(c_name, 18, 1) IN ('1', '2', '3', '4', '5', '6', '7')
   AND c_acctbal > (
@@ -1352,12 +1352,12 @@ q(
     """
 from orders
 group by rollup(o_orderstatus, o_orderpriority)
-agg n = _.count, total = o_totalprice::decimal(18,2).sum::decimal(38,2)
+agg n = _.count, total = o_totalprice::decimal(18,2).sum::double
 order by o_orderstatus nulls last, o_orderpriority nulls last
 """,
     """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
