@@ -266,3 +266,45 @@ flow tick = {
     finally:
         sched.stop()
     assert len(ex.store.runs("tick")) > before
+
+
+def test_cron_step_anchored_at_range_start():
+    from wvlet_spark.flows import _cron_field
+
+    # standard cron: steps anchor at the range's own start, not the field min
+    assert _cron_field("10-50/15", 0, 59) == {10, 25, 40}
+    assert _cron_field("3/20", 0, 59) == {3, 23, 43}
+    assert _cron_field("*/15", 0, 59) == {0, 15, 30, 45}
+
+
+def test_cron_next_fire_top_of_hour():
+    # probing with minute-1 at minute 0 must not underflow (scheduler bug)
+    import datetime as dt
+
+    from wvlet_spark.flows import cron_next_fire
+
+    now = dt.datetime(2026, 3, 1, 11, 0)
+    prev = now - dt.timedelta(minutes=1)
+    nxt = cron_next_fire("* * * * *", (prev.year, prev.month, prev.day,
+                                       prev.hour, prev.minute, prev.weekday()))
+    assert nxt[:5] == (2026, 3, 1, 11, 0)
+
+
+def test_flow_stage_views_are_run_scoped(ws, spark):
+    """Stage outputs must not clobber same-named user tables (bare stage
+    names are never registered as views)."""
+    spark.sql("SELECT 1 AS marker").createOrReplaceTempView("staging")
+    df = ws.run("""
+flow scoped = {
+  stage staging = { from nation where n_nationkey < 3 }
+  stage out from staging = { from staging count }
+}
+run flow scoped
+""")
+    st = {r["stage"]: r["state"] for r in df.collect()}
+    assert set(st.values()) == {"SUCCEEDED"}
+    # the user's view is untouched
+    assert spark.table("staging").columns == ["marker"]
+    run_id = df.collect()[0]["run_id"]
+    assert spark.table(f"__wv_flow_{run_id}_out").collect()[0][0] == 3
+    spark.catalog.dropTempView("staging")

@@ -479,3 +479,26 @@ from [['  Hello ']] as t(s)
 select n = s.trim.length, up = upper(s.trim)
 """)
     assert [list(r) for r in df.collect()] == [[5, "HELLO"]]
+
+
+def test_delete_from_temp_view(ws, spark):
+    """delete must be visible on re-read when the table is a temp view
+    (the standard register_parquet_dir setup)."""
+    spark.table("nation").createOrReplaceTempView("del_v")
+    ws.run("from del_v where n_regionkey = 0\ndelete")
+    left = ws.run("from del_v count").collect()[0][0]
+    exp = spark.sql("SELECT count(*) FROM nation WHERE n_regionkey <> 0").collect()[0][0]
+    assert left == exp
+    assert ws.run("from del_v where n_regionkey = 0 count").collect()[0][0] == 0
+    spark.catalog.dropTempView("del_v")
+
+
+def test_delete_from_catalog_table(ws, spark):
+    ws.run("from nation\nsave to del_t")
+    spark.catalog.dropTempView("del_t") if "del_t" in [
+        t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"
+    ] else None
+    ws.run("from del_t where n_regionkey <= 1\ndelete")
+    exp = spark.sql("SELECT count(*) FROM nation WHERE n_regionkey > 1").collect()[0][0]
+    assert spark.table("del_t").count() == exp
+    spark.sql("DROP TABLE IF EXISTS del_t")

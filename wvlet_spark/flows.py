@@ -83,14 +83,17 @@ def _cron_field(spec: str, lo: int, hi: int) -> set[int]:
         if "/" in part:
             part, s = part.split("/")
             step = int(s)
+        # steps are anchored at the range's own start (standard cron:
+        # 10-50/15 -> {10,25,40}; a bare start like 3/5 means 3-max/5)
         if part in ("*", ""):
-            rng = range(lo, hi + 1)
+            start, end = lo, hi
         elif "-" in part:
             a, b = part.split("-")
-            rng = range(int(a), int(b) + 1)
+            start, end = int(a), int(b)
         else:
-            rng = range(int(part), int(part) + 1)
-        vals.update(v for v in rng if (v - lo) % step == 0 or step == 1)
+            start = int(part)
+            end = hi if step > 1 else start
+        vals.update(range(start, end + 1, step))
     return vals
 
 
@@ -194,6 +197,11 @@ class FlowExecutor:
         self.store = run_store or FlowRunStore()
         self.activations: list[dict] = []   # records of activate() deliveries
         self.sinks = {"log": self._sink_log, "memory": self._sink_memory}
+        # per-run stage-name -> run-scoped view mapping; stage outputs are
+        # ONLY registered under run-scoped names so concurrent runs of the
+        # same flow never read each other's outputs and user tables with a
+        # stage's name are never clobbered
+        self._scopes: dict[str, dict[str, str]] = {}
         if activation_sinks:
             self.sinks.update(activation_sinks)
 
@@ -240,14 +248,16 @@ class FlowExecutor:
 
         concurrency = int(self._const(flow.config.get("concurrency"), 4))
         bound_args = self._bind_args(flow, args or {})
+        self._scopes[run_id] = {name: self._stage_table(run_id, name)
+                                for name in stages}
 
-        # resume: mark previously-succeeded stages
+        # resume: mark previously-succeeded stages (their run-scoped views
+        # must still exist in this session)
         for name, sr in stages.items():
             if prior.get(name) == SUCCEEDED:
                 table = self._stage_table(run_id, name)
                 try:
-                    df = self.session.spark.table(table)
-                    df.createOrReplaceTempView(name)
+                    self.session.spark.table(table)
                     sr.state = SUCCEEDED
                 except Exception:
                     pass  # table gone — re-run the stage
@@ -289,6 +299,7 @@ class FlowExecutor:
             for name, sr in stages.items():
                 if sr.state == RUNNING and sr.future is not None:
                     self._finish(run_id, flow, sr)
+            self._scopes.pop(run_id, None)
 
         order = [st.name for st in flow.stages] + [m.name for m in flow.merges]
         return [
@@ -428,11 +439,16 @@ class FlowExecutor:
             sr.attempts = attempt
             try:
                 if timeout_ms is not None:
-                    # per-attempt timeout: run in a nested single thread
-                    with ThreadPoolExecutor(max_workers=1) as inner:
-                        fut = inner.submit(self._run_stage_once, run_id, flow,
-                                           sr, bound_args, route_by_target)
+                    # per-attempt timeout: run in a nested single thread;
+                    # on timeout the stale attempt is abandoned (no wait) so
+                    # the retry loop proceeds instead of blocking on shutdown
+                    inner = ThreadPoolExecutor(max_workers=1)
+                    fut = inner.submit(self._run_stage_once, run_id, flow,
+                                       sr, bound_args, route_by_target)
+                    try:
                         fut.result(timeout=timeout_ms / 1000.0)
+                    finally:
+                        inner.shutdown(wait=False, cancel_futures=True)
                 else:
                     self._run_stage_once(run_id, flow, sr, bound_args, route_by_target)
                 return None
@@ -477,7 +493,7 @@ class FlowExecutor:
             rows = None
             payload = None
             if upstream:
-                df = spark.table(upstream)
+                df = spark.table(self._scope_ref(run_id, upstream))
                 collected = df.limit(100).collect()
                 rows = len(collected)
                 payload = [r.asDict() for r in collected]
@@ -495,7 +511,7 @@ class FlowExecutor:
         if st.kind == "merge":
             from pyspark.sql import functions as F
 
-            dfs = [spark.table(s) for s in st.sources]
+            dfs = [spark.table(self._scope_ref(run_id, s)) for s in st.sources]
             on = st.action.get("on")
             if on is not None:
                 out = dfs[0]
@@ -520,6 +536,9 @@ class FlowExecutor:
             route, case_idx = route_by_target[st.name]
             routed_view = self._ensure_route_views(run_id, route)
             rel = self._rewrite_table_refs(rel, {route.source: routed_view[case_idx]})
+        scope = self._scopes.get(run_id)
+        if scope:
+            rel = self._rewrite_table_refs(rel, scope)
         return self.session.df_for_relation(rel, params=bound_args)
 
     def _rewrite_table_refs(self, rel, mapping: dict[str, str]):
@@ -561,7 +580,7 @@ class FlowExecutor:
             return cache[key]
 
         spark = self.session.spark
-        src = spark.table(route.source)
+        src = spark.table(self._scope_ref(run_id, route.source))
         if route.hash_key is not None:
             hk = F.expr(self.session.expr_sql(route.hash_key))
         else:
@@ -594,12 +613,16 @@ class FlowExecutor:
             out = out | p
         return out
 
+    def _scope_ref(self, run_id: str, name: str) -> str:
+        """Stage name -> this run's scoped view name (passthrough for
+        ordinary tables)."""
+        return self._scopes.get(run_id, {}).get(name, name)
+
     def _materialize(self, run_id: str, name: str, df):
-        """Stage output: cache + register under both the run-scoped name and
-        the bare stage name (what downstream bodies reference)."""
+        """Stage output: cache + register under the run-scoped name only;
+        downstream reads are rewritten through _scope_ref."""
         df = df.localCheckpoint()  # eager: compute once, truncate lineage
         df.createOrReplaceTempView(self._stage_table(run_id, name))
-        df.createOrReplaceTempView(name)
 
     def _finish(self, run_id, flow, sr: _StageRun):
         err = sr.future.result()
@@ -648,12 +671,18 @@ class FlowScheduler:
             while not self._stop.is_set():
                 now = dt.datetime.now()
                 key_now = (now.year, now.month, now.day, now.hour, now.minute, now.weekday())
+                # probe strictly before `now` via datetime arithmetic —
+                # naive minute-1 underflows to -1 at the top of each hour
+                prev = now - dt.timedelta(minutes=1)
                 for flow, expr in self._jobs:
-                    nxt = cron_next_fire(expr, (now.year, now.month, now.day,
-                                                now.hour, now.minute - 1, 0))
-                    if nxt[:5] == key_now[:5] and (flow.name, nxt) not in fired:
-                        fired.add((flow.name, nxt))
-                        self.executor.run(flow)
+                    try:
+                        nxt = cron_next_fire(expr, (prev.year, prev.month, prev.day,
+                                                    prev.hour, prev.minute, prev.weekday()))
+                        if nxt[:5] == key_now[:5] and (flow.name, nxt) not in fired:
+                            fired.add((flow.name, nxt))
+                            self.executor.run(flow)
+                    except Exception:  # noqa: BLE001 — one bad job must not
+                        pass           # kill the scheduler thread
                 self._stop.wait(poll_s)
 
         self._thread = threading.Thread(target=loop, daemon=True)

@@ -423,9 +423,20 @@ class WvletSession:
         gen = SqlGenerator(self._make_ctx(SPARK))
         keep = " AND ".join(f"NOT ({gen.expr(c)})" for c in conds) if conds else "FALSE"
         remaining = self.spark.sql(f"SELECT * FROM {table} WHERE {keep}")
-        remaining = remaining.cache()
-        remaining.count()
-        remaining.write.mode("overwrite").saveAsTable(table)
+        # Break plan lineage before overwriting the relation we read from:
+        # cache() keeps the logical plan (Spark rejects overwrite-while-read,
+        # and a temp view would shadow the written table entirely).
+        remaining = remaining.localCheckpoint(eager=True)
+        is_temp = False
+        try:
+            is_temp = self.spark.catalog.getTable(table).tableType == "TEMPORARY"
+        except Exception:
+            pass
+        if is_temp:
+            remaining.createOrReplaceTempView(table)
+        else:
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            remaining.write.mode("overwrite").saveAsTable(table)
         return None
 
     # ------------------------------------------------------------- oracle
