@@ -9,6 +9,8 @@ weaker rows-only check — their row counts are deterministic.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import functions as F
 
 
@@ -62,24 +64,59 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    from wvlet_spark.ops.dedup import ngram_jaccard_pairs
+    """Exact n-gram Jaccard over LSH-bounded candidates (the scale path:
+    minhash banding proposes, exact Jaccard verifies — candidate count is
+    bounded by bucket collisions, never n²).  The DuckDB oracle computes
+    the full all-pairs Jaccard; equality holds because banding recall at
+    the corpus's near-dup similarity (j >= 0.9) is ~1."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, block_col="source", threshold=0.3)
+    docs = _docs(spark, sf_dir)
+    cands = minhash_near_dup_pairs(docs, threshold=0.2)
+    out = ngram_jaccard_pairs(docs, n=3, candidates=cands, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")) \
         .orderBy("id_a", "id_b")
 
 
+O_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(w)-2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+    ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against the all-ones query vector
-    (dimension-agnostic so the oracle needs no literal array)."""
+    (cosine(v, ones) = sum(v) / (|v| * sqrt(dim)), so the oracle needs no
+    literal array and the query is dimension-free — no extra job to read
+    the dim).  numpy over Arrow batches; scan + TakeOrdered, no shuffle."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ones_cos(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        if M.shape[0] == 0:
+            return pd.Series(np.zeros(0))
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M)) * np.sqrt(M.shape[1])
+        norms[norms == 0.0] = 1.0
+        return pd.Series(M.sum(axis=1) / norms)
+
     emb = _embs(spark, sf_dir)
-    s = F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double"))
-    nrm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
-                             lambda a, x: a + x.cast("double") * x.cast("double")))
-    dim = F.size("embedding")
-    cos = s / (nrm * F.sqrt(dim.cast("double")))
     return (
-        emb.select("vec_id", F.round(cos, 5).alias("cosine"))
+        emb.select("vec_id", F.round(_ones_cos(F.col("embedding")), 5).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
@@ -114,6 +151,50 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_dedup_lsh(spark, sf_dir):
+    """Near-dup pairs via the LSH bucket-equi-join (the 100 TB path: only
+    same-bucket pairs pay a dot product).  The oracle recomputes the SAME
+    deterministic hyperplane buckets from literal coefficients in DuckDB,
+    so the full LSH semantics — bucketing included — are independently
+    verified, not just the final cosine."""
+    from wvlet_spark.ops.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.3, use_lsh=True, planes=8,
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_dedup_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
+    """DuckDB SQL recomputing the rp_lsh_buckets assignment from the same
+    seeded hyperplanes, then same-bucket pairs + exact cosine >= 0.3."""
+    from wvlet_spark.ops.similarity import _hyperplanes
+
+    H = _hyperplanes(dim, planes, seed=42)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in H[i])}])"
+        for i in range(planes)
+    )
+    return f"""
+WITH hp(i, h) AS (VALUES
+    {rows}
+),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sum(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), hp.h) >= 0
+                  THEN (1::BIGINT << hp.i) ELSE 0 END) AS bucket
+  FROM embeddings, hp
+  GROUP BY vec_id, embedding
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.v, c.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= 0.3
 ORDER BY id_a, id_b
 """
 
@@ -259,6 +340,7 @@ def entry_queries() -> dict:
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_cosine_topk": q_cosine_topk,
         "ext_embedding_dedup": q_embedding_dedup,
+        "ext_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ext_lsh_topk": q_lsh_topk,
         "ext_language_id": q_language_id,
         "ext_token_stats": q_token_stats,
@@ -271,14 +353,16 @@ def entry_queries() -> dict:
 def entry_oracles() -> dict:
     return {
         "ext_exact_dedup": O_EXACT_DEDUP,
+        "ext_ngram_jaccard": O_NGRAM_JACCARD,
         "ext_cosine_topk": O_COSINE_TOPK,
         "ext_embedding_dedup": O_EMBEDDING_DEDUP,
+        "ext_embedding_dedup_lsh": _embedding_dedup_lsh_oracle(),
         "ext_language_id": _langid_oracle(),
         "ext_token_stats": O_TOKEN_STATS,
         "ext_quality_score": _quality_oracle(),
         "ext_fingerprint": O_FINGERPRINT,
         "ext_multimodal_decode": O_MULTIMODAL,
-        # ext_minhash_pairs / ext_simhash_pairs / ext_ngram_jaccard /
-        # ext_lsh_topk: xxhash64/LSH internals have no DuckDB equivalent —
-        # rows-only check (deterministic row counts)
+        # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64
+        # band buckets have no DuckDB equivalent — rows-only check
+        # (deterministic row counts)
     }
