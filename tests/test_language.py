@@ -502,3 +502,96 @@ def test_delete_from_catalog_table(ws, spark):
     exp = spark.sql("SELECT count(*) FROM nation WHERE n_regionkey > 1").collect()[0][0]
     assert spark.table("del_t").count() == exp
     spark.sql("DROP TABLE IF EXISTS del_t")
+
+
+def test_recursive_cte_sequence(ws):
+    df = ws.run("""
+with recursive seq as {
+  from [[1]] as s(n)
+  concat {
+    from seq
+    where n < 5
+    select n = n + 1
+  }
+}
+from seq
+order by n
+""")
+    assert [r[0] for r in df.collect()] == [1, 2, 3, 4, 5]
+
+
+def test_recursive_cte_with_join(ws):
+    df = ws.run("""
+with recursive chain as {
+  from nation
+  where n_nationkey = 0
+  select n_nationkey, n_name
+  concat {
+    from chain, nation
+    where nation.n_nationkey = chain.n_nationkey + 1
+      and nation.n_nationkey <= 4
+    select nation.n_nationkey, nation.n_name
+  }
+}
+from chain
+order by n_nationkey
+""")
+    assert [r[0] for r in df.collect()] == [0, 1, 2, 3, 4]
+
+
+def test_non_recursive_with_unchanged(ws):
+    # plain `with` must still render as a non-recursive CTE
+    sql = ws.compile_to_sql("with a as { from nation } from a count")
+    assert "RECURSIVE" not in sql
+
+
+def test_at_time_zone(ws, spark):
+    df = ws.run("""
+from events
+where event_id = 1
+select h_utc = extract(hour from ts::timestamp)::long,
+       h_tokyo = extract(hour from ts::timestamp at time zone 'Asia/Tokyo')::long
+""")
+    r = df.collect()[0]
+    assert r["h_tokyo"] == (r["h_utc"] + 9) % 24  # Tokyo is UTC+9, no DST
+
+
+def test_prepared_params_positional(ws):
+    df = ws.run(
+        "from nation where n_nationkey < ? and n_regionkey = ? select n_nationkey order by n_nationkey",
+        params=[10, 1],
+    )
+    keys = [r[0] for r in df.collect()]
+    assert keys and all(k < 10 for k in keys)
+
+
+def test_prepared_params_indexed_and_named(ws):
+    df = ws.run("from nation where n_nationkey < $1 select n_nationkey order by n_nationkey",
+                params=[3])
+    assert [r[0] for r in df.collect()] == [0, 1, 2]
+    df = ws.run("from nation where n_name = $nm select n_nationkey", params={"nm": "NATION_7"})
+    assert [r[0] for r in df.collect()] == [7]
+
+
+def test_prepared_params_unbound_errors(ws):
+    from wvlet_spark.generator import CompileError
+
+    with pytest.raises(CompileError, match="parameter"):
+        ws.run("from nation where n_nationkey < ? select n_nationkey")
+    with pytest.raises(CompileError, match="parameter"):
+        ws.run("from nation where n_name = $nm select n_nationkey", params={})
+
+
+def test_ulid_string_native(ws):
+    df = ws.run("from nation where n_nationkey = 0 select uid = ulid_string")
+    v = df.collect()[0][0]
+    assert isinstance(v, str) and len(v) == 26
+    # compile-time evaluated: constant within one query
+    df = ws.run("from nation where n_nationkey < 3 select uid = ulid_string")
+    vals = {r[0] for r in df.collect()}
+    assert len(vals) == 1
+
+
+def test_native_def_passthrough(ws):
+    sql = ws.compile_to_sql("def myfn(x: int): int = native\nfrom nation select z = myfn(n_nationkey) limit 1")
+    assert "myfn(" in sql

@@ -18,6 +18,26 @@ from wvlet_spark.generator import CompileError
 MAX_EXPANSION_DEPTH = 100
 
 
+def _ulid_string() -> str:
+    """ULID: 48-bit ms timestamp + 80 random bits, Crockford base32
+    (26 chars).  Compile-time evaluated, like the reference's stdlib
+    ulid_string (ext/NativeFunction.scala)."""
+    import os
+    import time
+
+    enc = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    val = ((int(time.time() * 1000) & ((1 << 48) - 1)) << 80) \
+        | int.from_bytes(os.urandom(10), "big")
+    return "".join(enc[(val >> (5 * i)) & 31] for i in range(25, -1, -1))
+
+
+# natives evaluated inside the compiler, by name
+NATIVE_FUNCTIONS: dict = {
+    "ulid_string": _ulid_string,
+    "ulid": _ulid_string,
+}
+
+
 def _is_node(x) -> bool:
     return isinstance(x, N.Node)
 
@@ -121,8 +141,14 @@ class Analyzer:
                 v = self.vals.get(node.name)
                 if v is not None and v.expr is not None:
                     return deepcopy(v.expr)
+                # zero-arg function referenced by bare name (reference:
+                # `select ulid_string` calls the stdlib native function)
+                fn = self.functions.get(node.name)
+                if fn is not None and not fn.params:
+                    return self._inline_function(N.FunctionApply(node.name, []), _stack)
                 return node
-            if isinstance(node, N.FunctionApply) and node.name in self.functions:
+            if isinstance(node, N.FunctionApply) and not node.raw \
+                    and node.name in self.functions:
                 return self._inline_function(node, _stack)
             if isinstance(node, N.MethodCall) and node.method in self.type_methods:
                 return self._inline_method(node, _stack)
@@ -204,6 +230,14 @@ class Analyzer:
         key = f"def:{call.name}"
         if key in stack:
             raise CompileError(f"recursive function: {call.name}")
+        if isinstance(fn.body, N.NativeExpr):
+            # compiler-implemented natives evaluate once at compile time;
+            # anything else passes through to the engine as a plain call
+            # (reference: ext/NativeFunction.scala isImplemented/callByName)
+            impl = NATIVE_FUNCTIONS.get(call.name)
+            if impl is not None:
+                return N.Literal(impl(), "string")
+            return N.FunctionApply(call.name, [deepcopy(a) for a in call.args], raw=True)
         body = deepcopy(fn.body)
         bindings = self._bind_params(
             fn.params, [(None, a) for a in call.args], f"def {call.name}"

@@ -846,7 +846,17 @@ class SqlGenerator:
         B = SqlGenerator.Block
         defs = []
         for name, q in rel.defs:
-            defs.append(f"{self.q(name)} AS ({self.render(self.gen_rel(q))})")
+            if rel.recursive and isinstance(q, N.SetOp) and q.op in ("union_all", "union"):
+                # the recursion detector needs the UNION [ALL] as the CTE
+                # definition's top node — wrapping it in SELECT * FROM (...)
+                # breaks WITH RECURSIVE on both Spark and DuckDB.
+                # Parenthesized operands are fine.
+                l = self.render(self.gen_rel(q.left))
+                r = self.render(self.gen_rel(q.right))
+                kw = "UNION ALL" if q.op == "union_all" else "UNION"
+                defs.append(f"{self.q(name)} AS (({l}) {kw} ({r}))")
+            else:
+                defs.append(f"{self.q(name)} AS ({self.render(self.gen_rel(q))})")
         body = self.render(self.gen_rel(rel.body))
         kw = "WITH RECURSIVE " if rel.recursive else "WITH "
         sql = kw + ", ".join(defs) + " " + body
@@ -984,6 +994,19 @@ class SqlGenerator:
             return f"INTERVAL '{v}' {e.unit.upper()}"
         if isinstance(e, N.RawSQLExpr):
             return f"({e.sql})"
+        if isinstance(e, N.AtTimeZone):
+            inner, tz = self.expr(e.expr), self.expr(e.tz)
+            if self.dialect == DUCKDB:
+                # interpret as UTC instant, then take the wall clock in tz —
+                # equivalent to Spark's from_utc_timestamp
+                return f"((({inner}) AT TIME ZONE 'UTC') AT TIME ZONE ({tz}))"
+            return f"from_utc_timestamp({inner}, {tz})"
+        if isinstance(e, N.Param):
+            label = {"anon": f"?(#{e.index})", "index": f"${e.index}",
+                     "name": f"${e.name}"}[e.kind]
+            raise CompileError(
+                f"unbound prepared parameter {label}: pass params=[...] or "
+                f"params={{name: value}} to run()/compile_to_sql()")
         if isinstance(e, N.NamedExpr):
             return self.expr(e.expr)
         raise CompileError(f"expression generation not implemented for {type(e).__name__}")
@@ -1016,7 +1039,7 @@ class SqlGenerator:
         return name
 
     def _function(self, e: N.FunctionApply) -> str:
-        name = self._map_fn(e.name)
+        name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
             core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
         elif e.name.lower() == "count" and (not e.args or isinstance(e.args[0], N.Star)):

@@ -61,6 +61,7 @@ class FunctionApply(Expr):
     is_distinct: bool = False
     window: "WindowSpec | None" = None
     filter: Expr | None = None
+    raw: bool = False          # native passthrough: render verbatim, no FUNC_MAP
     ignore_nulls: bool = False
 
 
@@ -273,6 +274,32 @@ class NamedExpr(Node):
 @dataclass
 class RawSQLExpr(Expr):
     sql: str
+
+
+@dataclass
+class AtTimeZone(Expr):
+    """`expr at time zone tz` — interpret expr as a UTC instant and produce
+    the wall-clock time in tz (reference: exprs.scala AtTimeZone)."""
+    expr: Expr
+    tz: Expr
+
+
+@dataclass
+class Param(Expr):
+    """Prepared-statement parameter: `?` (anon, positional), `$1` (indexed),
+    `$name` (named).  Reference: exprs.scala NoName/Indexed/NamedParameter."""
+    kind: str                 # 'anon' | 'index' | 'name'
+    index: int = 0            # 1-origin position for anon/indexed params
+    name: str = ""
+
+
+@dataclass
+class NativeExpr(Expr):
+    """Body marker of `def f(...): t = native` — a function either evaluated
+    at compile time (ulid_string) or passed through to the engine verbatim
+    (reference: exprs.scala NativeExpression, ext/NativeFunction.scala)."""
+    name: str
+    ret_type: str | None = None
 
 
 # ---------------------------------------------------------------------------

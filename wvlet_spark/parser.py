@@ -498,6 +498,11 @@ class Parser:
             self.next()
             ret_type = self.parse_type_name()
         self.expect_op("=")
+        # native function: body provided by the compiler (ulid_string) or
+        # the engine (catalog-imported) — reference WvletParser NATIVE body
+        if self.peek().kind == "IDENT" and self.peek().text == "native":
+            self.next()
+            return N.FunctionDef(name, params, ret_type, N.NativeExpr(name, ret_type))
         # partial query def: body begins with a pipe keyword
         if self.peek().kind == "IDENT" and self.peek().text in PIPE_KEYWORDS:
             ops = self.parse_pipe_ops_deferred()
@@ -628,9 +633,9 @@ class Parser:
 
     def parse_query_body(self) -> N.Relation:
         ctes: list[tuple[str, N.Relation]] = []
+        recursive = False
         while self.at_kw("with"):
             self.next()
-            recursive = False
             if self.at_kw("recursive"):
                 self.next()
                 recursive = True
@@ -651,7 +656,7 @@ class Parser:
         rel = self.parse_query_start()
         rel = self.parse_pipe_ops(rel)
         if ctes:
-            rel = N.WithQuery(ctes, rel)
+            rel = N.WithQuery(ctes, rel, recursive=recursive)
         return rel
 
     def parse_query_start(self) -> N.Relation:
@@ -1287,6 +1292,11 @@ class Parser:
                     self.next()
                     left = N.FunctionApply("contains", [left, self.parse_additive()])
                     continue
+                if w == "at" and self.peek(1).kind == "IDENT" and self.peek(1).text == "time" \
+                        and self.peek(2).kind == "IDENT" and self.peek(2).text == "zone":
+                    self.next(); self.next(); self.next()
+                    left = N.AtTimeZone(left, self.parse_additive())
+                    continue
             break
         return left
 
@@ -1466,6 +1476,21 @@ class Parser:
         if t.kind == "BQIDENT":
             self.next()
             return N.Ident(t.text, quoted=True)
+        # prepared-statement parameters: ? / $1 / $name
+        if self.at_op("?"):
+            self.next()
+            self._anon_param_idx = getattr(self, "_anon_param_idx", 0) + 1
+            return N.Param("anon", index=self._anon_param_idx)
+        if self.at_op("$"):
+            self.next()
+            t2 = self.peek()
+            if t2.kind == "INT":
+                self.next()
+                return N.Param("index", index=int(t2.text))
+            if t2.kind == "IDENT":
+                self.next()
+                return N.Param("name", name=t2.text)
+            raise WvletSyntaxError("expected index or name after '$'", t2.line, t2.col)
         if self.at_op("("):
             self.next()
             exprs = [self.parse_expr()]

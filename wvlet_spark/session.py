@@ -33,6 +33,10 @@ class WvletSession:
         """
         self.spark = spark
         self.analyzer = Analyzer()
+        # stdlib natives (reference ships ulid_string in its standard
+        # library; calls are compile-time evaluated)
+        self.analyzer.register(N.FunctionDef(
+            "ulid_string", [], "string", N.NativeExpr("ulid_string", "string")))
         self.file_base = file_base
         self.test_mode = test_mode
         self._schema_cache: dict[str, list[str]] = {}
@@ -93,14 +97,19 @@ class WvletSession:
     def parse(self, text: str) -> list[N.Statement]:
         return Parser(text).parse_statements()
 
-    def compile_to_sql(self, text: str, dialect: str = SPARK) -> str:
-        """Compile the last query statement in `text` to SQL."""
+    def compile_to_sql(self, text: str, dialect: str = SPARK,
+                       params: list | tuple | dict | None = None) -> str:
+        """Compile the last query statement in `text` to SQL.  `params`
+        binds prepared-statement parameters (`?` / `$1` positionally from a
+        list, `$name` from a dict)."""
         stmts = self.parse(text)
         sql = None
         for stmt in stmts:
             self.analyzer.register(stmt)
             if isinstance(stmt, N.QueryStatement):
-                sql = self._gen_sql(stmt.body, dialect)
+                body = _bind_prepared_params(stmt.body, params) \
+                    if params is not None else stmt.body
+                sql = self._gen_sql(body, dialect)
         if sql is None:
             raise CompileError("no query statement found")
         return sql
@@ -225,16 +234,18 @@ class WvletSession:
 
     # ------------------------------------------------------------- execute
 
-    def run(self, text: str):
-        """Execute all statements; return the last result DataFrame (or None)."""
+    def run(self, text: str, params: list | tuple | dict | None = None):
+        """Execute all statements; return the last result DataFrame (or None).
+        `params` binds prepared-statement parameters (`?` / `$1`
+        positionally from a list, `$name` from a dict)."""
         stmts = self.parse(text)
         result = None
         self.last_test_results = []
         for stmt in stmts:
-            result = self._run_stmt(stmt) or result
+            result = self._run_stmt(stmt, params=params) or result
         return result
 
-    def _run_stmt(self, stmt: N.Statement):
+    def _run_stmt(self, stmt: N.Statement, params=None):
         if isinstance(stmt, (N.ModelDef, N.FunctionDef, N.PartialQueryDef, N.TypeDef)):
             self.analyzer.register(stmt)
             return None
@@ -244,7 +255,9 @@ class WvletSession:
         if isinstance(stmt, N.ImportStmt):
             return None
         if isinstance(stmt, N.QueryStatement):
-            df = self.sql_df(stmt.body)
+            body = _bind_prepared_params(stmt.body, params) \
+                if params is not None else stmt.body
+            df = self.sql_df(body)
             if self.test_mode and stmt.tests:
                 from wvlet_spark.testing import evaluate_tests
 
@@ -444,6 +457,41 @@ class WvletSession:
     def oracle_sql(self, text: str) -> str:
         """DuckDB-dialect SQL for the same query (for cross-checking)."""
         return self.compile_to_sql(text, dialect=DUCKDB)
+
+
+def _bind_prepared_params(rel: N.Relation, params: list | tuple | dict):
+    """Replace Param nodes with literal values: `?`/`$1` bind positionally
+    from a list/tuple (1-origin), `$name` from a dict."""
+    from wvlet_spark.analyzer import transform
+
+    def lit(v):
+        if v is None:
+            return N.Literal(None, "null")
+        if isinstance(v, bool):
+            return N.Literal(v, "bool")
+        if isinstance(v, int):
+            return N.Literal(v, "int")
+        if isinstance(v, float):
+            return N.Literal(v, "float")
+        return N.Literal(str(v), "string")
+
+    def expr_fn(node):
+        if not isinstance(node, N.Param):
+            return node
+        if node.kind == "name":
+            if not isinstance(params, dict) or node.name not in params:
+                raise CompileError(f"missing value for parameter ${node.name}")
+            return lit(params[node.name])
+        if isinstance(params, dict):
+            if node.index in params:
+                return lit(params[node.index])
+            raise CompileError(f"missing value for parameter #{node.index}")
+        if 1 <= node.index <= len(params):
+            return lit(params[node.index - 1])
+        raise CompileError(f"missing value for parameter #{node.index} "
+                           f"(got {len(params)} values)")
+
+    return transform(rel, expr_fn=expr_fn)
 
 
 def _substitute_idents(rel: N.Relation, params: dict):

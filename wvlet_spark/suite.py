@@ -580,6 +580,59 @@ ORDER BY c_mktsegment
 """,
 )
 
+# `at time zone`: interpret a naive timestamp as UTC, take the wall clock
+# in the target zone (reference: exprs.scala AtTimeZone)
+q(
+    "at_time_zone",
+    """
+from events
+where event_id <= 200
+select
+  event_id,
+  tokyo_hour = extract(hour from ts::timestamp at time zone 'Asia/Tokyo')::long,
+  ny_hour = extract(hour from ts::timestamp at time zone 'America/New_York')::long
+order by event_id
+""",
+    """
+SELECT event_id,
+  CAST(extract(hour FROM (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo') AS BIGINT) AS tokyo_hour,
+  CAST(extract(hour FROM (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS BIGINT) AS ny_hour
+FROM events WHERE event_id <= 200 ORDER BY event_id
+""",
+)
+
+# recursive CTE: walk the nation chain 0 -> 9, joining nation at each step
+# (native WITH RECURSIVE on both Spark >= 4.0 and DuckDB;
+# reference: wvlet-lang relation.scala WithQuery(isRecursive))
+q(
+    "recursive_cte",
+    """
+with recursive chain as {
+  from nation
+  where n_nationkey = 0
+  select n_nationkey, n_name
+  concat {
+    from chain, nation
+    where nation.n_nationkey = chain.n_nationkey + 1
+      and nation.n_nationkey <= 9
+    select nation.n_nationkey, nation.n_name
+  }
+}
+from chain
+order by n_nationkey
+""",
+    """
+WITH RECURSIVE chain AS (
+  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, n.n_name
+  FROM chain c, nation n
+  WHERE n.n_nationkey = c.n_nationkey + 1 AND n.n_nationkey <= 9
+)
+SELECT n_nationkey, n_name FROM chain ORDER BY n_nationkey
+""",
+)
+
 # set ops
 q(
     "set_ops",
