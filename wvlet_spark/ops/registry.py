@@ -313,20 +313,55 @@ ORDER BY doc_id
 
 
 def q_multimodal_decode(spark, sf_dir):
-    from wvlet_spark.ops.multimodal import decode_image_features, with_binary_payload
+    """Real PNG round trip: synthesize a deterministic constant-valued
+    greyscale PNG per doc (pure-Python encoder), decode it with the real
+    pure-Python PNG decoder (zlib inflate + filter reconstruction), and
+    emit metadata + pixel mean.  The oracle predicts every column from
+    doc_id alone, independently verifying the codec path end to end."""
+    from wvlet_spark.ops.multimodal import decode_image_features, with_png_payload
 
-    df = with_binary_payload(_docs(spark, sf_dir))
+    df = with_png_payload(_docs(spark, sf_dir).select("doc_id"))
     out = decode_image_features(df)
     return out.select(
-        "doc_id", "n_bytes", "format", F.size("features").alias("n_features")
+        "doc_id", "format", "width", "height", "channels", "bit_depth",
+        F.round("px_mean", 4).alias("px_mean"),
     ).orderBy("doc_id")
 
 
 O_MULTIMODAL = """
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       'fake/rgb8' AS format,
-       4 + 4 AS n_features
+       'image/png' AS format,
+       CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 8 + 1 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(8 AS BIGINT) AS bit_depth,
+       round(CAST(doc_id % 256 AS DOUBLE), 4) AS px_mean
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_audio_decode(spark, sf_dir):
+    """Real WAV round trip: synthesize deterministic constant PCM16 clips,
+    decode with the pure-Python RIFF/PCM16 decoder, emit per-clip stats;
+    the oracle predicts everything from doc_id."""
+    from wvlet_spark.ops.multimodal import decode_audio_features, with_wav_payload
+
+    df = with_wav_payload(_docs(spark, sf_dir).select("doc_id"))
+    out = decode_audio_features(df)
+    return out.select(
+        "doc_id", "format", "channels", "sample_rate", "n_samples",
+        F.round("amp_mean", 4).alias("amp_mean"),
+    ).orderBy("doc_id")
+
+
+O_AUDIO_DECODE = """
+SELECT doc_id,
+       'audio/wav' AS format,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+       round(CAST((doc_id % 2000) - 1000 AS DOUBLE), 4) AS amp_mean
 FROM documents
 ORDER BY doc_id
 """
@@ -347,6 +382,7 @@ def entry_queries() -> dict:
         "ext_quality_score": q_quality_score,
         "ext_fingerprint": q_fingerprint,
         "ext_multimodal_decode": q_multimodal_decode,
+        "ext_audio_decode": q_audio_decode,
     }
 
 
@@ -362,6 +398,7 @@ def entry_oracles() -> dict:
         "ext_quality_score": _quality_oracle(),
         "ext_fingerprint": O_FINGERPRINT,
         "ext_multimodal_decode": O_MULTIMODAL,
+        "ext_audio_decode": O_AUDIO_DECODE,
         # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64
         # band buckets have no DuckDB equivalent — rows-only check
         # (deterministic row counts)
