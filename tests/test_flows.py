@@ -308,3 +308,57 @@ run flow scoped
     run_id = df.collect()[0]["run_id"]
     assert spark.table(f"__wv_flow_{run_id}_out").collect()[0][0] == 3
     spark.catalog.dropTempView("staging")
+
+
+def test_flow_jump_stage_body(ws, spark):
+    """`stage s from x = -> OtherFlow` hands control to another flow."""
+    df = ws.run("""
+flow target_f = {
+  stage t1 = { from region where r_regionkey <= 1 }
+}
+flow source_f = {
+  stage prep = { from nation where n_nationkey < 5 }
+  stage handoff from prep = -> target_f
+}
+run flow source_f
+""")
+    st = {r["stage"]: r["state"] for r in df.collect()}
+    assert st == {"prep": "SUCCEEDED", "handoff": "SUCCEEDED"}
+    # the target flow actually ran
+    ex = ws.flow_executor
+    assert ex.store.runs("target_f")
+
+
+def test_flow_jump_route_case_and_end(ws, spark):
+    """Route cases can hand off to another flow or terminate with `end`."""
+    df = ws.run("""
+flow retention = {
+  stage keep = { from region }
+}
+flow router = {
+  stage src = { from nation }
+  route src {
+    case n_regionkey <= 1 -> retention
+    else -> end
+  }
+}
+run flow router
+""")
+    st = {r["stage"]: r["state"] for r in df.collect()}
+    assert st["src"] == "SUCCEEDED"
+    assert st["__jump_src_0"] == "SUCCEEDED"
+    assert st["__end_src_1"] == "SUCCEEDED"
+    assert ws.flow_executor.store.runs("retention")
+
+
+def test_flow_jump_unknown_flow_fails(ws):
+    df = ws.run("""
+flow lonely = {
+  stage a = { from region }
+  stage b from a = -> missing_flow_zzz
+}
+run flow lonely
+""")
+    st = {r["stage"]: (r["state"], r["error"]) for r in df.collect()}
+    assert st["b"][0] == "FAILED"
+    assert "missing_flow_zzz" in (st["b"][1] or "")

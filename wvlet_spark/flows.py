@@ -233,9 +233,23 @@ class FlowExecutor:
             stages[mg.name] = _StageRun(st)
 
         route_by_target: dict[str, tuple[N.FlowRoute, int]] = {}
+        flows_by_name = getattr(self.session, "_flows", {})
         for route in flow.routes:
             for i, case in enumerate(route.cases):
-                route_by_target[case.target] = (route, i)
+                tgt = case.target
+                if tgt not in stages and (tgt == "end" or tgt in flows_by_name):
+                    # `case ... -> end` terminates the path; `case ... ->
+                    # OtherFlow` jumps to another flow (flow.scala FlowJump /
+                    # FlowEnd).  Synthesize the stage the case routes to.
+                    kind = "end" if tgt == "end" else "jump"
+                    name = f"__{kind}_{route.source}_{i}"
+                    st = N.StageDef(name, kind=kind, sources=[route.source])
+                    if kind == "jump":
+                        st.action["target_flow"] = tgt
+                    stages[name] = _StageRun(st)
+                    route_by_target[name] = (route, i)
+                else:
+                    route_by_target[tgt] = (route, i)
 
         deps = {name: self._stage_deps(sr.stage, set(stages), route_by_target)
                 for name, sr in stages.items()}
@@ -301,7 +315,8 @@ class FlowExecutor:
                     self._finish(run_id, flow, sr)
             self._scopes.pop(run_id, None)
 
-        order = [st.name for st in flow.stages] + [m.name for m in flow.merges]
+        order = [st.name for st in flow.stages] + [m.name for m in flow.merges] \
+            + [n for n in stages if n.startswith("__jump_") or n.startswith("__end_")]
         return [
             {"stage": name, "state": stages[name].state,
              "attempts": stages[name].attempts,
@@ -507,6 +522,20 @@ class FlowExecutor:
             handler(record)
             return
         if st.kind == "end":
+            return
+        if st.kind == "jump":
+            # transfer control to another flow (reference: FlowJump)
+            target = st.action.get("target_flow")
+            flows_by_name = getattr(self.session, "_flows", {})
+            if target not in flows_by_name:
+                raise ValueError(f"jump target flow {target!r} is not defined")
+            summary = self.run(flows_by_name[target])
+            bad = [s for s in summary
+                   if s["state"] not in (SUCCEEDED, SKIPPED)]
+            if bad:
+                raise RuntimeError(
+                    f"jump target flow {target!r} failed at stage "
+                    f"{bad[0]['stage']!r}: {bad[0]['error']}")
             return
         if st.kind == "merge":
             from pyspark.sql import functions as F

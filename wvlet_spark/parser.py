@@ -356,6 +356,13 @@ class Parser:
                 self.next()
                 self.expect_op(")")
             return st
+        # flow jump: `stage s from x = -> OtherFlow` transfers control to
+        # another flow (reference: flow.scala FlowJump)
+        if self.at_op("->"):
+            self.next()
+            st.kind = "jump"
+            st.action["target_flow"] = self.expect_ident()
+            return st
         st.body = self.parse_brace_query()
         return st
 

@@ -1382,6 +1382,9 @@ ORDER BY 1
 q(
     "flow_dag_run",
     """
+flow suite_archive = {
+  stage store = { from orders where o_orderstatus = 'F' count }
+}
 flow suite_etl = {
   stage extract = { from orders where o_orderstatus = 'F' }
   stage enrich from extract = {
@@ -1391,6 +1394,10 @@ flow suite_etl = {
     agg n = _.count
   }
   stage audit if extract.done = { from extract count }
+  route enrich {
+    case n > 0 -> suite_archive
+    else -> end
+  }
 }
 run flow suite_etl
 """,
