@@ -153,6 +153,10 @@ class SqlGenerator:
         return '"' + name.replace('"', '""') + '"'
 
     def str_lit(self, s: str) -> str:
+        if self.dialect == SPARK:
+            # Spark's parser processes backslash escapes inside string
+            # literals ('\d' -> 'd'); standard-SQL engines do not
+            return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
         return "'" + s.replace("'", "''") + "'"
 
     # ------------------------------------------------------- statement entry
@@ -534,6 +538,13 @@ class SqlGenerator:
                 if k.alias and k.alias == it.expr.name:
                     ksql = self.expr(k.expr)
                     return f"{ksql} AS {self.q(it.alias or k.alias)}"
+            # positional grouping-key refs `_1 _2 ...`
+            m = re.fullmatch(r"_(\d+)", it.expr.name)
+            if m and 1 <= int(m.group(1)) <= len(group_keys):
+                k = group_keys[int(m.group(1)) - 1]
+                ksql = self.expr(k.expr)
+                name = it.alias or k.alias or self._derived_name(k.expr)
+                return f"{ksql} AS {self.q(name)}"
         sql = self.expr(it.expr)
         name = it.alias
         if name:
@@ -966,6 +977,10 @@ class SqlGenerator:
             items = ", ".join(self.expr(i) for i in e.items)
             return f"({items})"
         if isinstance(e, N.Subscript):
+            # string subscripts extract struct fields / map keys by name —
+            # bracket syntax resolves both on Spark and DuckDB
+            if isinstance(e.index, N.Literal) and e.index.kind == "string":
+                return f"{self.expr(e.target)}[{self.str_lit(str(e.index.value))}]"
             # wvlet arrays are 1-origin
             if self.dialect == SPARK:
                 return f"element_at({self.expr(e.target)}, {self.expr(e.index)})"

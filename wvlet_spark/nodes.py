@@ -353,6 +353,8 @@ class AliasedRelation(Relation):
     child: Relation
     alias: str
     columns: list[str] | None = None
+    from_select_as: bool = False  # `select as name` — registers the result
+                                  # for later statements in the same session
 
 
 @dataclass

@@ -993,7 +993,7 @@ class Parser:
         if self.at_kw("as"):
             self.next()
             alias = self.expect_ident()
-            return N.AliasedRelation(rel, alias)
+            return N.AliasedRelation(rel, alias, from_select_as=True)
         items = self.parse_select_items()
         return N.Project(rel, items, distinct)
 

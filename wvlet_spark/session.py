@@ -257,6 +257,11 @@ class WvletSession:
         if isinstance(stmt, N.QueryStatement):
             body = _bind_prepared_params(stmt.body, params) \
                 if params is not None else stmt.body
+            if isinstance(body, N.AliasedRelation) and body.from_select_as:
+                # `select as name` names the query result for later
+                # statements (reference spec/basic/select-as.wv)
+                self.analyzer.register(N.ModelDef(body.alias, [], body.child))
+                body = body.child
             df = self.sql_df(body)
             if self.test_mode and stmt.tests:
                 from wvlet_spark.testing import evaluate_tests
