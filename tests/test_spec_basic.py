@@ -264,3 +264,28 @@ def test_between_method_form(ws):
 def test_triple_quoted_string(ws):
     got = rows(ws, 'select v = """multi\nline"""')
     assert got == [("multi\nline",)]
+
+
+# -- lateral (relation.scala Lateral) ----------------------------------------
+
+def test_lateral_correlated_subquery(ws):
+    got = rows(ws, """
+from region, lateral {
+  from nation
+  where n_regionkey = r_regionkey
+  select top_nation = max(n_name)
+} as t
+select r_name, top_nation
+order by r_name
+""")
+    assert len(got) == 5 and got[0][0] == "AFRICA"
+    assert all(tn.startswith("NATION_") for _, tn in got)
+
+
+def test_lateral_unnest(ws):
+    got = rows(ws, """
+from [[1, [10, 20]], [2, [30]]] as t(id, arr), lateral unnest(arr) as u(x)
+select id, x
+order by id, x
+""")
+    assert got == [(1, 10), (1, 20), (2, 30)]

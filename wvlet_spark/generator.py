@@ -629,12 +629,21 @@ class SqlGenerator:
         lb = self.gen_rel(rel.left)
         if _block_dirty(lb):
             lb = self.wrap(lb)
-        rb = self.gen_rel(rel.right)
-        right_alias = _relation_alias(rel.right)
-        if _block_dirty(rb) or right_alias is None:
-            rsrc = f"({self.render(rb)}) AS {self.q(right_alias or self.fresh('r'))}"
+        if isinstance(rel.right, N.Lateral):
+            lat = rel.right
+            inner = self.render(self.gen_rel(lat.child))
+            alias = self.q(lat.alias or self.fresh("lat"))
+            if lat.columns:
+                alias += "(" + ", ".join(self.q(c) for c in lat.columns) + ")"
+            rb = SqlGenerator.Block(source="", columns=lat.columns)
+            rsrc = f"LATERAL ({inner}) AS {alias}"
         else:
-            rsrc = rb.source
+            rb = self.gen_rel(rel.right)
+            right_alias = _relation_alias(rel.right)
+            if _block_dirty(rb) or right_alias is None:
+                rsrc = f"({self.render(rb)}) AS {self.q(right_alias or self.fresh('r'))}"
+            else:
+                rsrc = rb.source
         jt = {
             "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
             "full": "FULL JOIN", "cross": "CROSS JOIN",

@@ -358,6 +358,15 @@ class AliasedRelation(Relation):
 
 
 @dataclass
+class Lateral(Relation):
+    """`lateral { subquery }` join operand — the subquery may reference
+    columns of relations to its left (reference: relation.scala Lateral)."""
+    child: Relation
+    alias: str | None = None
+    columns: list[str] | None = None
+
+
+@dataclass
 class ParenRelation(Relation):
     child: Relation        # { query } used as a relation
 

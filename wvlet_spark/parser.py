@@ -704,6 +704,19 @@ class Parser:
     def parse_relation_primary(self) -> N.Relation:
         t = self.peek()
         rel: N.Relation
+        # `lateral { subquery }` / `lateral unnest(...)` — the subquery may
+        # reference columns of relations to its left (reference:
+        # relation.scala Lateral)
+        if t.kind == "IDENT" and t.text == "lateral" \
+                and (self.at_op("{", offset=1) or self.peek(1).kind == "IDENT"):
+            self.next()
+            lat = N.Lateral(self.parse_relation_primary())
+            if self.at_kw("as"):
+                self.next()
+                lat.alias = self.expect_ident()
+                if self.at_op("("):
+                    lat.columns = self.parse_name_list_paren()
+            return lat
         if t.kind == "STRING":
             self.next()
             fmt = _infer_format(t.text)

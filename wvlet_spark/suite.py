@@ -580,6 +580,29 @@ ORDER BY c_mktsegment
 """,
 )
 
+# lateral join: correlated subquery as a join operand
+# (reference: relation.scala Lateral)
+q(
+    "lateral_join",
+    """
+from region, lateral {
+  from nation
+  where n_regionkey = r_regionkey
+  select top_nation = max(n_name), n_in_region = count(*)
+} as t
+select r_name, top_nation, n_in_region
+order by r_name
+""",
+    """
+SELECT r_name, top_nation, n_in_region
+FROM region, LATERAL (
+  SELECT max(n_name) AS top_nation, CAST(count(*) AS BIGINT) AS n_in_region
+  FROM nation WHERE n_regionkey = r_regionkey
+) AS t
+ORDER BY r_name
+""",
+)
+
 # `at time zone`: interpret a naive timestamp as UTC, take the wall clock
 # in the target zone (reference: exprs.scala AtTimeZone)
 q(
