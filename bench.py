@@ -36,6 +36,20 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # Size scan splits to the data so every core participates: a single
+    # 100 MB parquet file must not become one scan task on a 32-core box.
+    # (At cluster scale the 128 MB default is right; locally we split finer.)
+    try:
+        total_bytes = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir) if f.endswith(".parquet")
+        )
+    except OSError:
+        total_bytes = 0
+    max_part = min(128, max(4, (total_bytes // (int(cpus) * 3)) >> 20 or 4))
+    max_part = int(os.environ.get("SPARK_GRAFT_MAXPART_MB", max_part))
+    bcast_mb = int(os.environ.get("SPARK_GRAFT_BCAST_MB", 10))
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
@@ -43,7 +57,17 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(max_part * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(bcast_mb * 1024 * 1024))
+        # keep the 10 MB default broadcast threshold: a static 64 MB limit
+        # makes Spark broadcast million-row tables off parquet-size estimates
+        # (measured 3-5x slower joins); AQE still upgrades small sides at
+        # runtime from exact sizes.
+        # long benchmark sessions accumulate broadcast/checkpoint blocks that
+        # only a driver GC releases; nudge the cleaner so late queries don't
+        # run against a bloated old-gen.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .appName("wvlet_spark-bench")
         .getOrCreate()
     )

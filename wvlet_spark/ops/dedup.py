@@ -36,7 +36,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True) -> DataFrame:
     """Keep one representative row (min id) per distinct text.
     Single shuffle keyed on a 128-bit hash, not the full text — at scale the
-    shuffle carries 16 bytes + id instead of documents."""
+    shuffle carries 16 bytes + id instead of documents.  (No map-parallelism
+    guard here: the md5 map is cheap built-ins and the groupBy already
+    redistributes — a pre-repartition would shuffle the full text, the exact
+    thing this op is shaped to avoid.)"""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize \
         else F.col(text_col)
     h = F.md5(norm)
@@ -60,7 +63,7 @@ def _mh_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_k: int = 5,
-                       impl: str = "pandas") -> DataFrame:
+                       impl: str = "fast") -> DataFrame:
     """MinHash signature per document: sig[j] = min over word-shingles of
     the j-th affine permutation of the shingle hash.  Map-only; the
     signature is num_hashes longs.  Both impls share the same hash family
@@ -76,10 +79,67 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     per row, so shingle strings are built+hashed once; putting the shingle
     expression inside a per-j lambda (or behind a projection alias, which
     CollapseProject inlines right back) re-builds every shingle string
-    num_hashes times — measured ~40x slower end-to-end."""
+    num_hashes times — measured ~40x slower end-to-end.
+
+    impl='fast' (default): fully vectorized — hash each word ONCE
+    (pandas.util.hash_array, cython murmur over the whole Arrow batch),
+    then combine word hashes into shingle hashes with a k-term strided
+    polynomial in numpy.  Equivalent hash-family quality (deterministic,
+    uniform), but no per-shingle Python string building: the 'pandas'
+    impl spends its time constructing+encoding k-word shingle strings
+    (k-fold data amplification in the Python loop) — measured ~10x
+    slower than 'fast' at sf1.  Different family than 'pandas'/'expr',
+    so borderline pairs can differ between impls."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
+    if impl == "fast":
+        return _minhash_signatures_fast(df, text_col, id_col, num_hashes, shingle_k)
     if impl == "pandas":
         return _minhash_signatures_pandas(df, text_col, id_col, num_hashes, shingle_k)
     return _minhash_signatures_expr(df, text_col, id_col, num_hashes, shingle_k)
+
+
+def _minhash_signatures_fast(df: DataFrame, text_col: str, id_col: str,
+                             num_hashes: int, shingle_k: int) -> DataFrame:
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_co, b_co = _mh_coeffs(num_hashes)
+    p = np.uint64(_MH_P)
+    A = np.array(a_co, dtype=np.uint64)[:, None]
+    B = np.array(b_co, dtype=np.uint64)[:, None]
+    k = shingle_k
+    # polynomial weights for combining the k word hashes of a shingle;
+    # odd constants mod p keep the combination full-rank
+    C = np.array([pow(1099511628211, j, _MH_P) for j in range(k)], dtype=np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh_sig(texts: pd.Series) -> pd.Series:
+        # one murmur pass over every word in the batch
+        words_per_doc = [(t or "").lower().split() for t in texts]
+        offsets = np.cumsum([0] + [len(w) for w in words_per_doc])
+        if offsets[-1] == 0:
+            flat = np.zeros(0, dtype=np.uint64)
+        else:
+            all_words = np.concatenate([np.asarray(w, dtype=object)
+                                        for w in words_per_doc if w])
+            flat = pd.util.hash_array(all_words) % p
+        out = []
+        for d, words in enumerate(words_per_doc):
+            wh = flat[offsets[d]:offsets[d + 1]]
+            n = len(wh)
+            if n >= k:
+                # shingle hash = sum_j wh[i+j] * C[j] mod p, vectorized
+                h = np.zeros(n - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    h = (h + wh[j:n - k + 1 + j] * C[j]) % p
+            else:
+                h = (wh * C[:n]).sum(keepdims=True) % p if n else \
+                    np.zeros(1, dtype=np.uint64)
+            sig = ((A * h[None, :] + B) % p).min(axis=1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), mh_sig(text_col).alias("minhash"))
 
 
 def _minhash_signatures_pandas(df: DataFrame, text_col: str, id_col: str,
@@ -160,9 +220,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     # recompute the signature fold on both sides (2x the dominant cost);
     # at cluster scale this is "write signatures, then join", same idea
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
+    # banded rows carry ONLY (id, band, bucket) — shuffling the 64-slot
+    # signature array through the self-join would move ~8x more bytes than
+    # the ids; signatures are re-attached to the surviving candidate pairs
+    # afterwards from the (much smaller) sigs table
     banded = sigs.select(
         id_col,
-        "minhash",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -173,7 +236,7 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
         # anti-join against the HOT bucket list: hot buckets are few by
@@ -197,10 +260,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.minhash").alias("sig_a"),
-            F.col("r.minhash").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col(id_col).alias("id_a"),
+                          F.col("minhash").alias("sig_a")), on="id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"),
+                          F.col("minhash").alias("sig_b")), on="id_b")
     )
     # est_jaccard = matching signature slots / num_hashes
     est = F.size(
@@ -217,6 +282,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """64-bit SimHash per document: majority vote of token-hash bits,
     weighted by term frequency — all JVM expressions (aggregate/zip_with).
     Bit positions are unrolled statically (shift amounts must be literals)."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     tokens = _tokens(text_col)
     counters = F.aggregate(
         tokens,

@@ -91,6 +91,8 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload) partitions.
     Output: one row per input with media metadata + fixed-width features."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -127,6 +129,8 @@ _AUDIO_SCHEMA = StructType([
 def decode_audio_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched WAV decode: RIFF walk + PCM16 frames -> per-clip stats."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

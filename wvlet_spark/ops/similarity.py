@@ -79,6 +79,8 @@ def _pair_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k against a query vector."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     sim = cosine_to_query(F.col(vec_col), query_vec)
     return (
         df.select(F.col(id_col), sim.alias("cosine"))
@@ -104,6 +106,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     joined pair costs one numpy dot product; the shuffle carries
     (id, vector, norm[, bucket]) — never the documents.
     """
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -142,6 +146,8 @@ def rp_lsh_buckets(df: DataFrame, dim: int, planes: int = 12, seed: int = 42,
     """Append an integer LSH bucket: sign bits of `planes` random-hyperplane
     projections — one (batch x dim) @ (dim x planes) matmul per Arrow batch.
     Map-only; deterministic via seed."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     H = _hyperplanes(dim, planes, seed)
     weights = (1 << np.arange(planes, dtype=np.int64))
 

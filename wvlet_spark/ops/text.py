@@ -24,6 +24,8 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     """Heuristic language ID: stopword hit-count per language; argmax with
     fixed priority en>de>fr>es on ties.
     (A real model would be a Pandas UDF; the heuristic keeps this JVM-only.)"""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     toks = _tokens(F.col(text_col))
     scores = []
     for lang, words in STOPWORDS.items():
@@ -44,6 +46,8 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish subword estimate + char count.
     The BPE-ish pattern is RE2-safe (no lookaround) so the DuckDB oracle can
     run the identical regex."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -64,6 +68,8 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
     """Composite quality heuristic in [0,1]: length band, alpha ratio,
     punctuation ratio, stopword presence — the usual pretraining filters."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     t = F.col(text_col)
     n = F.length(t).cast("double")
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
@@ -84,6 +90,8 @@ def document_fingerprint(df: DataFrame, text_col: str = "text",
     """Stable 64-bit content fingerprint: xxhash64 of the
     whitespace-normalized lowercase text (order-sensitive rolling identity),
     plus a 128-bit md5 hex for cross-system comparison."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return (
         df.withColumn(out_col, F.xxhash64(norm))
