@@ -64,10 +64,6 @@ def main() -> None:
         # makes Spark broadcast million-row tables off parquet-size estimates
         # (measured 3-5x slower joins); AQE still upgrades small sides at
         # runtime from exact sizes.
-        # long benchmark sessions accumulate broadcast/checkpoint blocks that
-        # only a driver GC releases; nudge the cleaner so late queries don't
-        # run against a bloated old-gen.
-        .config("spark.cleaner.periodicGC.interval", "1min")
         .appName("wvlet_spark-bench")
         .getOrCreate()
     )
@@ -88,6 +84,12 @@ def main() -> None:
             df = ext[name](spark, sf_dir)
         # count() forces full execution without driver-side row transfer
         df.count()
+        # release intermediates the query materialized (minhash localCheckpoints
+        # its signature table): leaving them pinned squeezes execution memory
+        # and makes later big-join queries spill (measured: q18 2.1s -> 3.7s
+        # at sf1 with 4 stale checkpoints). Equivalent of "drop temp table".
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     # warm-up: JVM/codegen + file footers (one pass, untimed)
     for name in HEADLINE:
