@@ -33,7 +33,7 @@ flow etl = {
 run flow etl
 """)
     st = states(df)
-    assert st == {"extract": "SUCCEEDED", "load": "SUCCEEDED"}
+    assert st == {"extract": "success", "load": "success"}
     run_id = df.collect()[0]["run_id"]
     out = spark.table(f"__wv_flow_{run_id}_load")
     assert out.columns == ["n_nationkey", "n_name"]
@@ -49,7 +49,7 @@ flow byregion(rk: int = 0) = {
 }
 run flow byregion(rk=2)
 """)
-    assert set(states(df).values()) == {"SUCCEEDED"}
+    assert set(states(df).values()) == {"success"}
 
 
 def test_flow_failure_trigger_and_upstream_skip(ws):
@@ -63,10 +63,10 @@ flow fragile = {
 run flow fragile
 """)
     st = states(df)
-    assert st["bad"] == "FAILED"
-    assert st["downstream"] == "UPSTREAM_FAILED"
-    assert st["cleanup"] == "SUCCEEDED"
-    assert st["only_ok"] == "SKIPPED"
+    assert st["bad"] == "failed"
+    assert st["downstream"] == "skipped"
+    assert st["cleanup"] == "success"
+    assert st["only_ok"] == "skipped"
 
 
 def test_flow_retries_with_backoff(ws):
@@ -77,7 +77,7 @@ flow retrying = {
 run flow retrying
 """)
     row = df.collect()[0]
-    assert row["state"] == "FAILED"
+    assert row["state"] == "failed"
     assert row["attempts"] == 3  # 1 + 2 retries
     assert row["error"]
 
@@ -93,7 +93,7 @@ flow abtest = {
 run flow abtest
 """)
     st = states(df)
-    assert st["variant_a"] == "SUCCEEDED" and st["variant_b"] == "SUCCEEDED"
+    assert st["variant_a"] == "success" and st["variant_b"] == "success"
     run_id = df.collect()[0]["run_id"]
     a = spark.table(f"__wv_flow_{run_id}_variant_a").collect()[0][0]
     b = spark.table(f"__wv_flow_{run_id}_variant_b").collect()[0][0]
@@ -122,7 +122,7 @@ flow split = {
 }
 run flow split
 """)
-    assert set(states(df).values()) == {"SUCCEEDED"}
+    assert set(states(df).values()) == {"success"}
 
 
 def test_flow_merge_union(ws, spark):
@@ -136,7 +136,7 @@ flow fanin = {
 run flow fanin
 """)
     st = states(df)
-    assert st["both"] == "SUCCEEDED" and st["final"] == "SUCCEEDED"
+    assert st["both"] == "success" and st["final"] == "success"
     run_id = df.collect()[0]["run_id"]
     n = spark.table(f"__wv_flow_{run_id}_final").collect()[0][0]
     exp = spark.sql("SELECT count(*) FROM nation WHERE n_regionkey IN (0,1)").collect()[0][0]
@@ -152,7 +152,7 @@ flow notify = {
 }
 run flow notify
 """)
-    assert set(states(df).values()) == {"SUCCEEDED"}
+    assert set(states(df).values()) == {"success"}
     acts = ws.flow_executor.activations
     assert acts and acts[-1]["sink"] == "memory"
     assert acts[-1]["rows"] == 5
@@ -169,12 +169,12 @@ run flow partial
 """)
     first = df.collect()
     run_id = first[0]["run_id"]
-    assert states(df)["bad"] == "FAILED"
+    assert states(df)["bad"] == "failed"
     # create the missing table, then resume the same run
     spark.table("nation").limit(1).createOrReplaceTempView("definitely_missing_qq")
     df2 = ws.run(f"run flow partial resume '{run_id}'")
     st2 = states(df2)
-    assert st2 == {"ok": "SUCCEEDED", "bad": "SUCCEEDED"}
+    assert st2 == {"ok": "success", "bad": "success"}
     # the succeeded stage was not re-run: attempts recorded as 0 on resume
     ok_row = [r for r in df2.collect() if r["stage"] == "ok"][0]
     assert ok_row["attempts"] == 0
@@ -199,7 +199,7 @@ flow sensor = {
 }
 run flow sensor
 """)
-    assert set(states(df).values()) == {"SUCCEEDED"}
+    assert set(states(df).values()) == {"success"}
 
 
 def test_cron_next_fire():
@@ -236,7 +236,7 @@ flow forked = {
 run flow forked
 """)
     st = {r["stage"]: r["state"] for r in df.collect()}
-    assert set(st.values()) == {"SUCCEEDED"}
+    assert set(st.values()) == {"success"}
 
 
 def test_flow_scheduler_fires(ws):
@@ -302,7 +302,7 @@ flow scoped = {
 run flow scoped
 """)
     st = {r["stage"]: r["state"] for r in df.collect()}
-    assert set(st.values()) == {"SUCCEEDED"}
+    assert set(st.values()) == {"success"}
     # the user's view is untouched
     assert spark.table("staging").columns == ["marker"]
     run_id = df.collect()[0]["run_id"]
@@ -323,7 +323,7 @@ flow source_f = {
 run flow source_f
 """)
     st = {r["stage"]: r["state"] for r in df.collect()}
-    assert st == {"prep": "SUCCEEDED", "handoff": "SUCCEEDED"}
+    assert st == {"prep": "success", "handoff": "success"}
     # the target flow actually ran
     ex = ws.flow_executor
     assert ex.store.runs("target_f")
@@ -345,9 +345,9 @@ flow router = {
 run flow router
 """)
     st = {r["stage"]: r["state"] for r in df.collect()}
-    assert st["src"] == "SUCCEEDED"
-    assert st["__jump_src_0"] == "SUCCEEDED"
-    assert st["__end_src_1"] == "SUCCEEDED"
+    assert st["src"] == "success"
+    assert st["__jump_src_0"] == "success"
+    assert st["__end_src_1"] == "success"
     assert ws.flow_executor.store.runs("retention")
 
 
@@ -360,5 +360,5 @@ flow lonely = {
 run flow lonely
 """)
     st = {r["stage"]: (r["state"], r["error"]) for r in df.collect()}
-    assert st["b"][0] == "FAILED"
+    assert st["b"][0] == "failed"
     assert "missing_flow_zzz" in (st["b"][1] or "")

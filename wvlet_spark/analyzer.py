@@ -85,6 +85,15 @@ class Analyzer:
         if isinstance(stmt, N.ModelDef):
             self.models[stmt.name] = stmt
         elif isinstance(stmt, N.ValDef):
+            # a val bound to a zero-arg compiler native (val id = ulid_string)
+            # evaluates ONCE at definition time — every later reference sees
+            # the same value (reference: spec/basic/val.wv msg2/l1=l2)
+            if isinstance(stmt.expr, N.Ident) and stmt.expr.name in self.functions:
+                fn = self.functions[stmt.expr.name]
+                if isinstance(fn.body, N.NativeExpr) and not fn.params:
+                    impl = NATIVE_FUNCTIONS.get(stmt.expr.name)
+                    if impl is not None:
+                        stmt = N.ValDef(stmt.name, expr=N.Literal(impl(), "string"))
             self.vals[stmt.name] = stmt
         elif isinstance(stmt, N.FunctionDef):
             self.functions[stmt.name] = stmt
@@ -109,6 +118,23 @@ class Analyzer:
         """Expand models / vals / partial queries / scalar defs in a plan."""
 
         def rel_fn(node: N.Relation) -> N.Relation:
+            if isinstance(node, N.InterpTableRef):
+                # evaluate once bindings are literal; a part still symbolic
+                # means we're inside an unexpanded model body — leave as-is
+                out = []
+                for p in node.parts:
+                    if isinstance(p, str):
+                        out.append(p)
+                    elif isinstance(p, N.Literal):
+                        out.append("" if p.value is None else str(p.value))
+                    else:
+                        return node
+                name = "".join(out)
+                if name in self.models:
+                    return self._expand_model(name, [], _stack)
+                if name in self.vals and self.vals[name].table is not None:
+                    return deepcopy(self.vals[name].table)
+                return N.TableRef(name)
             if isinstance(node, N.TableRef):
                 name = node.name
                 if name in self.models:
@@ -158,7 +184,9 @@ class Analyzer:
                     N.MethodCall(node.qualifier, node.name, []), _stack)
             return node
 
-        return transform(rel, expr_fn=expr_fn, rel_fn=rel_fn)
+        out = transform(rel, expr_fn=expr_fn, rel_fn=rel_fn)
+        out, _ = _strip_asof_aliases(out)
+        return out
 
     # -- models ---------------------------------------------------------------
 
@@ -211,7 +239,11 @@ class Analyzer:
         if key in stack:
             raise CompileError(f"recursive partial query: {node.name}")
         body = deepcopy(pq.ops[0])
-        bindings = self._bind_params(pq.params, [(None, a) for a in node.args], f"def {node.name}")
+        bindings = self._bind_params(
+            pq.params,
+            [(a.alias, a.expr) if isinstance(a, N.NamedExpr) else (None, a)
+             for a in node.args],
+            f"def {node.name}")
 
         def fill_hole(r: N.Relation) -> N.Relation:
             if isinstance(r, _HoleRelation):
@@ -275,6 +307,80 @@ class Analyzer:
             return node
 
         return transform(body, expr_fn=expr_fn)
+
+
+def _asof_side_alias(rel) -> str | None:
+    if isinstance(rel, N.AliasedRelation):
+        return rel.alias
+    if isinstance(rel, N.Values):
+        return rel.alias
+    if isinstance(rel, N.ParenRelation):
+        return _asof_side_alias(rel.child)
+    if isinstance(rel, N.TableRef):
+        return rel.name.split(".")[-1]
+    return None
+
+
+def _strip_asof_aliases(rel):
+    """The Spark asof-join lowering flattens both sides into an unqualified
+    projection, so `stock.price` written AFTER an asof join can no longer
+    resolve by qualifier (reference keeps aliases visible —
+    spec/basic/join-asof.wv `add stock.price * holding.shares`).  Strip the
+    join's side aliases from qualified refs in every downstream pipe op.
+    Returns (rel, live_alias_set)."""
+    import dataclasses
+
+    if not dataclasses.is_dataclass(rel):
+        return rel, set()
+    if isinstance(rel, N.Join) and rel.asof:
+        aliases = set()
+        for side in (rel.left, rel.right):
+            a = _asof_side_alias(side)
+            if a:
+                aliases.add(a)
+        return rel, aliases
+    if isinstance(rel, N.WithQuery):
+        body2, aliases = _strip_asof_aliases(rel.body)
+        if body2 is not rel.body:
+            rel = dataclasses.replace(rel, body=body2)
+        return rel, aliases
+    child = getattr(rel, "child", None)
+    if not isinstance(child, N.Relation):
+        return rel, set()
+    child2, aliases = _strip_asof_aliases(child)
+    if child2 is not child:
+        rel = dataclasses.replace(rel, child=child2)
+    if not aliases:
+        return rel, set()
+
+    def expr_fn(node: N.Expr) -> N.Expr:
+        if isinstance(node, N.Ref) and isinstance(node.qualifier, N.Ident) \
+                and node.qualifier.name in aliases:
+            return N.Ident(node.name)
+        return node
+
+    def rewrite_field(v):
+        if isinstance(v, N.Relation):
+            return v
+        if isinstance(v, N.Expr) or (dataclasses.is_dataclass(v) and not isinstance(v, type)):
+            return transform(v, expr_fn=expr_fn)
+        if isinstance(v, list):
+            return [rewrite_field(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(rewrite_field(x) for x in v)
+        return v
+
+    changed = {}
+    for f in dataclasses.fields(rel):
+        if f.name == "child":
+            continue
+        v = getattr(rel, f.name)
+        nv = rewrite_field(v)
+        if nv is not v:
+            changed[f.name] = nv
+    if changed:
+        rel = dataclasses.replace(rel, **changed)
+    return rel, aliases
 
 
 def substitute_idents(tree, bindings: dict[str, N.Expr]):

@@ -39,14 +39,16 @@ from dataclasses import dataclass, field
 
 from wvlet_spark import nodes as N
 
-# terminal stage states
-SUCCEEDED = "SUCCEEDED"
-FAILED = "FAILED"
-SKIPPED = "SKIPPED"
-UPSTREAM_FAILED = "UPSTREAM_FAILED"
+# terminal stage states — lowercase vocabulary matches the reference's
+# run-summary output (spec/basic/flow-run.wv: success/failed/skipped;
+# a stage downstream of a failure is `skipped`)
+SUCCEEDED = "success"
+FAILED = "failed"
+SKIPPED = "skipped"
+UPSTREAM_FAILED = "skipped"
 # live states
-PENDING = "PENDING"
-RUNNING = "RUNNING"
+PENDING = "pending"
+RUNNING = "running"
 
 TERMINAL = {SUCCEEDED, FAILED, SKIPPED, UPSTREAM_FAILED}
 
@@ -429,7 +431,7 @@ class FlowExecutor:
             raise ValueError(f"cannot evaluate flow trigger on {e!r}")
         state = stages[name].state
         if prop in ("failed",):
-            return state in (FAILED, UPSTREAM_FAILED)
+            return state == FAILED
         if prop in ("done", "succeeded", "success"):
             return state == SUCCEEDED
         if prop in ("skipped",):
@@ -484,12 +486,27 @@ class FlowExecutor:
             return float(v.value) * 1000.0
         return parse_duration_ms(str(v))
 
+    def _materialize_passthrough(self, run_id: str, st: N.StageDef) -> None:
+        """wait/activate stages forward their upstream unchanged so
+        downstream `from <stage>` reads resolve (spec/basic/flow-run.wv
+        JourneyPipeline: entry | wait | activate | end)."""
+        spark = self.session.spark
+        upstream = st.sources[0] if st.sources else None
+        if upstream is None:
+            return
+        try:
+            df = spark.table(self._scope_ref(run_id, upstream))
+        except Exception:
+            return
+        df.createOrReplaceTempView(self._stage_table(run_id, st.name))
+
     def _run_stage_once(self, run_id, flow, sr: _StageRun, bound_args,
                         route_by_target):
         st = sr.stage
         spark = self.session.spark
         if st.kind == "wait":
             time.sleep(parse_duration_ms(st.action["duration"]) / 1000.0)
+            self._materialize_passthrough(run_id, st)
             return
         if st.kind == "wait_until":
             poll_ms = self._duration_cfg(st.config.get("poll_interval"), 200.0)
@@ -520,6 +537,7 @@ class FlowExecutor:
             self.activations.append(record)
             handler = self.sinks.get(sink, self._sink_log)
             handler(record)
+            self._materialize_passthrough(run_id, st)
             return
         if st.kind == "end":
             return
@@ -578,7 +596,13 @@ class FlowExecutor:
                 return node
             node = copy.copy(node)
             if isinstance(node, N.TableRef) and node.name in mapping:
-                node.name = mapping[node.name]
+                # alias the scoped view back to the stage name so qualified
+                # refs (`clean.customer_id` in a join ON) still resolve
+                # (spec/basic/flow-run.wv JoinPipeline)
+                orig = node.name
+                node.name = mapping[orig]
+                if "." not in orig:
+                    return N.AliasedRelation(node, orig)
                 return node
             for f in node.__dataclass_fields__:
                 v = getattr(node, f)
@@ -624,7 +648,18 @@ class FlowExecutor:
                 pred = (bucket >= pct_lo) & (bucket < pct_lo + case.percent)
                 pct_lo += case.percent
             elif case.cond is not None:
-                pred = F.expr(self.session.expr_sql(case.cond))
+                # `case _.age >= 18` — `_` refers to the routed relation's
+                # current row (reference: spec/basic/flow-run.wv)
+                from wvlet_spark.analyzer import transform as _tf
+
+                def _drop_underscore(n):
+                    if isinstance(n, (N.Ref, N.MethodCall)) and isinstance(
+                            getattr(n, "qualifier", getattr(n, "target", None)),
+                            N.Underscore):
+                        return N.Ident(getattr(n, "name", getattr(n, "method", "")))
+                    return n
+
+                pred = F.expr(self.session.expr_sql(_tf(case.cond, expr_fn=_drop_underscore)))
             else:  # else-case: remainder
                 pred = ~self._any_pred(taken_preds) if taken_preds else F.lit(True)
             view = f"__wv_route_{run_id}_{route.source}_{i}"

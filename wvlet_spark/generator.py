@@ -53,7 +53,9 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "list_contains": {SPARK: "array_contains", DUCKDB: "list_contains"},
     "array_contains": {SPARK: "array_contains", DUCKDB: "list_contains"},
     "transform": {SPARK: "transform", DUCKDB: "list_transform"},
+    "list_transform": {SPARK: "transform", DUCKDB: "list_transform"},
     "filter": {SPARK: "filter", DUCKDB: "list_filter"},
+    "list_filter": {SPARK: "filter", DUCKDB: "list_filter"},
     "json_extract_string": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
     "get_json_object": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
     "array_sort": {SPARK: "array_sort", DUCKDB: "list_sort"},
@@ -232,9 +234,13 @@ class SqlGenerator:
         if b.columns:
             non_keys = [c for c in b.columns if c not in key_names]
         arb = "any_value" if self.dialect == SPARK else "arbitrary"
-        agg_sqls = [f"{arb}({self.q(c)}) AS {self.q(c)}" for c in non_keys]
+        # output columns are NAMED arbitrary(col) regardless of dialect
+        # (reference: spec/basic/nest-filter.wv expects ["age_group",
+        # "arbitrary(id)", "arbitrary(age)"])
+        agg_sqls = [f"{arb}({self.q(c)}) AS {self.q(f'arbitrary({c})')}"
+                    for c in non_keys]
         b.select = key_sqls + agg_sqls
-        b.columns = key_names + non_keys
+        b.columns = key_names + [f"arbitrary({c})" for c in non_keys]
 
     # ---------------------------------------------------------- relations
 
@@ -248,6 +254,10 @@ class SqlGenerator:
             raise CompileError("unresolved partial-query hole (internal)")
         if isinstance(rel, N.TableRef):
             name = rel.name
+            # CTE names shadow catalog tables within the WITH scope
+            cte_cols = getattr(self, "_cte_columns", {}).get(name)
+            if cte_cols is not None:
+                return B(source=self.q(name), columns=list(cte_cols))
             if self.ctx.table_name_map:
                 name = self.ctx.table_name_map(name)
             cols = self.ctx.table_columns(rel.name) if self.ctx.table_columns else None
@@ -413,13 +423,18 @@ class SqlGenerator:
 
     def _gen_values(self, rel: N.Values) -> "SqlGenerator.Block":
         B = SqlGenerator.Block
-        rows = ", ".join("(" + ", ".join(self.expr(v) for v in row) + ")" for row in rel.rows)
         alias = self.q(rel.alias or self.fresh("values"))
+        if not rel.rows:
+            # 0-row table: `val empty(id, name) = []`
+            # (reference: spec/basic/table-value-constant.wv)
+            names = rel.columns or ["col1"]
+            sel = ", ".join(f"NULL AS {self.q(c)}" for c in names)
+            return B(source=f"(SELECT {sel} WHERE 1 = 0) AS {alias}",
+                     columns=list(names))
+        rows = ", ".join("(" + ", ".join(self.expr(v) for v in row) + ")" for row in rel.rows)
         cols = ""
         if rel.columns:
             cols = "(" + ", ".join(self.q(c) for c in rel.columns) + ")"
-        if self.dialect == SPARK:
-            return B(source=f"(VALUES {rows}) AS {alias}{cols}", columns=rel.columns)
         return B(source=f"(VALUES {rows}) AS {alias}{cols}", columns=rel.columns)
 
     def _gen_table_function(self, rel: N.TableFunctionCall) -> "SqlGenerator.Block":
@@ -549,7 +564,27 @@ class SqlGenerator:
         name = it.alias
         if name:
             return f"{sql} AS {self.q(name)}"
+        if not isinstance(it.expr, (N.Ident, N.Ref, N.Star)):
+            # unaliased expressions are named by their DuckDB-dialect text —
+            # the reference's output naming (spec/basic/string-concat.wv
+            # expects a column literally called `concat('hello', ' wvlet!')`)
+            return f"{sql} AS {self.q(self._display_name(it.expr))}"
         return sql
+
+    def _display_name(self, e: N.Expr) -> str:
+        """Reference-style auto-name: the DuckDB rendering of the expression."""
+        if self.dialect == DUCKDB:
+            return self.expr(e)
+        g = SqlGenerator(GenContext(
+            dialect=DUCKDB,
+            table_columns=self.ctx.table_columns,
+            prober=self.ctx.prober,
+            table_name_map=self.ctx.table_name_map,
+        ))
+        try:
+            return g.expr(e)
+        except Exception:
+            return self.expr(e)
 
     def _item_name(self, it) -> str:
         if isinstance(it, N.Star):
@@ -637,6 +672,12 @@ class SqlGenerator:
                 alias += "(" + ", ".join(self.q(c) for c in lat.columns) + ")"
             rb = SqlGenerator.Block(source="", columns=lat.columns)
             rsrc = f"LATERAL ({inner}) AS {alias}"
+        elif isinstance(rel.right, N.TableFunctionCall):
+            # `cross join unnest(col)` references left-side columns —
+            # correlated, so the subquery must be LATERAL
+            # (reference: spec/basic/unnest-cross-join.wv)
+            rb = self.gen_rel(rel.right)
+            rsrc = f"LATERAL {rb.source}"
         else:
             rb = self.gen_rel(rel.right)
             right_alias = _relation_alias(rel.right)
@@ -848,23 +889,28 @@ class SqlGenerator:
         if b.columns is None:
             raise CompileError("unpivot requires known input columns")
         ids = [c for c in b.columns if c not in set(rel.columns)]
-        selects = []
-        for c in rel.columns:
-            id_sql = ", ".join(self.q(i) for i in ids)
-            prefix = f"{id_sql}, " if ids else ""
-            selects.append(
-                f"SELECT {prefix}{self.str_lit(c)} AS {self.q(rel.name_col)}, "
-                f"{self.q(c)} AS {self.q(rel.value_col)} FROM {b.source}"
-            )
-        src = " UNION ALL ".join(selects)
+        # native UNPIVOT on both engines: ONE scan of the input (the
+        # union-per-column lowering reads it N times — a non-starter at
+        # scale) and row-major output order, matching the reference
+        # (spec/basic/unpivot.wv)
+        in_cols = ", ".join(self.q(c) for c in rel.columns)
+        src = (
+            f"(SELECT * FROM {b.source} UNPIVOT ({self.q(rel.value_col)} "
+            f"FOR {self.q(rel.name_col)} IN ({in_cols})))"
+        )
         cols = ids + [rel.name_col, rel.value_col]
-        return B(source=f"({src}) AS {self.q(self.fresh('unpv'))}", columns=cols)
+        return B(source=f"{src} AS {self.q(self.fresh('unpv'))}", columns=cols)
 
     # ----- with / describe
 
     def _gen_with(self, rel: N.WithQuery) -> "SqlGenerator.Block":
         B = SqlGenerator.Block
         defs = []
+        # record each CTE's output columns so body references (esp. the
+        # asof-join projection, which must know both sides' columns to
+        # avoid duplicating shared names) can resolve them
+        if not hasattr(self, "_cte_columns"):
+            self._cte_columns = {}
         for name, q in rel.defs:
             if rel.recursive and isinstance(q, N.SetOp) and q.op in ("union_all", "union"):
                 # the recursion detector needs the UNION [ALL] as the CTE
@@ -876,7 +922,10 @@ class SqlGenerator:
                 kw = "UNION ALL" if q.op == "union_all" else "UNION"
                 defs.append(f"{self.q(name)} AS (({l}) {kw} ({r}))")
             else:
-                defs.append(f"{self.q(name)} AS ({self.render(self.gen_rel(q))})")
+                qb = self.gen_rel(q)
+                if qb.columns is not None:
+                    self._cte_columns[name] = list(qb.columns)
+                defs.append(f"{self.q(name)} AS ({self.render(qb)})")
         body = self.render(self.gen_rel(rel.body))
         kw = "WITH RECURSIVE " if rel.recursive else "WITH "
         sql = kw + ", ".join(defs) + " " + body
@@ -1044,6 +1093,11 @@ class SqlGenerator:
             return self.str_lit(str(e.value))
         if e.kind == "duration":
             return self.str_lit(str(e.value))
+        if e.kind == "float" and self.dialect == SPARK:
+            # Spark parses bare 0.3 as DECIMAL and keeps decimal division
+            # decimal; wvlet floats are doubles (DuckDB promotes `/` to
+            # DOUBLE — spec/basic/double_func.wv expects a double result)
+            return f"{e.value}D"
         return str(e.value)
 
     def _arith(self, e: N.ArithmeticOp) -> str:
@@ -1053,7 +1107,24 @@ class SqlGenerator:
                 return f"({l} DIV {r})"
             return f"({l} // {r})"
         if e.op == "+" and (_is_stringy(e.left) or _is_stringy(e.right)):
-            return f"concat({l}, {r})"
+            # flatten the chain and nest RIGHT-associatively — matches the
+            # reference's rendering (spec/basic/string-concat.wv:
+            # concat('hello', concat(' wvlet', ' and airframe!')))
+            chain: list[N.Expr] = []
+
+            def flat(x: N.Expr) -> None:
+                if isinstance(x, N.ArithmeticOp) and x.op == "+" \
+                        and (_is_stringy(x.left) or _is_stringy(x.right)):
+                    flat(x.left)
+                    flat(x.right)
+                else:
+                    chain.append(x)
+
+            flat(e)
+            out = self.expr(chain[-1])
+            for part in reversed(chain[:-1]):
+                out = f"concat({self.expr(part)}, {out})"
+            return out
         return f"({l} {e.op} {r})"
 
     def _map_fn(self, name: str) -> str:
@@ -1066,6 +1137,26 @@ class SqlGenerator:
         name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
             core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+        elif e.name.lower() == "unnest" and self.dialect == SPARK \
+                and len(e.args) == 1 and isinstance(e.args[0], N.Literal) \
+                and e.args[0].kind == "null":
+            # explode(NULL) is a type error in Spark; DuckDB's unnest(NULL)
+            # yields 0 rows (spec/basic/unnest.wv)
+            core = "explode(CAST(NULL AS ARRAY<STRING>))"
+        elif e.name.lower() == "regexp_extract" and len(e.args) == 2 \
+                and self.dialect == SPARK:
+            # 2-arg regexp_extract returns the whole match (group 0) in
+            # DuckDB; Spark's idx defaults to group 1 — pin it to 0
+            core = (f"regexp_extract({self.expr(e.args[0])}, "
+                    f"{self.expr(e.args[1])}, 0)")
+        elif e.name.lower() == "list_reduce" and len(e.args) == 2 \
+                and self.dialect == SPARK:
+            # DuckDB's list_reduce folds with arr[1] as the seed and no
+            # initial value; Spark's reduce() requires one — seed with the
+            # head and fold the tail (spec/basic/lambda.wv)
+            a, lam = self.expr(e.args[0]), self.expr(e.args[1])
+            core = (f"reduce(slice({a}, 2, greatest(size({a}) - 1, 0)), "
+                    f"element_at({a}, 1), {lam})")
         elif e.name.lower() == "count" and (not e.args or isinstance(e.args[0], N.Star)):
             core = "COUNT(*)"
         else:

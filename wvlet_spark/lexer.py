@@ -89,24 +89,45 @@ def tokenize(text: str) -> list[Token]:
             pos = m.end()
             continue
 
-        # string prefixes: s"...", sql"..."
+        # /* ... */ (and /** ... */) block comments
+        if text.startswith("/*", pos):
+            endc = text.find("*/", pos + 2)
+            if endc < 0:
+                raise WvletSyntaxError("unterminated block comment", line, cur_col(pos))
+            advance_lines(text[pos : endc + 2], pos)
+            pos = endc + 2
+            continue
+
+        # s`...${expr}...` — interpolated identifier (table/result names;
+        # reference: spec/basic/backquote-interpolation.wv)
+        if text.startswith("s`", pos):
+            endq = text.find("`", pos + 2)
+            if endq < 0:
+                raise WvletSyntaxError("unterminated interpolated identifier",
+                                      line, cur_col(pos))
+            tokens.append(Token("INTERP_BQIDENT", text[pos + 2 : endq], line, cur_col(pos)))
+            pos = endq + 1
+            continue
+
+        # string prefixes: s"...", sql"..." (each also with """ bodies)
         if text.startswith('s"', pos) or text.startswith("sql\"", pos):
             prefix = "sql" if text.startswith("sql\"", pos) else "s"
-            start = pos + len(prefix)
-            body, end = _scan_quoted(text, start, '"', line, cur_col(pos))
             kind = "SQL_STRING" if prefix == "sql" else "INTERP_STRING"
+            start = pos + len(prefix)
+            if text.startswith('"""', start):
+                body, end = _scan_triple(text, start, line, cur_col(pos))
+            else:
+                body, end = _scan_quoted(text, start, '"', line, cur_col(pos))
             tokens.append(Token(kind, body, line, cur_col(pos)))
             advance_lines(text[pos:end], pos)
             pos = end
             continue
 
         if text.startswith('"""', pos):
-            endq = text.find('"""', pos + 3)
-            if endq < 0:
-                raise WvletSyntaxError("unterminated triple-quote string", line, cur_col(pos))
-            tokens.append(Token("TSTRING", text[pos + 3 : endq], line, cur_col(pos)))
-            advance_lines(text[pos : endq + 3], pos)
-            pos = endq + 3
+            body, end = _scan_triple(text, pos, line, cur_col(pos))
+            tokens.append(Token("TSTRING", body, line, cur_col(pos)))
+            advance_lines(text[pos:end], pos)
+            pos = end
             continue
 
         if ch == '"' or ch == "'":
@@ -156,6 +177,19 @@ def tokenize(text: str) -> list[Token]:
 
     tokens.append(Token("EOF", "", line, cur_col(pos)))
     return tokens
+
+
+def _scan_triple(text: str, start: int, line: int, col: int) -> tuple[str, int]:
+    """Scan a triple-quoted string starting at `start` (the first quote).
+    The closing delimiter is greedy: `\"\"\"select 1 as "id"\"\"\"` keeps the
+    embedded trailing quote in the body (reference: spec/basic/triple-quote.wv)."""
+    endq = text.find('"""', start + 3)
+    if endq < 0:
+        raise WvletSyntaxError("unterminated triple-quote string", line, col)
+    n = len(text)
+    while endq + 3 < n and text[endq + 3] == '"':
+        endq += 1
+    return text[start + 3 : endq], endq + 3
 
 
 def _scan_quoted(text: str, start: int, quote: str, line: int, col: int) -> tuple[str, int]:

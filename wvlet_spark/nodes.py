@@ -317,6 +317,13 @@ class TableRef(Relation):
 
 
 @dataclass
+class InterpTableRef(Relation):
+    """s`name_${expr}` — table name resolved after interpolation args are
+    bound (reference: spec/basic/backquote-interpolation.wv)."""
+    parts: list  # str | Expr
+
+
+@dataclass
 class FileScan(Relation):
     path: str
     fmt: str               # parquet | csv | json
@@ -663,6 +670,13 @@ class ImportStmt(Statement):
 
 
 @dataclass
+class UseStmt(Statement):
+    """use [schema|catalog|connector] name — session context switch
+    (reference: spec/basic/use-schema.wv)."""
+    target: str
+
+
+@dataclass
 class ShowStmt(Statement):
     body: Relation
 
@@ -746,4 +760,9 @@ class CallToolStmt(Statement):
 class RunFlowStmt(Statement):
     name: str
     args: dict[str, Expr] = field(default_factory=dict)
+    pos_args: list = field(default_factory=list)
     resume_run_id: str | None = None
+    # optional pipe chain applied to the run-summary relation and trailing
+    # tests (reference: spec/basic/flow-run.wv `run flow X | where ... test`)
+    pipe: Relation | None = None
+    tests: list = field(default_factory=list)

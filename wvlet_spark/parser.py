@@ -86,6 +86,10 @@ class Parser:
         expression that happens to start with the same word, e.g. the
         string function `concat(...)` vs the pipe op `concat { ... }`)."""
         t = self.peek()
+        if t.kind == "OP" and t.text == "|":
+            # explicit pipe continuation after a trailing comma
+            # (reference: spec/basic/count.wv `select 1,\n| count`)
+            return True
         if t.kind != "IDENT" or t.text not in PIPE_KEYWORDS:
             return False
         w = t.text
@@ -110,9 +114,24 @@ class Parser:
 
     def parse_statement(self) -> N.Statement:
         t = self.peek()
+        if t.kind == "OP" and t.text == "{":
+            # a braced query block is a valid statement start; pipe operators
+            # may follow the closing brace (reference: spec/basic/dedup.wv)
+            rel, tests = self.parse_query()
+            return N.QueryStatement(rel, tests)
         if t.kind != "IDENT":
             raise WvletSyntaxError(f"unexpected token {t.text!r} at statement start", t.line, t.col)
         w = t.text
+        if w == "package":
+            # namespace declaration — recorded, no execution semantics
+            self.next()
+            return N.ImportStmt("package " + self.parse_qualified_name())
+        if w == "use":
+            # use [schema|catalog|connector] name[.name] — session context
+            self.next()
+            if self.at_kw("schema") or self.at_kw("catalog") or self.at_kw("connector"):
+                self.next()
+            return N.UseStmt(self.parse_qualified_name())
         if w == "model":
             return self.parse_model_def()
         if w == "def":
@@ -131,6 +150,18 @@ class Parser:
                     parts.append("*")
                     break
                 parts.append(self.expect_ident())
+            # optional `as alias` and `from "source"` clauses
+            if self.at_kw("as"):
+                self.next()
+                self.expect_ident()
+            if self.at_kw("from"):
+                self.next()
+                tok = self.peek()
+                if tok.kind in ("STRING", "TSTRING"):
+                    self.next()
+                else:
+                    raise WvletSyntaxError("import ... from expects a string",
+                                           tok.line, tok.col)
             return N.ImportStmt(".".join(parts))
         if w == "execute":
             self.next()
@@ -267,14 +298,34 @@ class Parser:
         self.expect_kw("flow")
         name = self.expect_ident()
         params = self.parse_params()
+        flow = N.FlowDef(name, params)
+        # header clauses in any order before `=`: `with { schedule: ... }`
+        # config and `depends on OtherFlow` (spec/basic/flow-task-syntax.wv)
+        while True:
+            if self.at_kw("with"):
+                self.next()
+                flow.config.update(self.parse_config_struct())
+            elif self.at_kw("depends") and self.at_kw("on", offset=1):
+                self.next()
+                self.next()
+                deps = [self.parse_qualified_name()]
+                while self.at_op(","):
+                    self.next()
+                    deps.append(self.parse_qualified_name())
+                flow.config["depends_on_flows"] = deps
+            elif self.at_kw("if"):
+                # `flow Recovery if Other.failed = {...}` — error trigger
+                self.next()
+                flow.config["trigger"] = self.parse_trigger_expr()
+            else:
+                break
         self.expect_op("=")
         self.expect_op("{")
-        flow = N.FlowDef(name, params)
         while not self.at_op("}"):
             while self.at_op(";"):
                 self.next()
             if self.at_kw("stage"):
-                flow.stages.append(self.parse_stage_def())
+                flow.stages.append(self.parse_stage_def(flow))
             elif self.at_kw("route"):
                 flow.routes.append(self.parse_flow_route())
             elif self.at_kw("fork"):
@@ -285,7 +336,7 @@ class Parser:
                 while not self.at_op("}"):
                     while self.at_op(";"):
                         self.next()
-                    flow.stages.append(self.parse_stage_def())
+                    flow.stages.append(self.parse_stage_def(flow))
                 self.expect_op("}")
             elif self.at_kw("merge"):
                 flow.merges.append(self.parse_flow_merge())
@@ -297,10 +348,10 @@ class Parser:
         self.expect_op("}")
         if self.at_kw("with"):
             self.next()
-            flow.config = self.parse_config_struct()
+            flow.config.update(self.parse_config_struct())
         return flow
 
-    def parse_stage_def(self) -> N.StageDef:
+    def parse_stage_def(self, flow: "N.FlowDef | None" = None) -> N.StageDef:
         self.expect_kw("stage")
         st = N.StageDef(self.expect_ident())
         if self.at_kw("from"):
@@ -363,7 +414,99 @@ class Parser:
             st.kind = "jump"
             st.action["target_flow"] = self.expect_ident()
             return st
-        st.body = self.parse_brace_query()
+        # `stage merged = merge a, b` — merge as a stage body form
+        # (reference: spec/basic/flow-stage-sources.wv)
+        if self.at_kw("merge"):
+            self.next()
+            st.kind = "merge"
+            st.sources.append(self.expect_ident())
+            while self.at_op(","):
+                self.next()
+                st.sources.append(self.expect_ident())
+            return st
+        if self.at_op("{"):
+            st.body = self.parse_brace_query()
+        else:
+            # direct query body: `stage entry = from users | select name`
+            # (reference: spec/basic/flow-syntax.wv); stage deps are derived
+            # from table refs naming other stages
+            st.body = self.parse_query_body()
+            # `from x | wait('7 days')` / `| activate(...)` / `| end()` —
+            # action pipes become the stage's kind (spec/basic/flow-syntax.wv)
+            if isinstance(st.body, N.PartialApply) \
+                    and st.body.name in ("wait", "activate", "end"):
+                pa = st.body
+                upstream = pa.child
+                if isinstance(upstream, N.TableRef):
+                    st.sources.append(upstream.name)
+                    st.body = None
+                else:
+                    st.body = upstream
+                if pa.name == "wait":
+                    st.kind = "wait"
+                    a0 = pa.args[0] if pa.args else None
+                    st.action["duration"] = (
+                        a0.value if isinstance(a0, N.Literal) else
+                        a0.text if hasattr(a0, "text") else "0s")
+                elif pa.name == "activate":
+                    st.kind = "activate"
+                    plain = [a for a in pa.args if not isinstance(a, N.NamedExpr)]
+                    if plain and isinstance(plain[0], N.Literal):
+                        st.action["sink"] = plain[0].value
+                    for a in pa.args:
+                        if isinstance(a, N.NamedExpr) and a.alias:
+                            st.action[a.alias] = a.expr
+                else:
+                    st.kind = "end"
+        # `... | -> OtherFlow` — flow jump in pipe position
+        # (reference: spec/basic/flow-syntax.wv inactive_path)
+        if self.at_op("|") and self.at_op("->", offset=1):
+            self.next()
+            self.next()
+            st.kind = "jump"
+            st.action["target_flow"] = self.expect_ident()
+            if isinstance(st.body, N.TableRef):
+                st.sources.append(st.body.name)
+                st.body = None
+            return st
+        # `... | wait until <expr>` — poll the upstream until the predicate
+        # holds (reference: spec/basic/flow-syntax.wv SensorFlow)
+        if self.at_op("|") and self.at_kw("wait", offset=1) \
+                and self.at_kw("until", offset=2):
+            self.next()
+            self.next()
+            self.next()
+            st.kind = "wait_until"
+            st.body = N.Filter(st.body, self.parse_expr())
+            return st
+        # `... | fork { stage a = ... stage b = ... }` — parallel sub-stages
+        # (reference: spec/basic/flow-syntax.wv ForkFlow); the scheduler
+        # already runs independent stages in parallel, so fork is structural
+        if self.at_op("|") and self.at_kw("fork", offset=1) and flow is not None:
+            self.next()
+            self.next()
+            self.expect_op("{")
+            while not self.at_op("}"):
+                while self.at_op(";"):
+                    self.next()
+                flow.stages.append(self.parse_stage_def(flow))
+            self.expect_op("}")
+            return st
+        # `... | route [by hash(k)] { case cond -> target else -> other }` —
+        # a route fed by this stage's output (reference: spec/basic/flow-syntax.wv)
+        if self.at_op("|") and self.at_kw("route", offset=1):
+            self.next()
+            self.next()
+            route = N.FlowRoute(st.name)
+            if self.at_kw("by"):
+                self.next()
+                self.expect_kw("hash")
+                self.expect_op("(")
+                route.hash_key = self.parse_expr()
+                self.expect_op(")")
+            self._parse_route_cases(route)
+            if flow is not None:
+                flow.routes.append(route)
         return st
 
     def parse_trigger_expr(self) -> N.Expr:
@@ -407,6 +550,10 @@ class Parser:
             self.expect_op("(")
             route.hash_key = self.parse_expr()
             self.expect_op(")")
+        self._parse_route_cases(route)
+        return route
+
+    def _parse_route_cases(self, route: N.FlowRoute) -> None:
         self.expect_op("{")
         while not self.at_op("}"):
             while self.at_op(";"):
@@ -428,7 +575,6 @@ class Parser:
                 self.expect_op("->")
                 route.cases.append(N.FlowRouteCase(self.expect_ident(), cond=cond))
         self.expect_op("}")
-        return route
 
     def parse_flow_merge(self) -> N.FlowMerge:
         self.expect_kw("merge")
@@ -451,9 +597,15 @@ class Parser:
         if self.at_op("("):
             self.next()
             while not self.at_op(")"):
-                key = self.expect_ident()
-                self.expect_op("=")
-                stmt.args[key] = self.parse_expr()
+                # named `k = v` or positional `v`
+                # (reference: spec/basic/flow-params.wv `ParamPipeline('a', 3)`)
+                if self.peek().kind == "IDENT" and self.at_op("=", offset=1) \
+                        and not self.at_op("==", offset=1):
+                    key = self.expect_ident()
+                    self.expect_op("=")
+                    stmt.args[key] = self.parse_expr()
+                else:
+                    stmt.pos_args.append(self.parse_expr())
                 if self.at_op(","):
                     self.next()
             self.expect_op(")")
@@ -461,6 +613,17 @@ class Parser:
             self.next()
             t = self.next()
             stmt.resume_run_id = t.text
+        # the run summary is a relation: pipe ops and tests may follow
+        # (reference: spec/basic/flow-run.wv)
+        hole = _HoleRelation()
+        rel = self.parse_pipe_ops(hole)
+        tests: list[N.Expr] = []
+        while isinstance(rel, N.TestRelation):
+            tests.insert(0, rel.expr)
+            rel = rel.child
+        if rel is not hole:
+            stmt.pipe = rel
+        stmt.tests = tests
         return stmt
 
     # -- definitions --------------------------------------------------------
@@ -500,6 +663,12 @@ class Parser:
         self.expect_kw("def")
         name = self.expect_ident()
         params = self.parse_params()
+        # `def f(...) in duckdb: string = native` — an engine-native function
+        # imported from a target database catalog (reference:
+        # spec/basic/engine-native-func.wv); the binding engine is advisory
+        if self.at_kw("in"):
+            self.next()
+            self.parse_qualified_name()
         ret_type = None
         if self.at_op(":"):
             self.next()
@@ -590,11 +759,20 @@ class Parser:
         return base
 
     def parse_name_list_paren(self) -> list[str]:
+        """(a, b) — each name may carry an optional `:type` annotation
+        (`val t2(id:int, name:string)`, spec/basic/table-value-constant.wv);
+        types are advisory and dropped (values rows carry their own types)."""
         self.expect_op("(")
         names = [self.expect_ident()]
+        if self.at_op(":"):
+            self.next()
+            self.parse_type_name()
         while self.at_op(","):
             self.next()
             names.append(self.expect_ident())
+            if self.at_op(":"):
+                self.next()
+                self.parse_type_name()
         self.expect_op(")")
         return names
 
@@ -646,25 +824,31 @@ class Parser:
             if self.at_kw("recursive"):
                 self.next()
                 recursive = True
-            name = self.expect_ident()
-            self.expect_kw("as")
-            self.expect_op("{")
-            body, _ = self.parse_query()
-            self.expect_op("}")
-            ctes.append((name, body))
+            ctes.append(self._parse_cte_clause())
             while self.at_op(","):
                 self.next()
-                name = self.expect_ident()
-                self.expect_kw("as")
-                self.expect_op("{")
-                body, _ = self.parse_query()
-                self.expect_op("}")
-                ctes.append((name, body))
+                ctes.append(self._parse_cte_clause())
         rel = self.parse_query_start()
         rel = self.parse_pipe_ops(rel)
         if ctes:
             rel = N.WithQuery(ctes, rel, recursive=recursive)
         return rel
+
+    def _parse_cte_clause(self) -> tuple[str, N.Relation]:
+        """name [(cols)] as { query } — or `as [rows]`, a values-table CTE
+        (reference: spec/basic/with-values.wv)."""
+        name = self.expect_ident()
+        cols = None
+        if self.at_op("("):
+            cols = self.parse_name_list_paren()
+        self.expect_kw("as")
+        if self.at_op("["):
+            rows = self.parse_values_literal()
+            return (name, N.Values(rows, alias=name, columns=cols))
+        self.expect_op("{")
+        body, _ = self.parse_query()
+        self.expect_op("}")
+        return (name, body)
 
     def parse_query_start(self) -> N.Relation:
         if self.at_kw("from"):
@@ -685,6 +869,9 @@ class Parser:
             self.next()
             inner = self.parse_relation_primary()
             return N.Describe(inner)
+        if self.at_op("{"):
+            # braced query block as the pipe source (spec/basic/dedup.wv)
+            return self.parse_brace_query()
         t = self.peek()
         raise WvletSyntaxError(f"expected query start but found {t.text!r}", t.line, t.col)
 
@@ -693,6 +880,10 @@ class Parser:
         kind = self.expect_ident()
         in_target = None
         like = None
+        if kind == "query":
+            # show query <model> — display the model's query text
+            # (reference: spec/basic/show-query.wv)
+            return N.Show(kind, self.parse_qualified_name(), None)
         if self.at_kw("in"):
             self.next()
             in_target = self.parse_qualified_name()
@@ -717,7 +908,10 @@ class Parser:
                 if self.at_op("("):
                     lat.columns = self.parse_name_list_paren()
             return lat
-        if t.kind == "STRING":
+        if t.kind == "INTERP_BQIDENT":
+            self.next()
+            rel = N.InterpTableRef(_interp_ident_parts(t.text))
+        elif t.kind == "STRING":
             self.next()
             fmt = _infer_format(t.text)
             rel = N.FileScan(t.text, fmt)
@@ -794,11 +988,11 @@ class Parser:
             if (
                 allow_named
                 and self.peek().kind == "IDENT"
-                and self.at_op("=", offset=1)
+                and (self.at_op("=", offset=1) or self.at_op(":", offset=1))
                 and not self.at_op("==", offset=1)
             ):
                 name = self.expect_ident()
-                self.next()  # =
+                self.next()  # = or :
                 val = self.parse_expr()
                 args.append(N.NamedExpr(val, alias=name))
             else:
@@ -813,6 +1007,10 @@ class Parser:
     def parse_pipe_ops(self, rel: N.Relation) -> N.Relation:
         while True:
             if self.at_op("|"):
+                if self.at_kw("route", offset=1) or self.at_kw("fork", offset=1) \
+                        or self.at_op("->", offset=1) or (
+                        self.at_kw("wait", offset=1) and self.at_kw("until", offset=2)):
+                    break  # flow route/fork/jump/wait-until — stage parser handles
                 self.next()
                 rel = self.parse_partial_apply(rel)
                 continue
@@ -897,7 +1095,14 @@ class Parser:
                 rel = self.parse_join(rel)
             elif w == "concat":
                 self.next()
-                right = self.parse_brace_query()
+                # `concat { q }` or a direct `concat from <relation>` —
+                # in the direct form, later pipe ops apply to the UNION
+                # (reference: spec/basic/dedup.wv `concat from [...] dedup`)
+                if self.at_kw("from"):
+                    self.next()
+                    right = self.parse_relation_primary()
+                else:
+                    right = self.parse_brace_query()
                 rel = N.SetOp("union_all", rel, right)
             elif w == "intersect":
                 self.next()
@@ -976,7 +1181,7 @@ class Parser:
         name = self.expect_ident()
         args: list[N.Expr] = []
         if self.at_op("("):
-            args = [a.expr if isinstance(a, N.NamedExpr) else a for a in self.parse_call_args()]
+            args = self.parse_call_args(allow_named=True)
         return N.PartialApply(rel, name, args)
 
     def parse_brace_query(self) -> N.Relation:
@@ -1005,7 +1210,24 @@ class Parser:
             distinct = True
         if self.at_kw("as"):
             self.next()
-            alias = self.expect_ident()
+            if self.peek().kind == "INTERP_BQIDENT":
+                # `select as s`name_${0}`` — the interpolation must be
+                # static here (no deferred args in a result name)
+                t = self.next()
+                parts = _interp_ident_parts(t.text)
+                out = []
+                for p in parts:
+                    if isinstance(p, str):
+                        out.append(p)
+                    elif isinstance(p, N.Literal):
+                        out.append(str(p.value))
+                    else:
+                        raise WvletSyntaxError(
+                            "select-as name interpolation must be constant",
+                            t.line, t.col)
+                alias = "".join(out)
+            else:
+                alias = self.expect_ident()
             return N.AliasedRelation(rel, alias, from_select_as=True)
         items = self.parse_select_items()
         return N.Project(rel, items, distinct)
@@ -1170,7 +1392,9 @@ class Parser:
 
     def parse_unpivot(self, rel: N.Relation) -> N.Relation:
         self.expect_kw("unpivot")
-        value_col = self.expect_ident()
+        # value column is optional and defaults to "value"
+        # (reference: spec/basic/unpivot.wv `unpivot for month in (...)`)
+        value_col = "value" if self.at_kw("for") else self.expect_ident()
         self.expect_kw("for")
         name_col = self.expect_ident()
         self.expect_kw("in")
@@ -1326,6 +1550,13 @@ class Parser:
             return N.InSubquery(left, q, negated)
         if self.at_op("("):
             self.next()
+            # parenthesized subquery: `in ( from ... select ... )`
+            # (reference: spec/basic/tuple-in-subquery.wv)
+            if self.peek().kind == "IDENT" and self.peek().text in (
+                    "from", "select", "with", "show"):
+                q = self.parse_query_body()
+                self.expect_op(")")
+                return N.InSubquery(left, q, negated)
             vals = [self.parse_expr()]
             while self.at_op(","):
                 self.next()
@@ -1495,6 +1726,12 @@ class Parser:
             return N.Literal(t.text, "duration")
         if t.kind == "BQIDENT":
             self.next()
+            # backquoted name applied as a function: `sum`(1)
+            # (reference: spec/basic/backquoted-func.wv)
+            if self.at_op("("):
+                args = self.parse_call_args()
+                return N.FunctionApply(
+                    t.text, [a.expr if isinstance(a, N.NamedExpr) else a for a in args])
             return N.Ident(t.text, quoted=True)
         # prepared-statement parameters: ? / $1 / $name
         if self.at_op("?"):
@@ -1714,7 +1951,29 @@ class _DeleteMarker(N.Relation):
         self.child = child
 
 
+def _interp_ident_parts(raw: str) -> list:
+    """Split an s`...${expr}...` body into literal strings and parsed exprs."""
+    parts: list = []
+    i = 0
+    while i < len(raw):
+        j = raw.find("${", i)
+        if j < 0:
+            if raw[i:]:
+                parts.append(raw[i:])
+            break
+        if j > i:
+            parts.append(raw[i:j])
+        k = raw.find("}", j + 2)
+        if k < 0:
+            raise WvletSyntaxError("unterminated ${...} in interpolated identifier")
+        parts.append(Parser(raw[j + 2 : k]).parse_expr())
+        i = k + 1
+    return parts
+
+
 def _infer_format(path: str) -> str:
+    if path.lower().endswith(".wv"):
+        return "wv"
     p = path.lower()
     if p.endswith(".csv") or p.endswith(".csv.gz"):
         return "csv"

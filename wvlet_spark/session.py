@@ -80,6 +80,22 @@ class WvletSession:
         def name_map(name: str) -> str:
             if name in self._file_views:
                 return self._file_views[name]
+            # schema-bound table types: `type t in catalog.schema = {...}`
+            # makes catalog-qualified refs resolve through the binding
+            # (reference: spec/basic/type-table-binding.wv); Spark has no
+            # `memory` catalog, so map to the schema it can reach
+            table = name.split(".")[-1]
+            t = self.analyzer.types.get(table)
+            if t is not None and t.binding and name != table:
+                schema = t.binding.split(".")[-1]
+                if schema != "main" and self.spark is not None:
+                    try:
+                        if any(d.name == schema
+                               for d in self.spark.catalog.listDatabases()):
+                            return f"{schema}.{table}"
+                    except Exception:
+                        pass
+                return table
             return name
 
         prober = None
@@ -172,11 +188,44 @@ class WvletSession:
             return self._file_views[key]
         path = self._resolve_path(node.path)
         reader = self.spark.read
-        if node.fmt == "json":
+        if node.fmt == "wv":
+            # `from 'other.wv'` runs that file's query as a relation
+            # (reference: spec/basic/read-wv.wv)
+            with open(path, encoding="utf-8") as f:
+                stmts = self.parse(f.read())
+            body = None
+            for s in stmts:
+                if isinstance(s, (N.ModelDef, N.FunctionDef, N.PartialQueryDef,
+                                  N.TypeDef, N.ValDef)):
+                    self.analyzer.register(s)
+                elif isinstance(s, N.QueryStatement):
+                    body = s.body
+            if body is None:
+                raise CompileError(f"no query found in {node.path}")
+            df = self.sql_df(body)
+        elif node.fmt == "json":
             # wvlet's file scans accept JSON arrays (person.json style)
             df = reader.option("multiLine", "true").json(path)
+            # Spark's JSON schema inference alphabetizes fields; the
+            # reference preserves the first record's key order
+            # (spec/basic/select-json.wv expects id,name,age). Peek at the
+            # file head for the authored order and re-project.
+            order = _json_key_order(path)
+            if order:
+                cols = [c for c in order if c in df.columns]
+                cols += [c for c in df.columns if c not in cols]
+                df = df.select(*cols)
         elif node.fmt == "csv":
             df = reader.option("header", "true").option("inferSchema", "true").csv(path)
+            # integer CSV columns infer as int; the reference infers 64-bit
+            # (spec/basic/select-csv.wv expects `long`)
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import IntegerType
+            df = df.select(*[
+                F.col(f.name).cast("bigint").alias(f.name)
+                if isinstance(f.dataType, IntegerType) else F.col(f.name)
+                for f in df.schema.fields
+            ])
         else:
             df = reader.parquet(path)
         self._view_n += 1
@@ -192,21 +241,40 @@ class WvletSession:
 
         spark = self.spark
         kind = node.kind
+        # column names follow the reference's show-* output
+        # (spec/basic/show-tables.wv: ['name'], show-schemas.wv:
+        # ['catalog', 'name'], show-catalogs.wv: ['name'])
         if kind == "tables":
-            rows = [(t.name,) for t in spark.catalog.listTables(node.in_target)]
-            schema = StructType([StructField("table_name", StringType())])
+            target = node.in_target.split(".")[-1] if node.in_target else None
+            try:
+                rows = [(t.name,) for t in spark.catalog.listTables(target)]
+            except Exception:
+                # `show tables in memory.main` — unknown schema lists empty
+                rows = []
+            schema = StructType([StructField("name", StringType())])
         elif kind == "schemas":
-            rows = [(d.name,) for d in spark.catalog.listDatabases()]
-            schema = StructType([StructField("schema_name", StringType())])
+            cat = spark.catalog.currentCatalog()
+            rows = [(cat, d.name) for d in spark.catalog.listDatabases()]
+            schema = StructType(
+                [StructField("catalog", StringType()), StructField("name", StringType())])
         elif kind == "catalogs":
             rows = [(c.name,) for c in spark.catalog.listCatalogs()]
-            schema = StructType([StructField("catalog_name", StringType())])
+            schema = StructType([StructField("name", StringType())])
         elif kind == "models":
             rows = [(m,) for m in sorted(self.analyzer.models)]
             schema = StructType([StructField("name", StringType())])
         elif kind == "functions":
             rows = [(f.name,) for f in spark.catalog.listFunctions()]
             schema = StructType([StructField("function_name", StringType())])
+        elif kind == "query":
+            # show query <model> (reference: spec/basic/show-query.wv)
+            mdl = self.analyzer.models.get(node.in_target)
+            if mdl is None:
+                raise CompileError(f"unknown model: {node.in_target}")
+            sql = self._gen_sql(mdl.body, SPARK)
+            rows = [(node.in_target, sql)]
+            schema = StructType(
+                [StructField("name", StringType()), StructField("query", StringType())])
         elif kind == "columns":
             target = node.in_target or ""
             rows = [(c.name, c.dataType) for c in spark.catalog.listColumns(target)]
@@ -254,6 +322,18 @@ class WvletSession:
             return None
         if isinstance(stmt, N.ImportStmt):
             return None
+        if isinstance(stmt, N.UseStmt):
+            # switch the current database when it exists; otherwise record
+            # the context (connector/catalog names have no Spark analogue)
+            self.current_context = stmt.target
+            try:
+                db = stmt.target.split(".")[-1]
+                if self.spark is not None and any(
+                        d.name == db for d in self.spark.catalog.listDatabases()):
+                    self.spark.catalog.setCurrentDatabase(db)
+            except Exception:
+                pass
+            return None
         if isinstance(stmt, N.QueryStatement):
             body = _bind_prepared_params(stmt.body, params) \
                 if params is not None else stmt.body
@@ -274,6 +354,7 @@ class WvletSession:
                 self._write_file(df, stmt.target, mode="overwrite")
             else:
                 self.spark.sql(f"DROP TABLE IF EXISTS {stmt.target}")
+                self._clean_orphan_location(stmt.target)
                 df.write.mode("overwrite").saveAsTable(stmt.target)
                 self._schema_cache[stmt.target] = df.columns
             return None
@@ -329,6 +410,13 @@ class WvletSession:
         flow = self._flows[stmt.name]
         ex = self.flow_executor
         args = {k: ex._const(v, None) for k, v in stmt.args.items()}
+        # positional args bind to flow params in declaration order
+        for i, v in enumerate(stmt.pos_args):
+            if i < len(flow.params):
+                pname = flow.params[i][0] if isinstance(flow.params[i], tuple) \
+                    else getattr(flow.params[i], "name", None)
+                if pname and pname not in args:
+                    args[pname] = ex._const(v, None)
         summary = ex.run(flow, args, resume_run_id=stmt.resume_run_id)
         from pyspark.sql.types import (IntegerType, StringType, StructField,
                                        StructType)
@@ -342,7 +430,23 @@ class WvletSession:
         ])
         rows = [(s["stage"], s["state"], s["attempts"], s["error"], s["run_id"])
                 for s in summary]
-        return self.spark.createDataFrame(rows, schema)
+        df = self.spark.createDataFrame(rows, schema)
+        if stmt.pipe is not None or stmt.tests:
+            from wvlet_spark.parser import _HoleRelation
+
+            self._view_n += 1
+            view = f"__wv_flowrun_{self._view_n}"
+            df.createOrReplaceTempView(view)
+            self._schema_cache[view] = df.columns
+            if stmt.pipe is not None:
+                def fill(n):
+                    return N.TableRef(view) if isinstance(n, _HoleRelation) else n
+                df = self.sql_df(transform(stmt.pipe, rel_fn=fill))
+            if self.test_mode and stmt.tests:
+                from wvlet_spark.testing import evaluate_tests
+
+                self.last_test_results.extend(evaluate_tests(df, stmt.tests))
+        return df
 
     def expr_sql(self, e: N.Expr) -> str:
         """Render one expression to Spark-dialect SQL text."""
@@ -359,12 +463,44 @@ class WvletSession:
     def sql_df(self, rel: N.Relation):
         # run debug side-channels eagerly (they print, input passes through)
         self._run_debugs(rel)
-        body = rel
-        if isinstance(body, N.Describe):
-            inner_sql = self._gen_sql(body.child, SPARK)
-            return self.spark.sql(f"DESCRIBE QUERY {inner_sql}")
+        # describe nodes (top-level or mid-pipe) materialize the child's
+        # schema driver-side: (column_name, column_type) with wvlet type
+        # names — reference: spec/basic/describe.wv. Schema comes from
+        # Spark's analyzer only (no job runs).
+        if _contains_describe(rel):
+            rel = transform(rel, rel_fn=self._stage_describe)
         sql = self._gen_sql(rel, SPARK)
-        return self.spark.sql(sql)
+        try:
+            return self.spark.sql(sql)
+        except Exception as ex:
+            # raw sql"..." blocks may use ANSI double-quoted identifiers
+            # (`select 1 as "id"`, spec/basic/triple-quote.wv); Spark parses
+            # them only with this conf, so retry once with it on
+            if "PARSE_SYNTAX_ERROR" not in str(ex) or '"' not in sql:
+                raise
+            conf = self.spark.conf
+            old = conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+            try:
+                conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+                return self.spark.sql(sql)
+            finally:
+                conf.set("spark.sql.ansi.doubleQuotedIdentifiers", old)
+
+    def _stage_describe(self, node: N.Relation) -> N.Relation:
+        if not isinstance(node, N.Describe):
+            return node
+        from wvlet_spark.printer import _type_name
+
+        inner_sql = self._gen_sql(node.child, SPARK)
+        schema = self.spark.sql(inner_sql).schema
+        rows = [(f.name, _type_name(f.dataType)) for f in schema.fields]
+        df = self.spark.createDataFrame(
+            rows, "column_name string, column_type string")
+        self._view_n += 1
+        view = f"__wv_desc_{self._view_n}"
+        df.createOrReplaceTempView(view)
+        self._schema_cache[view] = df.columns
+        return N.TableRef(view)
 
     def _run_debugs(self, rel: N.Relation) -> None:
         debugs: list[N.Debug] = []
@@ -383,11 +519,45 @@ class WvletSession:
                 def fill(n):
                     return d.child if isinstance(n, _HoleRelation) else n
 
+                from wvlet_spark.parser import _SaveMarker
+
+                if isinstance(body, _SaveMarker):
+                    # a save inside debug executes for real — the main pipe
+                    # continues unaffected (spec/basic/debug-save.wv).
+                    # (_SaveMarker is not a dataclass, so fill its child
+                    # explicitly — transform() does not descend into it.)
+                    child = transform(body.child, rel_fn=fill)
+                    self._run_stmt(N.SaveTo(
+                        child, body.target, body.is_file, body.options, []))
+                    continue
                 body = transform(body, rel_fn=fill)
                 df = self.spark.sql(self._gen_sql(body, SPARK))
                 df.show(20, truncate=False)
             except Exception as ex:  # debug must never fail the main query
                 print(f"[debug] failed: {ex}")
+
+    def _clean_orphan_location(self, target: str) -> None:
+        """Remove a leftover managed-table directory after DROP TABLE: an
+        interrupted earlier run can leave the warehouse dir behind, and
+        saveAsTable then fails with LOCATION_ALREADY_EXISTS."""
+        import shutil
+
+        try:
+            wh = self.spark.conf.get("spark.sql.warehouse.dir", "")
+            wh = re.sub(r"^file:(//)?", "", wh)
+            if not wh or not os.path.isdir(wh):
+                return
+            parts = target.split(".")
+            table = parts[-1].lower()
+            db = parts[-2].lower() if len(parts) > 1 else None
+            cands = [os.path.join(wh, table)]
+            if db:
+                cands.append(os.path.join(wh, f"{db}.db", table))
+            for p in cands:
+                if os.path.isdir(p) and not self.spark.catalog.tableExists(target):
+                    shutil.rmtree(p, ignore_errors=True)
+        except Exception:
+            pass
 
     def _write_file(self, df, path: str, mode: str) -> None:
         path = self._resolve_path(path)
@@ -462,6 +632,50 @@ class WvletSession:
     def oracle_sql(self, text: str) -> str:
         """DuckDB-dialect SQL for the same query (for cross-checking)."""
         return self.compile_to_sql(text, dialect=DUCKDB)
+
+
+def _contains_describe(rel) -> bool:
+    import dataclasses
+
+    found = False
+
+    def walk(x):
+        nonlocal found
+        if found:
+            return
+        if isinstance(x, N.Describe):
+            found = True
+            return
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            for f in dataclasses.fields(x):
+                walk(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            for i in x:
+                walk(i)
+
+    walk(rel)
+    return found
+
+
+def _json_key_order(path: str) -> list[str] | None:
+    """First record's key order from a local JSON/JSONL file (None if the
+    path isn't a readable local file — remote files keep Spark's order)."""
+    import gzip
+    import json
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            head = f.read(1 << 16)
+        start = head.find("{")
+        if start < 0:
+            return None
+        obj, _ = json.JSONDecoder(object_pairs_hook=list).raw_decode(head[start:])
+        return [k for k, _v in obj]
+    except Exception:
+        return None
 
 
 def _bind_prepared_params(rel: N.Relation, params: list | tuple | dict):
@@ -573,4 +787,6 @@ def _infer_format(path: str) -> str:
         return "csv"
     if p.endswith(".json") or p.endswith(".json.gz"):
         return "json"
+    if p.endswith(".wv"):
+        return "wv"
     return "parquet"
