@@ -46,7 +46,11 @@ def main() -> None:
         )
     except OSError:
         total_bytes = 0
-    max_part = min(128, max(4, (total_bytes // (int(cpus) * 3)) >> 20 or 4))
+    # Floor at 16 MB: below that the per-task scheduling + repartition
+    # overhead dominates at small SF (round-2 measured a 2.6x regression at
+    # sf0.1 with 4 MB splits); at sf1+ the data/(cores*3) sizing takes over
+    # and bought DuckDB parity.
+    max_part = min(128, max(16, (total_bytes // (int(cpus) * 3)) >> 20 or 16))
     max_part = int(os.environ.get("SPARK_GRAFT_MAXPART_MB", max_part))
     bcast_mb = int(os.environ.get("SPARK_GRAFT_BCAST_MB", 10))
 

@@ -133,6 +133,8 @@ class GenContext:
     prober: object = None
     # table name -> SQL-addressable name (view registration etc.)
     table_name_map: object = None       # Callable[[str], str]
+    # bare column name -> Spark type simpleString (best-effort; None ok)
+    column_type: object = None          # Callable[[str], str | None]
 
 
 class SqlGenerator:
@@ -146,6 +148,24 @@ class SqlGenerator:
     def fresh(self, prefix: str = "wv") -> str:
         self._alias_n += 1
         return f"__{prefix}{self._alias_n}"
+
+    def _decimal_scale(self, e) -> int | None:
+        """Scale of a plain column reference with a decimal type, else None
+        (composite expressions keep Spark's own derived type — their
+        precision already saturates at 38 under Spark's multiply rules)."""
+        if self.ctx.column_type is None or e is None:
+            return None
+        if isinstance(e, N.Ident):
+            name = e.name
+        elif isinstance(e, N.Ref):
+            name = e.name
+        else:
+            return None
+        t = self.ctx.column_type(name)
+        if t is None:
+            return None
+        m = re.match(r"decimal\((\d+),(\d+)\)", t)
+        return int(m.group(2)) if m else None
 
     def q(self, name: str) -> str:
         if _SAFE_IDENT.match(name) and name.lower() not in _RESERVED:
@@ -1214,11 +1234,46 @@ class SqlGenerator:
                 fn = self._map_fn(m)
                 extra = "".join(", " + self.expr(a) for a in e.args)
                 core = f"{fn}({self.expr(t)}{extra})"
+            # Decimal aggregate result-type parity with the reference's
+            # engine (DuckDB): sum(decimal(p,s)) is decimal(38,s) and
+            # avg(decimal) is double there, while Spark derives
+            # decimal(p+10,s) / decimal(p+4,s+4).  When the argument
+            # resolves to a decimal column of known scale, cast the result
+            # (reference spec/tpch/test/q1-test.wv golden types).
+            if self.dialect == SPARK and m in ("sum", "avg"):
+                arg = (e.args[0] if e.args else None) if is_group else t
+                scale = self._decimal_scale(arg)
+                if scale is not None:
+                    if m == "sum":
+                        core = f"CAST({core} AS DECIMAL(38,{scale}))"
+                    else:
+                        # DuckDB divides the EXACT decimal sum, then
+                        # converts to double; Spark's avg(decimal) rounds
+                        # at scale+4 and a float-summed avg differs in the
+                        # last bits.  Spark's decimal division keeps >= 15
+                        # fractional digits here, which round-trips to the
+                        # same double.  nullif guards the all-null group.
+                        # the sum is narrowed to DECIMAL(20,s) so Spark's
+                        # division-scale adjustment leaves 20 fractional
+                        # digits (38 - 18 integer digits) — enough to
+                        # round-trip to the same double as an unbounded
+                        # quotient even for sub-1 averages
+                        a = self.expr(arg)
+                        core = (f"CAST(CAST(sum({a}) AS DECIMAL(20,{scale}))"
+                                f" / nullif(count({a}), 0) AS DOUBLE)")
         elif m == "or_else":
             core = f"coalesce({self.expr(t)}, {self.expr(e.args[0])})"
-        elif m == "in":
-            vals = ", ".join(self.expr(a) for a in e.args)
-            core = f"({self.expr(t)} IN ({vals}))"
+        elif m in ("in", "not_in"):
+            # `x.in(a, b, c)` / `x.not_in(...)`; a single subquery argument
+            # (`ps_suppkey.not_in( from supplier ... select s_suppkey )`,
+            # reference spec/tpch/q16.wv) lowers to [NOT] IN (SELECT ...)
+            kw = "NOT IN" if m == "not_in" else "IN"
+            if len(e.args) == 1 and isinstance(e.args[0], N.ScalarSubquery):
+                sub = self.render(self.gen_rel(e.args[0].query))
+                core = f"({self.expr(t)} {kw} ({sub}))"
+            else:
+                vals = ", ".join(self.expr(a) for a in e.args)
+                core = f"({self.expr(t)} {kw} ({vals}))"
         elif m == "between":
             core = f"({self.expr(t)} BETWEEN {self.expr(e.args[0])} AND {self.expr(e.args[1])})"
         elif m == "like":

@@ -134,33 +134,13 @@ LIMIT 10
 
 
 def q_embedding_dedup(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (the all-pairs baseline; the
-    use_lsh=True bucket-join variant is the 100TB path, exercised in tests)."""
-    from wvlet_spark.ops.similarity import embedding_near_dup_pairs
-
-    return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4) \
-        .orderBy("id_a", "id_b")
-
-
-O_EMBEDDING_DEDUP = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.4
-ORDER BY id_a, id_b
-"""
-
-
-def q_embedding_dedup_lsh(spark, sf_dir):
-    """Near-dup pairs via the LSH bucket-equi-join (the 100 TB path: only
-    same-bucket pairs pay a dot product).  The oracle recomputes the SAME
-    deterministic hyperplane buckets from literal coefficients in DuckDB,
-    so the full LSH semantics — bucketing included — are independently
-    verified, not just the final cosine."""
+    """Embedding-cosine near-dup pairs via the LSH bucket-equi-join (the
+    100 TB path: only same-bucket pairs pay a dot product — never n²).
+    The oracle recomputes the SAME deterministic hyperplane buckets from
+    literal coefficients in DuckDB, so the full LSH semantics — bucketing
+    included — are independently verified, not just the final cosine.
+    The exact all-pairs baseline stays as a pytest recall oracle
+    (tests assert LSH pairs ⊆ exact pairs)."""
     from wvlet_spark.ops.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
@@ -375,7 +355,6 @@ def entry_queries() -> dict:
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_cosine_topk": q_cosine_topk,
         "ext_embedding_dedup": q_embedding_dedup,
-        "ext_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ext_lsh_topk": q_lsh_topk,
         "ext_language_id": q_language_id,
         "ext_token_stats": q_token_stats,
@@ -391,8 +370,7 @@ def entry_oracles() -> dict:
         "ext_exact_dedup": O_EXACT_DEDUP,
         "ext_ngram_jaccard": O_NGRAM_JACCARD,
         "ext_cosine_topk": O_COSINE_TOPK,
-        "ext_embedding_dedup": O_EMBEDDING_DEDUP,
-        "ext_embedding_dedup_lsh": _embedding_dedup_lsh_oracle(),
+        "ext_embedding_dedup": _embedding_dedup_lsh_oracle(),
         "ext_language_id": _langid_oracle(),
         "ext_token_stats": O_TOKEN_STATS,
         "ext_quality_score": _quality_oracle(),

@@ -752,6 +752,18 @@ class Parser:
             self.expect_op(")")
             return f"{base}({','.join(args)})"
         if self.at_op("["):
+            # `array[int]` element types, or numeric parameters in bracket
+            # form: `decimal[15,2]` (reference spec/tpch/schema.wv) —
+            # normalized to paren form like `decimal(15,2)`
+            if self.peek(1).kind in ("INT", "FLOAT", "DECIMAL"):
+                self.next()
+                params = []
+                while not self.at_op("]"):
+                    params.append(self.next().text)
+                    if self.at_op(","):
+                        self.next()
+                self.expect_op("]")
+                return f"{base}({','.join(params)})"
             self.next()
             inner = self.parse_type_name()
             self.expect_op("]")
@@ -995,6 +1007,11 @@ class Parser:
                 self.next()  # = or :
                 val = self.parse_expr()
                 args.append(N.NamedExpr(val, alias=name))
+            elif self.at_kw("from"):
+                # bare query as argument: `x.in( from t select c )` /
+                # `x.not_in( from t ... )` (reference spec/tpch/q16.wv,
+                # q18.wv, q20.wv)
+                args.append(N.ScalarSubquery(self.parse_query_body()))
             else:
                 args.append(self.parse_expr())
             if self.at_op(","):

@@ -34,7 +34,9 @@ def _fmt(v) -> str:
             return str(int(v))
         return str(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize() if v == v.to_integral_value() else v)
+        # plain notation at the value's own scale: decimal(38,2) 380456.00
+        # keeps its trailing zeros (DuckDB/reference display parity)
+        return f"{v:f}"
     if isinstance(v, list):
         return "[" + ", ".join(_fmt(x) for x in v) + "]"
     if isinstance(v, dict):

@@ -40,6 +40,7 @@ class WvletSession:
         self.file_base = file_base
         self.test_mode = test_mode
         self._schema_cache: dict[str, list[str]] = {}
+        self._coltype_cache: dict[str, str] = {}
         self._file_views: dict[str, str] = {}
         self._view_n = 0
         self._watermarks: dict[str, object] = {}
@@ -108,7 +109,32 @@ class WvletSession:
             table_columns=self.table_columns,
             prober=prober,
             table_name_map=name_map,
+            column_type=self.column_type,
         )
+
+    def column_type(self, col: str) -> str | None:
+        """Spark type simpleString of a bare column name, looked up across
+        the registered table views (schema comes from the already-read
+        parquet footers — no job runs).  First match wins; TPC-H-style
+        schemas have globally unique column names."""
+        if self.spark is None:
+            return None
+        cached = self._coltype_cache.get(col)
+        if cached is not None:
+            return cached
+        for table in list(self._schema_cache):
+            cols = self._schema_cache.get(table) or []
+            if col in cols:
+                try:
+                    schema = self.spark.table(table).schema
+                except Exception:
+                    continue
+                for f in schema.fields:
+                    self._coltype_cache.setdefault(
+                        f.name, f.dataType.simpleString())
+                if col in self._coltype_cache:
+                    return self._coltype_cache[col]
+        return None
 
     def parse(self, text: str) -> list[N.Statement]:
         return Parser(text).parse_statements()

@@ -126,5 +126,12 @@ def read_stream(spark, table_or_path: str, watermark_column: str | None = None,
     else:
         df = spark.readStream.table(table_or_path)
     if watermark_column:
+        # Parquet-inferred event-time columns come back TIMESTAMP_NTZ, which
+        # withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Cast to
+        # the session-zoned TIMESTAMP type; values are identical under UTC.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get(watermark_column) == "timestamp_ntz":
+            df = df.withColumn(watermark_column, F.col(watermark_column).cast("timestamp"))
         df = df.withWatermark(watermark_column, delay)
     return df
