@@ -46,17 +46,27 @@ def main() -> None:
         )
     except OSError:
         total_bytes = 0
-    # Floor at 16 MB: below that the per-task scheduling + repartition
-    # overhead dominates at small SF (round-2 measured a 2.6x regression at
-    # sf0.1 with 4 MB splits); at sf1+ the data/(cores*3) sizing takes over
-    # and bought DuckDB parity.
-    max_part = min(128, max(16, (total_bytes // (int(cpus) * 3)) >> 20 or 16))
+    # Scale-aware knobs.  Toy inputs (less than ~16 MB per core, e.g. the
+    # 17 MB sf0.1 gate data) are dominated by per-task scheduling and
+    # shuffle setup: coarse 128 MB splits + eager 64 MB broadcast win there
+    # (measured 15s vs 32s for the suite at sf0.1).  At real scale the
+    # fine data/(cores*3) split sizing and the 10 MB broadcast default
+    # win instead (64 MB made Spark broadcast million-row tables off
+    # parquet-size estimates: 3-5x slower joins at sf1; AQE still
+    # upgrades small sides at runtime from exact sizes).
+    if total_bytes < int(cpus) * 16 * 1024 * 1024:
+        # toy scale: fewer shuffle buckets also cuts per-stage scheduling
+        max_part, bcast_default, shuffle_default = 128, 64, 8
+    else:
+        max_part = min(128, max(32, (total_bytes // (int(cpus) * 3)) >> 20))
+        bcast_default, shuffle_default = 10, max(8, int(cpus))
     max_part = int(os.environ.get("SPARK_GRAFT_MAXPART_MB", max_part))
-    bcast_mb = int(os.environ.get("SPARK_GRAFT_BCAST_MB", 10))
+    bcast_mb = int(os.environ.get("SPARK_GRAFT_BCAST_MB", bcast_default))
+    shuffle_n = int(os.environ.get("SPARK_GRAFT_SHUFFLE", shuffle_default))
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.shuffle.partitions", str(shuffle_n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -109,12 +119,47 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)
+
+    # DuckDB companion timings on the identical parquet — the same-scale
+    # baseline anchor, recorded in the same JSON line.  Headline queries
+    # without a DuckDB-expressible oracle (hash-based LSH ops) are omitted.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from wvlet_spark.ops import entry_oracles
+
+        oracles: dict[str, str] = {}
+        for name in HEADLINE:
+            if name in SUITE and SUITE[name][1]:
+                oracles[name] = SUITE[name][1]
+        for name, osql in entry_oracles().items():
+            if name in HEADLINE:
+                oracles[name] = osql
+        con = duckdb.connect()
+        for f in sorted(os.listdir(sf_dir)):
+            if f.endswith(".parquet"):
+                con.execute(
+                    f"CREATE VIEW {f[:-8]} AS SELECT * FROM '{sf_dir}/{f}'")
+        for name, osql in oracles.items():
+            con.execute(osql).fetchall()  # warm-up (buffer cache)
+            times = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                con.execute(osql).fetchall()
+                times.append(time.perf_counter() - t0)
+            duck[name] = round(statistics.median(times), 4)
+    except Exception:
+        duck = {}
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "headline_suite_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "duckdb": duck,
+        "duckdb_total": round(sum(duck.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "repeats": REPEATS,
