@@ -430,6 +430,46 @@ select channel_id, name
     assert [list(r) for r in df.collect()] == [["C1", "general"]]
 
 
+def test_connector_staged_once_per_statement(ws, spark):
+    """Run-scoped staging (reference SourceTableStaging): a statement that
+    references the connector table several times invokes the connector
+    function exactly once; the next statement re-stages (fresh data)."""
+    calls = []
+
+    def src(s):
+        calls.append(1)
+        return s.createDataFrame([(1, "a"), (2, "b")], ["id", "tag"])
+
+    ws.register_connector("ext.items", src)
+    df = ws.run("""
+from ext.items as l
+join ext.items as r on l.id = r.id
+select l.id, r.tag
+order by l.id
+""")
+    assert [list(r) for r in df.collect()] == [[1, "a"], [2, "b"]]
+    assert len(calls) == 1
+    ws.run("from ext.items select id").collect()
+    assert len(calls) == 2
+
+
+def test_connector_staged_views_isolated_between_sessions(spark):
+    """Two WvletSessions sharing one SparkSession stage the same connector
+    under different ULID-suffixed view names — no cross-talk."""
+    from wvlet_spark import WvletSession
+
+    ws1 = WvletSession(spark)
+    ws2 = WvletSession(spark)
+    ws1.register_connector("ext.x", lambda s: s.createDataFrame([(1,)], ["v"]))
+    ws2.register_connector("ext.x", lambda s: s.createDataFrame([(2,)], ["v"]))
+    r1 = ws1.run("from ext.x select v").collect()[0][0]
+    v1 = ws1._conn_staged["ext.x"]
+    r2 = ws2.run("from ext.x select v").collect()[0][0]
+    v2 = ws2._conn_staged["ext.x"]
+    assert (r1, r2) == (1, 2)
+    assert v1 != v2
+
+
 def test_call_tool(ws, spark):
     calls = []
 

@@ -218,6 +218,36 @@ class FlowExecutor:
 
     # -- public API ---------------------------------------------------------
 
+    def validate(self, flow: N.FlowDef) -> None:
+        """Definition-time wiring checks, so a broken flow is rejected when
+        it is declared, not when it first runs (reference spec/neg/
+        flow-merge-undefined-stage.wv, flow-trigger-undefined-stage.wv)."""
+        from wvlet_spark.generator import CompileError
+
+        names = {st.name for st in flow.stages} | {mg.name for mg in flow.merges}
+        for mg in flow.merges:
+            unknown = [s for s in mg.sources if s not in names]
+            if unknown:
+                raise CompileError(
+                    f"flow {flow.name!r}: merge {mg.name!r} references "
+                    f"undefined stage(s) {unknown}")
+        for st in flow.stages:
+            if st.condition is not None:
+                unknown = [r for r in self._cond_stage_refs(st.condition)
+                           if r not in names]
+                if unknown:
+                    raise CompileError(
+                        f"flow {flow.name!r}: stage {st.name!r} trigger "
+                        f"references undefined stage(s) {unknown}")
+            if st.kind in ("merge", "activate", "end", "jump"):
+                # these kinds consume stage outputs only — every source
+                # must name a stage (query-stage sources may be tables)
+                unknown = [s for s in st.sources if s not in names]
+                if unknown:
+                    raise CompileError(
+                        f"flow {flow.name!r}: {st.kind} stage {st.name!r} "
+                        f"references undefined stage(s) {unknown}")
+
     def run(self, flow: N.FlowDef, args: dict | None = None,
             resume_run_id: str | None = None) -> list[dict]:
         """Execute the flow; returns the summary rows
@@ -332,6 +362,14 @@ class FlowExecutor:
         return f"__wv_flow_{run_id}_{name}"
 
     def _bind_args(self, flow: N.FlowDef, args: dict) -> dict:
+        declared = {p[0] for p in flow.params}
+        unknown = [k for k in args if k not in declared]
+        if unknown:
+            # reference spec/neg/flow-run-unknown-param.wv: binding an
+            # argument no parameter declares is a compile-time error
+            raise ValueError(
+                f"flow {flow.name!r}: unknown argument(s) {unknown}; "
+                f"declared parameters: {sorted(declared)}")
         bound = {}
         for pname, _ptype, default in flow.params:
             if pname in args:

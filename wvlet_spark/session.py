@@ -47,6 +47,7 @@ class WvletSession:
         self._flows: dict[str, N.FlowDef] = {}
         self._flow_executor = None
         self._connectors: dict[str, object] = {}
+        self._conn_staged: dict[str, str] = {}   # connector -> staged view
         self._tools: dict[str, object] = {}
         self.last_test_results: list[tuple[bool, str]] = []
         if table_dir and spark is not None:
@@ -195,10 +196,23 @@ class WvletSession:
         self._tools[name] = fn
 
     def _stage_connector(self, name: str) -> str:
+        """Stage a connector's result as a run-scoped temp view, invoked at
+        most once per statement no matter how many times the query
+        references the name (reference: SourceTableStaging.scala /
+        QueryExecutor.scala stage foreign tables into ULID-suffixed
+        run-scoped tables).  The ULID suffix also isolates concurrent
+        WvletSessions sharing one SparkSession."""
+        staged = self._conn_staged.get(name)
+        if staged is not None:
+            return staged
+        from wvlet_spark.analyzer import _ulid_string
+
         df = self._connectors[name](self.spark)
-        view = "__wv_conn_" + re.sub(r"[^A-Za-z0-9_]", "_", name)
+        view = ("__wv_conn_" + re.sub(r"[^A-Za-z0-9_]", "_", name)
+                + "_" + _ulid_string().lower())
         df.createOrReplaceTempView(view)
         self._schema_cache[view] = df.columns
+        self._conn_staged[name] = view
         return view
 
     def _resolve_path(self, path: str) -> str:
@@ -340,6 +354,16 @@ class WvletSession:
         return result
 
     def _run_stmt(self, stmt: N.Statement, params=None):
+        # connector staging is statement-scoped: a new statement sees fresh
+        # connector data (one invocation), and the previous statement's
+        # run-scoped views are dropped
+        if self._conn_staged and self.spark is not None:
+            for view in self._conn_staged.values():
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+            self._conn_staged.clear()
         if isinstance(stmt, (N.ModelDef, N.FunctionDef, N.PartialQueryDef, N.TypeDef)):
             self.analyzer.register(stmt)
             return None
@@ -407,6 +431,8 @@ class WvletSession:
             sql = self._gen_sql(stmt.body, SPARK)
             return self.spark.sql(f"EXPLAIN FORMATTED {sql}")
         if isinstance(stmt, N.FlowDef):
+            # wiring errors surface at declaration, not first run
+            self.flow_executor.validate(stmt)
             self._flows[stmt.name] = stmt
             return None
         if isinstance(stmt, N.RunFlowStmt):
