@@ -1900,9 +1900,18 @@ class Parser:
     def parse_if(self) -> N.Expr:
         self.expect_kw("if")
         if self.at_op("("):
-            # function style if(cond, a, b)
+            # function style if(cond, a, b) — unless a lone parenthesized
+            # condition is followed by `then`: `if (a and b) then x else y`
             args = self.parse_call_args()
             vals = [a.expr if isinstance(a, N.NamedExpr) else a for a in args]
+            if len(vals) == 1 and self.at_kw("then"):
+                self.next()
+                then = self.parse_expr()
+                otherwise = None
+                if self.at_kw("else"):
+                    self.next()
+                    otherwise = self.parse_expr()
+                return N.IfExpr(vals[0], then, otherwise)
             cond = vals[0]
             then = vals[1] if len(vals) > 1 else N.Literal(None, "null")
             other = vals[2] if len(vals) > 2 else None

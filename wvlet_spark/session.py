@@ -140,6 +140,19 @@ class WvletSession:
     def parse(self, text: str) -> list[N.Statement]:
         return Parser(text).parse_statements()
 
+    def to_wvlet(self, sql: str) -> str:
+        """Convert SQL SELECT statement(s) to wvlet source text (the
+        reference's `to_wvlet` migration path, SqlParser.scala /
+        WvletGenerator.scala — here DuckDB's json_serialize_sql does the
+        parsing and sql_import.py emits wvlet)."""
+        from wvlet_spark.sql_import import sql_to_wvlet
+
+        return sql_to_wvlet(sql)
+
+    def run_sql(self, sql: str):
+        """Convert SQL to wvlet and execute it — one-call migration check."""
+        return self.run(self.to_wvlet(sql))
+
     def compile_to_sql(self, text: str, dialect: str = SPARK,
                        params: list | tuple | dict | None = None) -> str:
         """Compile the last query statement in `text` to SQL.  `params`

@@ -1,0 +1,614 @@
+"""SQL -> wvlet source conversion (`to_wvlet`).
+
+The reference ships a hand-written SQL parser plus a wvlet pretty-printer
+(`parser/SqlParser.scala`, `codegen/WvletGenerator.scala`) so users can
+migrate existing SQL to the flow-style syntax.  This implementation is
+Spark-era pragmatic: DuckDB's built-in `json_serialize_sql` does the
+parsing (a battle-tested SQL frontend already in the dependency set), and
+this module walks the serialized AST emitting wvlet text.  The emitted
+text then runs through the normal WvletSession pipeline — parser,
+analyzer, Spark SQL — so a converted query gets the same treatment as a
+hand-written one.
+
+Coverage: SELECT queries — joins (inner/left/right/full/cross, ON and
+USING), derived tables, VALUES lists, CTEs, scalar/IN/EXISTS subqueries,
+set operations, aggregates incl. DISTINCT count and FILTER-less windows,
+CASE, CAST, BETWEEN, LIKE, IS NULL, date arithmetic with intervals,
+ORDER/LIMIT/OFFSET.  DDL / DML statements are rejected with a clear
+error (the engine runs those through raw `sql"..."` passthrough instead).
+"""
+
+from __future__ import annotations
+
+import json
+
+from wvlet_spark.generator import CompileError
+
+
+class SqlImportError(CompileError):
+    """SQL construct with no wvlet translation (yet)."""
+
+
+_CMP = {
+    "COMPARE_EQUAL": "=",
+    "COMPARE_NOTEQUAL": "!=",
+    "COMPARE_LESSTHAN": "<",
+    "COMPARE_GREATERTHAN": ">",
+    "COMPARE_LESSTHANOREQUALTO": "<=",
+    "COMPARE_GREATERTHANOREQUALTO": ">=",
+    "COMPARE_DISTINCT_FROM": "is distinct from",
+    "COMPARE_NOT_DISTINCT_FROM": "is not distinct from",
+}
+
+_SETOP = {
+    # (setop_type, all) -> wvlet pipe operator
+    ("UNION", True): "concat",
+    ("UNION", False): "union",
+    ("INTERSECT", False): "intersect",
+    ("INTERSECT", True): "intersect all",
+    ("EXCEPT", False): "except",
+    ("EXCEPT", True): "except all",
+}
+
+# duckdb serializes interval literals as to_X(n) constructor calls
+_INTERVAL_FNS = {
+    "to_years": "year", "to_months": "month", "to_days": "day",
+    "to_hours": "hour", "to_minutes": "minute", "to_seconds": "second",
+    "to_weeks": "week", "to_quarters": "quarter",
+}
+
+_AGG_FNS = {
+    "sum", "avg", "min", "max", "count", "stddev", "stddev_samp",
+    "stddev_pop", "var_samp", "var_pop", "variance", "median", "mode",
+    "string_agg", "array_agg", "bool_and", "bool_or", "first", "last",
+    "any_value", "arbitrary", "product", "bit_and", "bit_or", "corr",
+}
+
+
+def parse_sql(sql: str) -> dict:
+    """SQL text -> DuckDB's serialized AST (raises on parse error)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        raw = con.execute(
+            "select json_serialize_sql(?::VARCHAR)", [sql]).fetchone()[0]
+    finally:
+        con.close()
+    ast = json.loads(raw)
+    if ast.get("error"):
+        raise SqlImportError(
+            f"SQL parse error: {ast.get('error_message', ast)}")
+    return ast
+
+
+def sql_to_wvlet(sql: str) -> str:
+    """Convert one or more SQL SELECT statements to wvlet source text."""
+    ast = parse_sql(sql)
+    out = []
+    for stmt in ast["statements"]:
+        out.append(_query_node(stmt["node"], top=True))
+    # `;` keeps statements separate — a bare `select` line would otherwise
+    # attach to the previous query as a pipe operator
+    return ";\n\n".join(out) + "\n"
+
+
+# --------------------------------------------------------------- query nodes
+
+
+def _query_node(node: dict, top: bool = False) -> str:
+    t = node["type"]
+    lines: list[str] = []
+    ctes = (node.get("cte_map") or {}).get("map") or []
+    for entry in ctes:
+        name = entry["key"]
+        body = _query_node(entry["value"]["query"]["node"])
+        lines.append(f"with {name} as {{\n{_indent(body)}\n}}")
+
+    if t == "SELECT_NODE":
+        lines += _select_node(node)
+    elif t == "SET_OPERATION_NODE":
+        key = (node["setop_type"], bool(node.get("setop_all")))
+        op = _SETOP.get(key)
+        if op is None:
+            raise SqlImportError(f"unsupported set operation {key}")
+        left = _query_node(node["left"])
+        right = _query_node(node["right"])
+        lines.append(left)
+        lines.append(f"{op} {{\n{_indent(right)}\n}}")
+        lines += _modifiers(node)
+    else:
+        raise SqlImportError(f"unsupported query node {t}")
+    return "\n".join(lines)
+
+
+def _select_node(node: dict) -> list[str]:
+    lines: list[str] = []
+    frm = node.get("from_table") or {"type": "EMPTY"}
+    has_from = frm.get("type") != "EMPTY"
+    if has_from:
+        lines += _from_relation(frm)
+
+    if node.get("where_clause"):
+        lines.append(f"where {_expr(node['where_clause'])}")
+
+    groups = node.get("group_expressions") or []
+    sets = [s for s in (node.get("group_sets") or []) if s is not None]
+    if len(sets) > 1:
+        raise SqlImportError("GROUPING SETS / CUBE / ROLLUP conversion "
+                             "not supported; keep as sql\"...\"")
+    if groups:
+        lines.append("group by " + ", ".join(_expr(g) for g in groups))
+    if node.get("having"):
+        # wvlet: a `where` between group by and select filters on
+        # aggregates (HAVING)
+        lines.append(f"where {_expr(node['having'])}")
+
+    distinct = any(m.get("type") == "DISTINCT_MODIFIER"
+                   for m in node.get("modifiers") or [])
+    items = [_select_item(e) for e in node.get("select_list") or []]
+    kw = "select distinct" if distinct else "select"
+    if not (len(items) == 1 and items[0] == "*" and has_from):
+        lines.append(f"{kw} " + ", ".join(items))
+    lines += _modifiers(node)
+    return lines
+
+
+def _modifiers(node: dict) -> list[str]:
+    lines = []
+    for m in node.get("modifiers") or []:
+        if m["type"] == "ORDER_MODIFIER":
+            parts = []
+            for o in m["orders"]:
+                s = _expr(o["expression"])
+                if o["type"] == "DESCENDING":
+                    s += " desc"
+                elif o["type"] == "ASCENDING":
+                    s += " asc"
+                if o.get("null_order") == "NULLS_FIRST":
+                    s += " nulls first"
+                elif o.get("null_order") == "NULLS_LAST":
+                    s += " nulls last"
+                parts.append(s)
+            lines.append("order by " + ", ".join(parts))
+        elif m["type"] == "LIMIT_MODIFIER":
+            if m.get("limit"):
+                lines.append(f"limit {_expr(m['limit'])}")
+            if m.get("offset"):
+                lines.append(f"offset {_expr(m['offset'])}")
+        elif m["type"] == "DISTINCT_MODIFIER":
+            if m.get("distinct_on_targets"):
+                raise SqlImportError("DISTINCT ON not supported")
+            # handled in _select_node
+        else:
+            raise SqlImportError(f"unsupported modifier {m['type']}")
+    return lines
+
+
+def _select_item(e: dict) -> str:
+    alias = e.get("alias") or ""
+    s = _expr(e)
+    if alias:
+        return f"{_name(alias)} = {s}"
+    return s
+
+
+# ----------------------------------------------------------------- relations
+
+
+def _from_relation(rel: dict) -> list[str]:
+    """FROM tree -> wvlet lines: `from a, b` for comma-joins (CROSS), else
+    explicit join pipes."""
+    t = rel["type"]
+    if t == "JOIN" and not rel.get("condition") \
+            and not rel.get("using_columns") \
+            and rel.get("join_type") in ("CROSS", "INNER"):
+        # `from a, b, c` (comma cross-join; predicates live in WHERE)
+        left = _from_relation(rel["left"])
+        right_ref = _rel_ref(rel["right"])
+        # comma-style: extend the leading `from` line
+        left[0] = left[0] + ", " + right_ref
+        return left
+    if t == "JOIN":
+        left = _from_relation(rel["left"])
+        jt = rel.get("join_type", "INNER")
+        kw = {"INNER": "join", "LEFT": "left join", "RIGHT": "right join",
+              "FULL": "full join", "OUTER": "full join",
+              "CROSS": "cross join", "SEMI": None, "ANTI": None}.get(jt)
+        if kw is None:
+            raise SqlImportError(f"unsupported join type {jt}")
+        if rel.get("ref_type") == "ASOF":
+            kw = "asof join"
+        line = f"{kw} {_rel_ref(rel['right'])}"
+        if rel.get("using_columns"):
+            line += " using(" + ", ".join(rel["using_columns"]) + ")"
+        elif rel.get("condition"):
+            line += f" on {_expr(rel['condition'])}"
+        left.append(line)
+        return left
+    return [f"from {_rel_ref(rel)}"]
+
+
+def _rel_ref(rel: dict) -> str:
+    """A single relation operand (table / subquery / VALUES) with alias."""
+    t = rel["type"]
+    alias = rel.get("alias") or ""
+    if t == "BASE_TABLE":
+        name = rel["table_name"]
+        if rel.get("schema_name"):
+            name = f"{rel['schema_name']}.{name}"
+        if alias and alias != rel["table_name"]:
+            name += f" as {_name(alias)}"
+        return name
+    if t == "SUBQUERY":
+        sub = rel["subquery"]["node"]
+        values = _as_values_list(sub)
+        if values is not None:
+            body = values
+        else:
+            body = "{\n" + _indent(_query_node(sub)) + "\n}"
+        if alias:
+            cols = rel.get("column_name_alias") or []
+            if cols:
+                return f"{body} as {_name(alias)}(" + ", ".join(cols) + ")"
+            return f"{body} as {_name(alias)}"
+        return body
+    if t == "EXPRESSION_LIST":
+        rows = ["[" + ", ".join(_expr(v) for v in row) + "]"
+                for row in rel["values"]]
+        body = "[" + ", ".join(rows) + "]"
+        if alias and alias != "valueslist":
+            return f"{body} as {_name(alias)}"
+        return body
+    if t == "TABLE_FUNCTION":
+        fn = rel.get("function", {})
+        if fn.get("function_name") == "unnest":
+            args = ", ".join(_expr(c) for c in fn.get("children", []))
+            s = f"unnest({args})"
+            if alias:
+                s += f" as {_name(alias)}"
+            return s
+    raise SqlImportError(f"unsupported relation {t}")
+
+
+def _as_values_list(sub: dict) -> str | None:
+    """`(VALUES ...) t(...)` serializes as SELECT * FROM EXPRESSION_LIST —
+    collapse back to a wvlet values literal."""
+    if sub.get("type") != "SELECT_NODE":
+        return None
+    sl = sub.get("select_list") or []
+    frm = sub.get("from_table") or {}
+    if (len(sl) == 1 and sl[0].get("type") == "STAR"
+            and frm.get("type") == "EXPRESSION_LIST"
+            and not sub.get("where_clause")
+            and not sub.get("group_expressions")
+            and not sub.get("modifiers")):
+        rows = ["[" + ", ".join(_expr(v) for v in row) + "]"
+                for row in frm["values"]]
+        return "[" + ", ".join(rows) + "]"
+    return None
+
+
+# --------------------------------------------------------------- expressions
+
+
+def _expr(e: dict) -> str:
+    cls = e["class"]
+    t = e["type"]
+
+    if cls == "COLUMN_REF":
+        return ".".join(_name(p) for p in e["column_names"])
+    if cls == "CONSTANT":
+        return _constant(e["value"])
+    if cls == "STAR":
+        return "*"
+    if cls == "COMPARISON":
+        op = _CMP.get(t)
+        if op is None:
+            raise SqlImportError(f"unsupported comparison {t}")
+        return f"{_expr(e['left'])} {op} {_expr(e['right'])}"
+    if cls == "CONJUNCTION":
+        op = " and " if t == "CONJUNCTION_AND" else " or "
+        return "(" + op.join(_expr(c) for c in e["children"]) + ")"
+    if cls == "OPERATOR":
+        return _operator(e)
+    if cls == "FUNCTION":
+        return _function(e)
+    if cls == "BETWEEN":
+        return (f"{_expr(e['input'])} between {_expr(e['lower'])} "
+                f"and {_expr(e['upper'])}")
+    if cls == "CASE":
+        parts = ["case"]
+        for chk in e["case_checks"]:
+            parts.append(f"when {_expr(chk['when_expr'])} "
+                         f"then {_expr(chk['then_expr'])}")
+        if e.get("else_expr") is not None:
+            els = e["else_expr"]
+            if not (els.get("class") == "CONSTANT"
+                    and els["value"].get("is_null")):
+                parts.append(f"else {_expr(els)}")
+        parts.append("end")
+        return " ".join(parts)
+    if cls == "CAST":
+        if e.get("try_cast"):
+            raise SqlImportError("TRY_CAST has no wvlet equivalent")
+        return f"{_maybe_paren(e['child'])}::{_type_name(e['cast_type'])}"
+    if cls == "SUBQUERY":
+        sub = "{\n" + _indent(_query_node(e["subquery"]["node"])) + "\n}"
+        if e["subquery_type"] == "SCALAR":
+            return sub
+        if e["subquery_type"] == "EXISTS":
+            return f"exists {sub}"
+        if e["subquery_type"] == "ANY":
+            if e.get("comparison_type") == "COMPARE_EQUAL":
+                return f"{_expr(e['child'])} in {sub}"
+            raise SqlImportError(
+                f"unsupported ANY comparison {e.get('comparison_type')}")
+        raise SqlImportError(f"unsupported subquery {e['subquery_type']}")
+    if cls == "WINDOW":
+        return _window(e)
+    if cls == "COLLATE":
+        return _expr(e["child"])
+    raise SqlImportError(f"unsupported expression {cls}/{t}")
+
+
+def _operator(e: dict) -> str:
+    t = e["type"]
+    ch = e.get("children") or []
+    if t == "OPERATOR_NOT":
+        inner = ch[0]
+        # NOT(x IN (...)) / NOT(x = ANY(sub)) / NOT EXISTS read better in
+        # their negated surface forms, which wvlet parses natively
+        if inner.get("class") == "SUBQUERY":
+            if inner["subquery_type"] == "EXISTS":
+                sub = "{\n" + _indent(
+                    _query_node(inner["subquery"]["node"])) + "\n}"
+                return f"not exists {sub}"
+            if inner["subquery_type"] == "ANY" \
+                    and inner.get("comparison_type") == "COMPARE_EQUAL":
+                sub = "{\n" + _indent(
+                    _query_node(inner["subquery"]["node"])) + "\n}"
+                return f"{_expr(inner['child'])} not in {sub}"
+        if inner.get("type") == "COMPARE_IN":
+            ich = inner["children"]
+            vals = ", ".join(_expr(c) for c in ich[1:])
+            return f"{_expr(ich[0])} not in ({vals})"
+        if inner.get("type") == "FUNCTION" \
+                and inner.get("function_name") == "~~":
+            l, r = inner["children"]
+            return f"!{_maybe_paren(l)}.like({_expr(r)})"
+        return f"!({_expr(inner)})"
+    if t == "COMPARE_IN":
+        vals = ", ".join(_expr(c) for c in ch[1:])
+        return f"{_expr(ch[0])} in ({vals})"
+    if t == "COMPARE_NOT_IN":
+        vals = ", ".join(_expr(c) for c in ch[1:])
+        return f"{_expr(ch[0])} not in ({vals})"
+    if t == "OPERATOR_IS_NULL":
+        return f"{_maybe_paren(ch[0])} = null"
+    if t == "OPERATOR_IS_NOT_NULL":
+        return f"{_maybe_paren(ch[0])} != null"
+    if t == "OPERATOR_COALESCE":
+        return "coalesce(" + ", ".join(_expr(c) for c in ch) + ")"
+    if t == "ARRAY_CONSTRUCTOR":
+        return "[" + ", ".join(_expr(c) for c in ch) + "]"
+    if t == "ARRAY_EXTRACT":
+        return f"{_maybe_paren(ch[0])}[{_expr(ch[1])}]"
+    if t == "STRUCT_EXTRACT":
+        key = ch[1]["value"]["value"]
+        return f"{_maybe_paren(ch[0])}.{_name(str(key))}"
+    raise SqlImportError(f"unsupported operator {t}")
+
+
+def _function(e: dict) -> str:
+    fn = e["function_name"]
+    ch = e.get("children") or []
+    if e.get("is_operator"):
+        if fn == "~~":
+            return f"{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
+        if fn == "!~~":
+            return f"!{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
+        if len(ch) == 1:
+            return f"({fn}{_maybe_paren(ch[0])})"
+        if fn == "||":
+            return "(" + " || ".join(_expr(c) for c in ch) + ")"
+        if len(ch) == 2:
+            return f"({_expr(ch[0])} {fn} {_expr(ch[1])})"
+        raise SqlImportError(f"unsupported operator function {fn}")
+    if fn in _INTERVAL_FNS:
+        n = _peel_int(ch[0])
+        if n is not None:
+            return f"interval '{n}' {_INTERVAL_FNS[fn]}"
+    if fn == "date_part" and len(ch) == 2 \
+            and ch[0].get("class") == "CONSTANT":
+        part = ch[0]["value"]["value"]
+        return f"{_maybe_paren(ch[1])}.extract('{part}')"
+    if fn in ("count", "count_star") and not ch:
+        return "count(*)"
+    if fn == "timezone" and len(ch) == 2:
+        # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
+        return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if e.get("distinct"):
+        if fn == "count" and len(ch) == 1:
+            return f"{_maybe_paren(ch[0])}.count_distinct"
+        raise SqlImportError(f"unsupported DISTINCT aggregate {fn}")
+    if fn == "like_escape":
+        raise SqlImportError("LIKE ... ESCAPE has no wvlet equivalent")
+    if e.get("filter"):
+        # agg(x) FILTER (WHERE c)  ->  agg((if c then x else null))
+        if (fn in _AGG_FNS or fn in ("count", "count_star")) and len(ch) <= 1:
+            cond = _expr(e["filter"])
+            arg = _expr(ch[0]) if ch else "1"
+            return f"{'count' if fn == 'count_star' else fn}" \
+                   f"((if {cond} then {arg} else null))"
+        raise SqlImportError(f"unsupported FILTER on {fn}")
+    args = ", ".join(_expr(c) for c in ch)
+    return f"{fn}({args})"
+
+
+def _window(e: dict) -> str:
+    t = e["type"]
+    named = {"WINDOW_RANK": "rank", "WINDOW_DENSE_RANK": "dense_rank",
+             "WINDOW_ROW_NUMBER": "row_number",
+             "WINDOW_PERCENT_RANK": "percent_rank",
+             "WINDOW_CUME_DIST": "cume_dist", "WINDOW_NTILE": "ntile",
+             "WINDOW_LEAD": "lead", "WINDOW_LAG": "lag",
+             "WINDOW_FIRST_VALUE": "first_value",
+             "WINDOW_LAST_VALUE": "last_value",
+             "WINDOW_NTH_VALUE": "nth_value"}
+    fn = named.get(t, e.get("function_name"))
+    ch = list(e.get("children") or [])
+    if t in ("WINDOW_LEAD", "WINDOW_LAG"):
+        if e.get("offset_expr"):
+            ch.append(e["offset_expr"])
+        if e.get("default_expr"):
+            ch.append(e["default_expr"])
+    args = ", ".join(_expr(c) for c in ch)
+    over = []
+    if e.get("partitions"):
+        over.append("partition by "
+                    + ", ".join(_expr(p) for p in e["partitions"]))
+    if e.get("orders"):
+        parts = []
+        for o in e["orders"]:
+            s = _expr(o["expression"])
+            if o["type"] == "DESCENDING":
+                s += " desc"
+            parts.append(s)
+        over.append("order by " + ", ".join(parts))
+    frame = _frame(e)
+    if frame:
+        over.append(frame)
+    call = f"{fn}({args})"
+    if e.get("ignore_nulls"):
+        call = f"{fn}({args} ignore nulls)"
+    return f"{call} over ({' '.join(over)})"
+
+
+def _frame(e: dict) -> str | None:
+    start, end = e.get("start"), e.get("end")
+    # the parser default — no explicit frame
+    if start in (None, "UNBOUNDED_PRECEDING") \
+            and end in (None, "CURRENT_ROW_RANGE"):
+        return None
+
+    def bound(kind, expr):
+        if kind == "UNBOUNDED_PRECEDING":
+            return ""
+        if kind in ("CURRENT_ROW_RANGE", "CURRENT_ROW_ROWS"):
+            return "0"
+        if kind == "EXPR_PRECEDING_ROWS":
+            return f"-{_expr(expr)}"
+        if kind == "EXPR_FOLLOWING_ROWS":
+            return _expr(expr)
+        if kind == "UNBOUNDED_FOLLOWING":
+            return ""
+        raise SqlImportError(f"unsupported frame bound {kind}")
+
+    lo = bound(start, e.get("start_expr"))
+    hi = bound(end, e.get("end_expr"))
+    return f"rows [{lo}, {hi}]"
+
+
+# ------------------------------------------------------------------ literals
+
+
+def _constant(v: dict) -> str:
+    tid = v["type"]["id"]
+    if v.get("is_null"):
+        return "null"
+    val = v.get("value")
+    if tid in ("INTEGER", "BIGINT", "SMALLINT", "TINYINT", "HUGEINT",
+               "UINTEGER", "UBIGINT"):
+        return str(val)
+    if tid == "DECIMAL":
+        info = v["type"]["type_info"]
+        width, scale = info["width"], info["scale"]
+        s = str(val).lstrip("-")
+        neg = "-" if str(val).startswith("-") else ""
+        if scale == 0:
+            return f"{neg}{s}"
+        s = s.rjust(scale + 1, "0")
+        # keep the exact decimal type: a bare 0.06 literal lexes as double
+        # in wvlet and float-folds (0.06 - 0.01 != 0.05 in binary), while
+        # SQL semantics here are exact decimal arithmetic
+        return f"{neg}{s[:-scale]}.{s[-scale:]}::decimal({width},{scale})"
+    if tid in ("DOUBLE", "FLOAT"):
+        return repr(float(val))
+    if tid == "BOOLEAN":
+        return "true" if val else "false"
+    if tid == "VARCHAR":
+        # wvlet strings use backslash escapes (not SQL '' doubling)
+        s = str(val).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if tid == "DATE":
+        return f"'{val}'::date"
+    if tid in ("TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS"):
+        return f"'{val}'::timestamp"
+    raise SqlImportError(f"unsupported constant type {tid}")
+
+
+def _type_name(t: dict) -> str:
+    tid = t["id"].lower()
+    info = t.get("type_info") or {}
+    if tid == "decimal":
+        return f"decimal({info['width']},{info['scale']})"
+    if tid == "varchar":
+        return "string"
+    if tid == "bigint":
+        return "long"
+    if tid == "list":
+        return f"array[{_type_name(info['child_type'])}]"
+    if tid in ("time", "time_tz"):
+        raise SqlImportError("TIME type not supported by the engine")
+    if tid in ("json", "user"):
+        raise SqlImportError(f"no Spark analogue for type {tid}")
+    return tid
+
+
+# ------------------------------------------------------------------- helpers
+
+
+_IDENT_OK = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _name(s: str) -> str:
+    from wvlet_spark.generator import _RESERVED
+
+    if _IDENT_OK.match(s) and s.lower() not in _RESERVED:
+        return s
+    return f"`{s}`"
+
+
+def _maybe_paren(e: dict) -> str:
+    s = _expr(e)
+    if e["class"] in ("COLUMN_REF", "CONSTANT", "FUNCTION", "CAST") \
+            and not e.get("is_operator"):
+        return s
+    return f"({s})"
+
+
+def _peel_int(e: dict):
+    """Constant int possibly wrapped in casts / trunc / round — DuckDB
+    serializes `interval '90' day` as to_days(trunc(CAST('90' AS
+    DOUBLE))::int)."""
+    while True:
+        if e.get("class") == "CAST":
+            e = e["child"]
+        elif e.get("class") == "FUNCTION" \
+                and e.get("function_name") in ("trunc", "round") \
+                and len(e.get("children") or []) == 1:
+            e = e["children"][0]
+        else:
+            break
+    if e.get("class") == "CONSTANT" and not e["value"].get("is_null"):
+        v = e["value"]["value"]
+        if isinstance(v, int):
+            return v
+        if isinstance(v, str) and v.replace(".", "", 1).isdigit():
+            return int(float(v))
+    return None
+
+
+def _indent(s: str, pad: str = "  ") -> str:
+    return "\n".join(pad + line for line in s.split("\n"))
