@@ -1767,6 +1767,11 @@ class Parser:
             raise WvletSyntaxError("expected index or name after '$'", t2.line, t2.col)
         if self.at_op("("):
             self.next()
+            if self.at_op(")"):
+                # `()` — the empty grouping set (grand total) in
+                # `group by grouping_sets((a, b), (a), ())`
+                self.next()
+                return N.RowCtor([])
             exprs = [self.parse_expr()]
             while self.at_op(","):
                 self.next()

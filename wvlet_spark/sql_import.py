@@ -41,13 +41,13 @@ _CMP = {
 }
 
 _SETOP = {
-    # (setop_type, all) -> wvlet pipe operator
-    ("UNION", True): "concat",
-    ("UNION", False): "union",
-    ("INTERSECT", False): "intersect",
-    ("INTERSECT", True): "intersect all",
-    ("EXCEPT", False): "except",
-    ("EXCEPT", True): "except all",
+    # (setop_type, all) -> (wvlet pipe operator, needs distinct after)
+    ("UNION", True): ("concat", False),
+    ("UNION", False): ("concat", True),   # reference has no UNION DISTINCT pipe
+    ("INTERSECT", False): ("intersect", False),
+    ("INTERSECT", True): ("intersect all", False),
+    ("EXCEPT", False): ("except", False),
+    ("EXCEPT", True): ("except all", False),
 }
 
 # duckdb serializes interval literals as to_X(n) constructor calls
@@ -109,13 +109,16 @@ def _query_node(node: dict, top: bool = False) -> str:
         lines += _select_node(node)
     elif t == "SET_OPERATION_NODE":
         key = (node["setop_type"], bool(node.get("setop_all")))
-        op = _SETOP.get(key)
-        if op is None:
+        pair = _SETOP.get(key)
+        if pair is None:
             raise SqlImportError(f"unsupported set operation {key}")
+        op, dedup = pair
         left = _query_node(node["left"])
         right = _query_node(node["right"])
         lines.append(left)
         lines.append(f"{op} {{\n{_indent(right)}\n}}")
+        if dedup:
+            lines.append("distinct")
         lines += _modifiers(node)
     else:
         raise SqlImportError(f"unsupported query node {t}")
@@ -135,9 +138,8 @@ def _select_node(node: dict) -> list[str]:
     groups = node.get("group_expressions") or []
     sets = [s for s in (node.get("group_sets") or []) if s is not None]
     if len(sets) > 1:
-        raise SqlImportError("GROUPING SETS / CUBE / ROLLUP conversion "
-                             "not supported; keep as sql\"...\"")
-    if groups:
+        lines.append(_grouping_sets(groups, sets))
+    elif groups:
         lines.append("group by " + ", ".join(_expr(g) for g in groups))
     if node.get("having"):
         # wvlet: a `where` between group by and select filters on
@@ -152,6 +154,30 @@ def _select_node(node: dict) -> list[str]:
         lines.append(f"{kw} " + ", ".join(items))
     lines += _modifiers(node)
     return lines
+
+
+def _grouping_sets(groups: list, sets: list) -> str:
+    """Multiple grouping sets -> rollup / cube when the index sets match
+    those shapes, else explicit grouping_sets (wvlet supports all three)."""
+    cols = [_expr(g) for g in groups]
+    n = len(cols)
+    canon = sorted(tuple(s) for s in sets)
+    rollup = sorted(tuple(range(k)) for k in range(n + 1))
+    cube = sorted(_subsets(n))
+    if canon == rollup:
+        return "group by rollup(" + ", ".join(cols) + ")"
+    if canon == cube:
+        return "group by cube(" + ", ".join(cols) + ")"
+    rendered = ", ".join(
+        "(" + ", ".join(cols[i] for i in s) + ")" for s in sets)
+    return f"group by grouping_sets({rendered})"
+
+
+def _subsets(n: int) -> list[tuple]:
+    out = [()]
+    for i in range(n):
+        out += [s + (i,) for s in out]
+    return [tuple(s) for s in out]
 
 
 def _modifiers(node: dict) -> list[str]:
@@ -397,6 +423,8 @@ def _operator(e: dict) -> str:
     if t == "STRUCT_EXTRACT":
         key = ch[1]["value"]["value"]
         return f"{_maybe_paren(ch[0])}.{_name(str(key))}"
+    if t == "GROUPING_FUNCTION":
+        return "grouping(" + ", ".join(_expr(c) for c in ch) + ")"
     raise SqlImportError(f"unsupported operator {t}")
 
 
@@ -571,11 +599,23 @@ def _type_name(t: dict) -> str:
 
 _IDENT_OK = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# wvlet pipe-operator words: legal SQL aliases, but they would start a new
+# pipe stage if emitted bare (`select ..., count = count(*)`)
+_PIPE_WORDS = {
+    "from", "where", "select", "group", "agg", "order", "limit", "offset",
+    "count", "concat", "distinct", "dedup", "transform", "add", "prepend",
+    "exclude", "rename", "shift", "sample", "pivot", "unpivot", "test",
+    "describe", "debug", "join", "asof", "intersect", "except", "with",
+    "model", "def", "val", "type", "show", "save", "append", "delete",
+    "flow", "subscribe", "call", "run", "explain",
+}
+
 
 def _name(s: str) -> str:
     from wvlet_spark.generator import _RESERVED
 
-    if _IDENT_OK.match(s) and s.lower() not in _RESERVED:
+    if _IDENT_OK.match(s) and s.lower() not in _RESERVED \
+            and s.lower() not in _PIPE_WORDS:
         return s
     return f"`{s}`"
 
