@@ -1,0 +1,120 @@
+"""Physical-plan shape regression tests — the 100 TB contract.
+
+Correctness tests prove the answers match; these prove the PLANS stay the
+shape that survives a 1000-executor cluster: filters reach the parquet
+scan (PushedFilters), projection prunes columns (ReadSchema), subquery
+predicates lower to semi/anti hash joins, small dimensions broadcast, no
+cartesian products sneak in, hot expressions stay inside whole-stage
+codegen, and no row-at-a-time Python UDF (BatchEvalPython) appears in any
+language-path or extension plan.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available")
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def ws(spark):
+    from wvlet_spark import WvletSession
+
+    return WvletSession(spark, table_dir=SF_DIR, test_mode=False)
+
+
+def _suite_df(ws, name):
+    from wvlet_spark.suite import SUITE
+
+    return ws.run(SUITE[name][0])
+
+
+def test_q3_pushdown_pruning_broadcast(ws):
+    plan = _plan(_suite_df(ws, "tpch_q3"))
+    # the BUILDING filter reaches the customer scan
+    assert "PushedFilters: [" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:2000]
+    # column pruning: the customer leg must not read all 8 columns
+    cust_scans = [s for s in plan.split("ReadSchema: ")[1:] if "c_custkey" in s[:400]]
+    assert cust_scans and all("c_phone" not in s[:400] for s in cust_scans)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # hot expressions stay inside whole-stage codegen spans (AQE hides the
+    # spans pre-execution, so plan once with AQE off; `*(n)` marks a span)
+    conf = ws.spark.conf
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cg = _plan(_suite_df(ws, "tpch_q3"), "simple")
+    finally:
+        conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(1)" in cg
+
+
+def test_semi_anti_lowering(ws):
+    assert "LeftSemi" in _plan(_suite_df(ws, "in_subquery"))
+    assert "LeftAnti" in _plan(_suite_df(ws, "anti_join_not_in"))
+    q21 = _plan(_suite_df(ws, "tpch_q21_like"))
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+
+
+def test_no_python_udf_in_language_path(ws):
+    """Every relational suite plan stays JVM-side: no BatchEvalPython
+    (row-at-a-time UDF) anywhere; Arrow UDFs are reserved for extension
+    ops that need vectorized numpy kernels."""
+    from wvlet_spark.suite import SUITE
+
+    for name in ["tpch_q1", "tpch_q5", "tpch_q18", "window_rank",
+                 "agg_sugar", "with_cte", "set_ops", "asof_join_events"]:
+        plan = _plan(ws.run(SUITE[name][0]), "simple")
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ext_ops_plan_shapes(spark, ws):
+    from wvlet_spark.ops.registry import (q_exact_dedup, q_language_id,
+                                          q_token_stats)
+
+    for fn in (q_language_id, q_token_stats):
+        plan = _plan(fn(spark, SF_DIR), "simple")
+        # text ops are single-pass JVM column expressions — no Python at
+        # all (the only Exchanges are the final agg/sort of the entry)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    dedup = _plan(q_exact_dedup(spark, SF_DIR), "simple")
+    assert "BatchEvalPython" not in dedup
+    assert "CartesianProduct" not in dedup
+
+
+def test_minhash_shuffle_carries_slim_rows(spark):
+    """The LSH band shuffle must move (id, band, bucket) — never document
+    text: no `text` column in any Exchange input schema."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs
+    from wvlet_spark.session import read_parquet_robust
+
+    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_near_dup_pairs(docs, threshold=0.5), "formatted")
+    for seg in plan.split("Exchange")[1:]:
+        header = seg[:300]
+        assert "text#" not in header, "document text crossed a shuffle"
+
+
+def test_filter_pushdown_on_file_scan(ws):
+    plan = _plan(ws.run(
+        "from lineitem where l_shipdate <= '1998-09-02'::date "
+        "select l_orderkey, l_quantity"))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # projection reaches the scan: 16-column table, 3-column read
+    rs = plan.split("ReadSchema: ")[1]
+    assert "l_comment" not in rs[:400]
