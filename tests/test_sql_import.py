@@ -151,6 +151,31 @@ def test_basic_sql_corpus_conversion_coverage(spark):
     assert executed >= 17, (converted, executed, rejected)
 
 
+def _benchmark_files():
+    return sorted(os.path.basename(p)[:-4]
+                  for p in glob.glob(SQL_DIR + "/benchmark/*.sql"))
+
+
+@pytest.mark.parametrize("qname", _benchmark_files())
+def test_benchmark_sql_corpus(spark, qname):
+    """spec/sql/benchmark — self-contained VALUES-based business queries:
+    convert, execute, match DuckDB on the original SQL."""
+    import duckdb
+
+    from wvlet_spark import WvletSession
+
+    with open(f"{SQL_DIR}/benchmark/{qname}.sql", encoding="utf-8") as f:
+        sql = f.read()
+    ws = WvletSession(spark, test_mode=False)
+    got = _norm(tuple(r) for r in ws.run_sql(sql).collect())
+    con = duckdb.connect()
+    try:
+        exp = _norm(con.execute(sql).fetchall())
+    finally:
+        con.close()
+    assert got == exp, f"{qname} mismatch\n{ws.to_wvlet(sql)}"
+
+
 def test_to_wvlet_units(spark, duck):
     """Constructs the corpora under-exercise: windows, set ops, USING,
     distinct aggregates, IS NULL."""

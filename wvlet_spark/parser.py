@@ -860,6 +860,10 @@ class Parser:
         self.expect_op("{")
         body, _ = self.parse_query()
         self.expect_op("}")
+        if cols:
+            # `with t(a, b) as { ... }` — the column list renames the CTE's
+            # output (SQL WITH-clause column aliases)
+            body = N.AliasedRelation(body, alias=name, columns=cols)
         return (name, body)
 
     def parse_query_start(self) -> N.Relation:

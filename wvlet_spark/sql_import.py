@@ -103,7 +103,9 @@ def _query_node(node: dict, top: bool = False) -> str:
     for entry in ctes:
         name = entry["key"]
         body = _query_node(entry["value"]["query"]["node"])
-        lines.append(f"with {name} as {{\n{_indent(body)}\n}}")
+        aliases = entry["value"].get("aliases") or []
+        head = name + ("(" + ", ".join(aliases) + ")" if aliases else "")
+        lines.append(f"with {head} as {{\n{_indent(body)}\n}}")
 
     if t == "SELECT_NODE":
         lines += _select_node(node)
