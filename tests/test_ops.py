@@ -196,3 +196,58 @@ def test_video_frame_sampling_plumbing(spark):
     for rows_ in by_doc.values():
         assert sorted(r.frame_idx for r in rows_) == [0, 1, 2, 3]
         assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in rows_)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, and isolated nodes all land in the right component."""
+    from wvlet_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: diameter > 1
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        ["id_a", "id_b"])
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_vs_oracle(spark):
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from wvlet_spark.ops.registry import O_DUP_CLUSTERS, q_dup_clusters
+
+    got = sorted((r.doc_id, r.cluster_id, r.is_canonical)
+                 for r in q_dup_clusters(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    exp = sorted((a, b, bool(c))
+                 for a, b, c in con.execute(O_DUP_CLUSTERS).fetchall())
+    con.close()
+    assert got == exp
+    # sanity: at least one multi-document cluster exists in the testdata
+    from collections import Counter
+    sizes = Counter(c for _, c, _ in got)
+    assert max(sizes.values()) >= 2
+
+
+def test_ivf_topk_recall(spark):
+    """IVF recall on clustered data: the probed lists must recover most of
+    the exact top-k (same harness as the LSH recall test)."""
+    import numpy as np
+
+    from wvlet_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((5, 32)) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 5]
+        rows.append((i, (c + rng.standard_normal(32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = centers[0].tolist()
+    exact = {r.vec_id for r in brute_force_topk(df, q, k=10).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(df, q, k=10, n_clusters=5, nprobe=2).collect()}
+    assert len(exact & approx) >= 8

@@ -98,6 +98,62 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: LSH-bounded n-gram Jaccard pairs -> connected
+    components -> every document labeled with its cluster representative.
+    The DuckDB oracle recomputes the same Jaccard edge set all-pairs and
+    derives components with a recursive transitive-closure CTE, so the
+    iterative Spark label propagation is verified against an independent
+    formulation."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+    from wvlet_spark.ops.graph import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_near_dup_pairs(docs, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, candidates=cands, threshold=0.5)
+    return duplicate_clusters(docs, pairs).orderBy("doc_id")
+
+
+O_DUP_CLUSTERS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(w)-2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+    ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+FROM walk GROUP BY a ORDER BY doc_id
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k against the first vector (seeded k-means
+    lists, nprobe nearest lists probed, exact cosine inside).  The k-means
+    model has no DuckDB equivalent — rows-only driver check; recall is
+    oracle-tested in pytest against brute force."""
+    from wvlet_spark.ops.similarity import ivf_topk
+
+    emb = _embs(spark, sf_dir)
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    out = ivf_topk(emb, qv, k=10, n_clusters=8, nprobe=3)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k against the all-ones query vector
     (cosine(v, ones) = sum(v) / (|v| * sqrt(dim)), so the oracle needs no
@@ -353,7 +409,9 @@ def entry_queries() -> dict:
         "ext_minhash_pairs": q_minhash_pairs,
         "ext_simhash_pairs": q_simhash_pairs,
         "ext_ngram_jaccard": q_ngram_jaccard,
+        "ext_dup_clusters": q_dup_clusters,
         "ext_cosine_topk": q_cosine_topk,
+        "ext_ivf_topk": q_ivf_topk,
         "ext_embedding_dedup": q_embedding_dedup,
         "ext_lsh_topk": q_lsh_topk,
         "ext_language_id": q_language_id,
@@ -369,6 +427,7 @@ def entry_oracles() -> dict:
     return {
         "ext_exact_dedup": O_EXACT_DEDUP,
         "ext_ngram_jaccard": O_NGRAM_JACCARD,
+        "ext_dup_clusters": O_DUP_CLUSTERS,
         "ext_cosine_topk": O_COSINE_TOPK,
         "ext_embedding_dedup": _embedding_dedup_lsh_oracle(),
         "ext_language_id": _langid_oracle(),

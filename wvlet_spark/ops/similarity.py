@@ -162,6 +162,80 @@ def rp_lsh_buckets(df: DataFrame, dim: int, planes: int = 12, seed: int = 42,
     return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
 
 
+def ivf_train_centroids(df: DataFrame, n_clusters: int = 16, iters: int = 8,
+                        sample_limit: int = 20_000, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Seeded k-means centroids from a bounded sample (Lloyd iterations in
+    numpy on the driver).  The sample is capped at `sample_limit` rows —
+    at 100 TB the centroid model still trains on a fixed-size sample; only
+    the ASSIGNMENT pass below scales with the data."""
+    rows = (df.select(F.col(vec_col).cast("array<double>"))
+              .limit(sample_limit).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(n_clusters, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        # (n, k) squared distances via |x|^2 - 2 x.c + |c|^2
+        d = (np.einsum("ij,ij->i", X, X)[:, None]
+             - 2 * X @ C.T + np.einsum("ij,ij->i", C, C)[None, :])
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    return C
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Append `ivf_cluster`: index of the nearest centroid — one
+    (batch x dim) @ (dim x k) matmul per Arrow batch, map-only.  At scale
+    the assigned table is written partitioned by cluster so probes prune
+    partitions instead of scanning."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+
+    df = ensure_map_parallelism(df)
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.einsum("ij,ij->i", C, C)
+
+    @F.pandas_udf(LongType())
+    def _assign(v: pd.Series) -> pd.Series:
+        M = _mat(v)
+        if M.shape[0] == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        d = (np.einsum("ij,ij->i", M, M)[:, None] - 2 * M @ C.T + cn[None, :])
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return df.withColumn("ivf_cluster", _assign(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: train (or reuse) centroids, assign rows to
+    inverted lists, probe only the `nprobe` centroids nearest the query,
+    exact cosine inside the probed lists.
+
+    Complement to the LSH path: IVF adapts its partitioning to the data
+    distribution (clustered corpora get tight lists) where hyperplane LSH
+    is distribution-oblivious."""
+    C = centroids if centroids is not None else ivf_train_centroids(
+        df, n_clusters, seed=seed, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = np.einsum("ij,ij->i", C, C) - 2 * (C @ q)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    assigned = ivf_assign(df, C, vec_col)
+    cand = assigned.filter(F.col("ivf_cluster").isin(probes))
+    sim = cosine_to_query(F.col(vec_col), query_vec)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     planes: int = 12, multiprobe: int = 1, seed: int = 42,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
