@@ -97,3 +97,66 @@ def test_ngram_verify_after_lsh(spark):
     verified = ngram_jaccard_pairs(df, n=3, threshold=0.3, candidates=cands).collect()
     assert any(p.id_a == 1 and p.id_b == 2 for p in verified)
     assert all(3 not in (p.id_a, p.id_b) for p in verified)
+
+
+def test_sessionize_batch_gap_split(spark):
+    """Two bursts 2h apart -> two sessions; single events are singletons."""
+    import datetime as dt
+
+    from wvlet_spark.streaming import sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [("u1", t0), ("u1", t0 + dt.timedelta(minutes=5)),
+            ("u1", t0 + dt.timedelta(hours=2)),
+            ("u2", t0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in sessionize_batch(df, gap_seconds=1800).collect()}
+    assert got == {("u1", t0, 2),
+                   ("u1", t0 + dt.timedelta(hours=2), 1),
+                   ("u2", t0, 1)}
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: one availableNow pass emits
+    every CLOSED session (all but each user's trailing open session), and
+    they must equal the batch sessionization minus those trailing
+    sessions."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import (read_stream, sessionize_batch,
+                                       sessionize_stream)
+
+    src_dir = str(tmp_path / "sess_stream")
+    events = read_parquet_robust(spark, f"{SF_SMALL}/events.parquet")
+    events.select("user_id", F.col("ts").cast("timestamp").alias("ts")) \
+        .write.parquet(src_dir)
+
+    stream = read_stream(spark, src_dir, watermark_column="ts",
+                         delay="10 minutes")
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=6 * 3600)
+    q = (sessions.writeStream.outputMode("append")
+         .format("memory").queryName("sess_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user, str(r.session_start), str(r.session_end), r.n_events)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+
+    batch = sessionize_batch(
+        spark.read.parquet(src_dir), "user_id", "ts", gap_seconds=6 * 3600)
+    rows = batch.collect()
+    all_sessions = {(str(r.user_id), str(r.session_start),
+                     str(r.session_end), r.n_events) for r in rows}
+    # each user's trailing session may or may not have timed out by the
+    # final watermark; every NON-trailing session must have been emitted
+    last_start = {}
+    for r in rows:
+        k = str(r.user_id)
+        if k not in last_start or r.session_start > last_start[k]:
+            last_start[k] = r.session_start
+    closed = {(str(r.user_id), str(r.session_start), str(r.session_end),
+               r.n_events)
+              for r in rows if r.session_start != last_start[str(r.user_id)]}
+    assert closed <= got <= all_sessions
+    assert len(got) > 0

@@ -348,6 +348,37 @@ ORDER BY doc_id
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (the batch twin of the
+    applyInPandasWithState streaming operator; same session boundaries)."""
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import sessionize_batch
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    out = sessionize_batch(ev.select("user_id", "ts"), "user_id", "ts",
+                           gap_seconds=6 * 3600)
+    return out.orderBy("user_id", "session_start")
+
+
+O_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 21600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), t AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM t GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Real PNG round trip: synthesize a deterministic constant-valued
     greyscale PNG per doc (pure-Python encoder), decode it with the real
@@ -418,6 +449,7 @@ def entry_queries() -> dict:
         "ext_token_stats": q_token_stats,
         "ext_quality_score": q_quality_score,
         "ext_fingerprint": q_fingerprint,
+        "ext_sessionize": q_sessionize,
         "ext_multimodal_decode": q_multimodal_decode,
         "ext_audio_decode": q_audio_decode,
     }
@@ -434,6 +466,7 @@ def entry_oracles() -> dict:
         "ext_token_stats": O_TOKEN_STATS,
         "ext_quality_score": _quality_oracle(),
         "ext_fingerprint": O_FINGERPRINT,
+        "ext_sessionize": O_SESSIONIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
         # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64

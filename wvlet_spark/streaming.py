@@ -111,6 +111,96 @@ def id_key(node: N.Subscribe) -> str:
     return f"plan:{id(child)}"
 
 
+def sessionize_batch(df, user_col: str = "user_id", ts_col: str = "ts",
+                     gap_seconds: int = 1800):
+    """Gap-based sessionization (batch): events more than `gap_seconds`
+    apart start a new session.  lag + running sum over a per-user window —
+    one shuffle on the user key, no UDF."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # microsecond precision: cast-to-long truncates to seconds and would
+    # disagree with sub-second event times at exact gap boundaries
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_sess = (us - F.lag(us).over(w) > gap_seconds * 1_000_000)
+    sid = F.sum(F.when(new_sess, 1).otherwise(0)).over(w)
+    return (df.withColumn("__sid", sid)
+            .groupBy(user_col, "__sid")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events"))
+            .drop("__sid"))
+
+
+def sessionize_stream(stream, user_col: str = "user_id", ts_col: str = "ts",
+                      gap_seconds: int = 1800):
+    """Stateful streaming sessionization via applyInPandasWithState.
+
+    Per user key, events merge into the open session held in state; a gap
+    larger than `gap_seconds` CLOSES the previous session (emitted
+    downstream) and opens a new one.  The open session sits in state with
+    an event-time timeout at last_event + gap: when the watermark passes
+    it, the timed-out callback emits it.  State carries three scalars per
+    user — (start, last, count) — so state size is O(active users), never
+    O(events).  The stream must already carry a watermark on `ts_col`
+    (use `read_stream(..., watermark_column=ts_col)`)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    out_schema = StructType([
+        StructField("user", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start", LongType()),   # epoch microseconds
+        StructField("last", LongType()),
+        StructField("count", LongType()),
+    ])
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user = str(key[0])
+
+        def emit(start, last, count):
+            return pd.DataFrame({
+                "user": [user],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [count],
+            })
+
+        if state.hasTimedOut:
+            start, last, count = state.get
+            state.remove()
+            yield emit(start, last, count)
+            return
+
+        ts = pd.concat([pdf[ts_col] for pdf in pdf_iter])
+        micros = sorted(int(v) for v in ts.astype("int64") // 1_000)
+        if state.exists:
+            start, last, count = state.get
+        else:
+            start, last, count = micros[0], micros[0] - 1, 0
+            # count=0 + last before first event: the first event below
+            # "continues" this empty session without emitting
+        for s in micros:
+            if s - last > gap_us and count > 0:
+                yield emit(start, last, count)
+                start, count = s, 0
+            last = s
+            count += 1
+        state.update((start, last, count))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+
+    return (stream.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def read_stream(spark, table_or_path: str, watermark_column: str | None = None,
                 delay: str = "10 minutes", fmt: str = "parquet", schema=None):
     """Structured Streaming source with optional watermark — the Spark-native
