@@ -251,3 +251,22 @@ def test_ivf_topk_recall(spark):
     approx = {r.vec_id for r in
               ivf_topk(df, q, k=10, n_clusters=5, nprobe=2).collect()}
     assert len(exact & approx) >= 8
+
+
+def test_pii_scan_planted(spark):
+    """Counts and redaction on crafted text with every PII kind."""
+    from wvlet_spark.ops.text import pii_scan
+
+    txt = ("reach me at bob.smith+x@corp.example.org or 555-123-4567; "
+           "server 192.168.1.10 logs at https://logs.example.com/x?id=1 end")
+    df = spark.createDataFrame([(1, txt), (2, "clean text only")],
+                               ["doc_id", "text"])
+    rows = {r.doc_id: r for r in pii_scan(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_phone, r1.n_ipv4, r1.n_url) == (1, 1, 1, 1)
+    assert "<EMAIL>" in r1.redacted and "<PHONE>" in r1.redacted
+    assert "<IPV4>" in r1.redacted and "<URL>" in r1.redacted
+    assert "bob.smith" not in r1.redacted and "192.168" not in r1.redacted
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_phone, r2.n_ipv4, r2.n_url) == (0, 0, 0, 0)
+    assert r2.redacted == "clean text only"

@@ -348,6 +348,66 @@ ORDER BY doc_id
 """
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII scrub pass: deterministic PII is planted per doc_id (the corpus
+    has none naturally), then counted and redacted with shared RE2-safe
+    regexes.  The oracle rebuilds the identical augmented text in DuckDB
+    and recomputes counts + redaction independently."""
+    from wvlet_spark.ops.text import pii_scan
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    planted = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(F.lit(" contact u"), s,
+                                        F.lit("@example.com")))
+             .otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit(" call 555-123-4567"))
+             .otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.concat(F.lit(" via http://s"), s,
+                                        F.lit(".example/page")))
+             .otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(F.lit(" host 10.0.0."),
+                                        (d % 256).cast("string")))
+             .otherwise(F.lit("")),
+        ))
+    out = pii_scan(planted)
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "n_url",
+                      "redacted").orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from wvlet_spark.ops.text import PII_PATTERNS
+
+    e, p, i, u = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4", "url"))
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' via http://s' || doc_id || '.example/page' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' host 10.0.0.' || (doc_id % 256) ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{e}', 0)) AS n_email,
+  len(regexp_extract_all(text, '{p}', 0)) AS n_phone,
+  len(regexp_extract_all(text, '{i}', 0)) AS n_ipv4,
+  len(regexp_extract_all(text, '{u}', 0)) AS n_url,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text, '{u}', '<URL>', 'g'), '{e}', '<EMAIL>', 'g'),
+    '{i}', '<IPV4>', 'g'), '{p}', '<PHONE>', 'g') AS redacted
+FROM aug
+ORDER BY doc_id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (the batch twin of the
     applyInPandasWithState streaming operator; same session boundaries)."""
@@ -449,6 +509,7 @@ def entry_queries() -> dict:
         "ext_token_stats": q_token_stats,
         "ext_quality_score": q_quality_score,
         "ext_fingerprint": q_fingerprint,
+        "ext_pii_scan": q_pii_scan,
         "ext_sessionize": q_sessionize,
         "ext_multimodal_decode": q_multimodal_decode,
         "ext_audio_decode": q_audio_decode,
@@ -466,6 +527,7 @@ def entry_oracles() -> dict:
         "ext_token_stats": O_TOKEN_STATS,
         "ext_quality_score": _quality_oracle(),
         "ext_fingerprint": O_FINGERPRINT,
+        "ext_pii_scan": _pii_oracle(),
         "ext_sessionize": O_SESSIONIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
