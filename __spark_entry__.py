@@ -60,8 +60,8 @@ _PRIORITY = [
     "ext_ngram_jaccard", "ext_dup_clusters", "ext_cosine_topk",
     "ext_ivf_topk", "ext_embedding_dedup", "ext_lsh_topk",
     "ext_language_id", "ext_token_stats", "ext_quality_score",
-    "ext_fingerprint", "ext_pii_scan", "ext_sessionize",
-    "ext_multimodal_decode", "ext_audio_decode",
+    "ext_fingerprint", "ext_stratified_sample", "ext_pii_scan",
+    "ext_sessionize", "ext_multimodal_decode", "ext_audio_decode",
     # -- ... and the suite entries that sat past position 50
     "tpch_q18", "tpch_q19_like", "tpch_q20_like", "tpch_q21_like",
     "tpch_q22_like", "flow_dag_run", "rollup_status", "cube_flags",
@@ -73,7 +73,7 @@ _PRIORITY = [
     "window_rank", "window_frame_moving", "window_lag_lead",
     "column_ops", "groupby_default_agg", "having_filter", "agg_sugar",
     "with_cte", "recursive_cte", "lateral_join", "at_time_zone",
-    "set_ops", "intersect_except", "pivot_status",
+    "set_ops", "intersect_except",
 ]
 
 

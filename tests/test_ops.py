@@ -270,3 +270,35 @@ def test_pii_scan_planted(spark):
     r2 = rows[2]
     assert (r2.n_email, r2.n_phone, r2.n_ipv4, r2.n_url) == (0, 0, 0, 0)
     assert r2.redacted == "clean text only"
+
+
+def test_deterministic_sample_stable_across_partitionings(spark):
+    """The same rows are selected regardless of partition layout, and the
+    rate is near the target fraction."""
+    from wvlet_spark.ops.sampling import deterministic_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in deterministic_sample(df, 0.3).collect()}
+    b = {r.doc_id for r in
+         deterministic_sample(df.repartition(17), 0.3).collect()}
+    assert a == b
+    assert abs(len(a) / 4000 - 0.3) < 0.03
+    # independent draw under a different salt
+    c = {r.doc_id for r in deterministic_sample(df, 0.3, salt="other").collect()}
+    assert a != c
+
+
+def test_stratified_sample_rates(spark):
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.sampling import stratified_deterministic_sample
+
+    df = (spark.range(0, 6000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                      .otherwise("de")))
+    out = stratified_deterministic_sample(
+        df, {"en": 0.1, "de": 0.8}, strata_col="lang")
+    rates = {r.lang: r.n for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(rates["en"] / 3000 - 0.1) < 0.03
+    assert abs(rates["de"] / 3000 - 0.8) < 0.03

@@ -348,6 +348,35 @@ ORDER BY doc_id
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: rebalance the corpus to
+    per-language keep rates decided by key hash (reproducible across
+    engines and partitionings — the oracle recomputes membership with the
+    same md5-prefix comparison in DuckDB)."""
+    from wvlet_spark.ops.sampling import stratified_deterministic_sample
+
+    fr = {"en": 0.5, "de": 0.9, "fr": 0.9, "es": 0.9}
+    out = stratified_deterministic_sample(
+        _docs(spark, sf_dir), fr, strata_col="lang", default_fraction=0.25)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _stratified_sample_oracle() -> str:
+    from wvlet_spark.ops.sampling import _threshold_hex
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(md5('wv' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang
+        WHEN 'en' THEN '{_threshold_hex(0.5)}'
+        WHEN 'de' THEN '{_threshold_hex(0.9)}'
+        WHEN 'fr' THEN '{_threshold_hex(0.9)}'
+        WHEN 'es' THEN '{_threshold_hex(0.9)}'
+        ELSE '{_threshold_hex(0.25)}' END
+ORDER BY doc_id
+"""
+
+
 def q_pii_scan(spark, sf_dir):
     """PII scrub pass: deterministic PII is planted per doc_id (the corpus
     has none naturally), then counted and redacted with shared RE2-safe
@@ -509,6 +538,7 @@ def entry_queries() -> dict:
         "ext_token_stats": q_token_stats,
         "ext_quality_score": q_quality_score,
         "ext_fingerprint": q_fingerprint,
+        "ext_stratified_sample": q_stratified_sample,
         "ext_pii_scan": q_pii_scan,
         "ext_sessionize": q_sessionize,
         "ext_multimodal_decode": q_multimodal_decode,
@@ -527,6 +557,7 @@ def entry_oracles() -> dict:
         "ext_token_stats": O_TOKEN_STATS,
         "ext_quality_score": _quality_oracle(),
         "ext_fingerprint": O_FINGERPRINT,
+        "ext_stratified_sample": _stratified_sample_oracle(),
         "ext_pii_scan": _pii_oracle(),
         "ext_sessionize": O_SESSIONIZE,
         "ext_multimodal_decode": O_MULTIMODAL,

@@ -1,0 +1,58 @@
+"""Deterministic (reproducible) sampling for training-data pipelines.
+
+`df.sample()` is RNG-seeded per partition: the selected rows change with
+partitioning, Spark version, and engine — useless for reproducible
+dataset lineage.  These operators decide membership from a HASH OF THE
+ROW KEY, so the same row is always in or out of the sample regardless of
+engine, partition layout, or run:
+
+    keep(row)  <=>  md5(salt || key)[:8] < hex(fraction * 16^8)
+
+md5 is uniform over hex strings, the comparison is plain lexicographic
+string order, and both Spark and DuckDB produce identical lowercase hex —
+the driver oracle recomputes membership independently in SQL.  Map-only:
+a filter on a computed column, no shuffle, scales linearly.
+
+Stratified variant: per-stratum fractions (e.g. rebalancing languages or
+sources to a target mixture) via one small broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SPACE = 16 ** 8  # first 8 hex chars of md5
+
+
+def _threshold_hex(fraction: float) -> str:
+    n = max(0, min(_SPACE, int(round(fraction * _SPACE))))
+    return format(n, "08x")
+
+
+def _bucket_col(key_col: str, salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         salt: str = "wv") -> DataFrame:
+    """Keep ~`fraction` of rows, membership decided by key hash — stable
+    across engines, partitionings, and reruns.  Change `salt` to draw an
+    independent sample."""
+    return df.filter(_bucket_col(key_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_deterministic_sample(df: DataFrame, fractions: dict[str, float],
+                                    strata_col: str, key_col: str = "doc_id",
+                                    default_fraction: float = 0.0,
+                                    salt: str = "wv") -> DataFrame:
+    """Per-stratum deterministic sampling: `fractions` maps stratum value
+    -> keep fraction (strata absent from the map keep `default_fraction`).
+    The per-row threshold is a literal CASE over the (small) fractions
+    map — no join, map-only."""
+    thr = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.filter(_bucket_col(key_col, salt) < thr)
