@@ -635,3 +635,36 @@ def test_ulid_string_native(ws):
 def test_native_def_passthrough(ws):
     sql = ws.compile_to_sql("def myfn(x: int): int = native\nfrom nation select z = myfn(n_nationkey) limit 1")
     assert "myfn(" in sql
+
+
+def test_duckdb_profile_connector(spark, tmp_path):
+    """`from duck.<table>` reads a table out of a DuckDB database file —
+    the reference's second-engine profile connector, through Arrow."""
+    import duckdb
+
+    from wvlet_spark import WvletSession
+
+    db = str(tmp_path / "cat.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE items AS SELECT * FROM (VALUES "
+                "(1, 'alpha', 9.5), (2, 'beta', 3.25), (3, 'gamma', 7.0)"
+                ") t(id, name, score)")
+    con.close()
+
+    ws2 = WvletSession(spark)
+    ws2.register_duckdb_profile("duck", db)
+    df = ws2.run("""
+from duck.items
+where score > 5
+select id, name
+order by id
+""")
+    assert [list(r) for r in df.collect()] == [[1, "alpha"], [3, "gamma"]]
+    # joins against local relations work too
+    df2 = ws2.run("""
+from duck.items as d
+join [[1, 'x'], [3, 'y']] as t(id, tag) on d.id = t.id
+select d.name, t.tag
+order by d.name
+""")
+    assert [list(r) for r in df2.collect()] == [["alpha", "x"], ["gamma", "y"]]

@@ -48,6 +48,7 @@ class WvletSession:
         self._flow_executor = None
         self._connectors: dict[str, object] = {}
         self._conn_staged: dict[str, str] = {}   # connector -> staged view
+        self._profiles: dict[str, object] = {}   # prefix -> table resolver
         self._tools: dict[str, object] = {}
         self.last_test_results: list[tuple[bool, str]] = []
         if table_dir and spark is not None:
@@ -192,6 +193,14 @@ class WvletSession:
                 return self._stage_subscribe(node)
             if isinstance(node, N.TableRef) and node.name in self._connectors:
                 return N.TableRef(self._stage_connector(node.name))
+            if isinstance(node, N.TableRef) and "." in node.name:
+                prefix, rest = node.name.split(".", 1)
+                if prefix in self._profiles:
+                    # profile namespace: materialize a connector for this
+                    # table on first reference; staging/one-invocation
+                    # semantics come from the normal connector path
+                    self._connectors[node.name] = self._profiles[prefix](rest)
+                    return N.TableRef(self._stage_connector(node.name))
             return node
 
         return transform(plan, rel_fn=rel_fn)
@@ -207,6 +216,34 @@ class WvletSession:
         """Register an external action for `call name(args)`:
         fn(spark, **kwargs) -> DataFrame | None."""
         self._tools[name] = fn
+
+    def register_duckdb_profile(self, prefix: str, db_path: str) -> None:
+        """A real second-engine profile (the reference's `-profile duckdb`
+        catalog connectors): `from <prefix>.<table>` reads <table> from a
+        DuckDB database file through Arrow, staged run-scoped with the
+        one-invocation-per-statement connector semantics.  The whole
+        namespace registers at once — individual tables resolve lazily on
+        first reference."""
+
+        def resolver(table: str):
+            quoted = '"' + table.replace('"', '""') + '"'
+
+            def fn(spark):
+                import duckdb
+
+                con = duckdb.connect(db_path, read_only=True)
+                try:
+                    tbl = con.execute(f"SELECT * FROM {quoted}").arrow()
+                finally:
+                    con.close()
+                try:
+                    return spark.createDataFrame(tbl)
+                except Exception:
+                    return spark.createDataFrame(tbl.to_pandas())
+
+            return fn
+
+        self._profiles[prefix] = resolver
 
     def _stage_connector(self, name: str) -> str:
         """Stage a connector's result as a run-scoped temp view, invoked at
