@@ -668,3 +668,30 @@ select d.name, t.tag
 order by d.name
 """)
     assert [list(r) for r in df2.collect()] == [["alpha", "x"], ["gamma", "y"]]
+
+
+def test_save_with_partition_by_and_compression(spark, tmp_path):
+    """`save to 'file' with partition_by/compression` writes a partitioned
+    layout (directory-per-value — the prunable shape at scale) with the
+    requested codec."""
+    import os
+
+    from wvlet_spark import WvletSession
+
+    out = str(tmp_path / "parts.parquet")
+    ws = WvletSession(spark)
+    ws.run(f"""
+from [[1, 'en'], [2, 'de'], [3, 'en']] as t(id, lang)
+save to '{out}'
+with
+  partition_by: ['lang'],
+  compression: 'zstd',
+""")
+    subdirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert subdirs == {"lang=en", "lang=de"}
+    files = [f for d in subdirs for f in os.listdir(os.path.join(out, d))
+             if f.endswith(".parquet")]
+    assert files and all("zstd" in f for f in files)
+    back = spark.read.parquet(out)
+    assert sorted((r.id, r.lang) for r in back.collect()) == \
+        [(1, "en"), (2, "de"), (3, "en")]

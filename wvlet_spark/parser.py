@@ -1173,7 +1173,18 @@ class Parser:
                 options: dict[str, object] = {}
                 if self.at_kw("with"):
                     self.next()
-                    options = self.parse_options_block()
+                    if self.at_op("{"):
+                        options = self.parse_options_block()
+                    else:
+                        # brace-less form (reference spec/basic/update/
+                        # save-with-options.wv): `with k: v, k: v,`
+                        while (self.peek().kind == "IDENT"
+                               and self.at_op(":", offset=1)):
+                            key = self.expect_ident()
+                            self.next()
+                            options[key] = self.parse_expr()
+                            if self.at_op(","):
+                                self.next()
                 return _SaveMarker(rel, target, is_file, options)
             elif w == "append":
                 self.next()

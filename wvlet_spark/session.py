@@ -451,11 +451,14 @@ class WvletSession:
         if isinstance(stmt, N.SaveTo):
             df = self.sql_df(stmt.child)
             if stmt.is_file:
-                self._write_file(df, stmt.target, mode="overwrite")
+                self._write_file(df, stmt.target, mode="overwrite",
+                                 options=stmt.options)
             else:
                 self.spark.sql(f"DROP TABLE IF EXISTS {stmt.target}")
                 self._clean_orphan_location(stmt.target)
-                df.write.mode("overwrite").saveAsTable(stmt.target)
+                w = self._apply_write_options(
+                    df.write.mode("overwrite"), stmt.options)
+                w.saveAsTable(stmt.target)
                 self._schema_cache[stmt.target] = df.columns
             return None
         if isinstance(stmt, N.AppendTo):
@@ -661,15 +664,41 @@ class WvletSession:
         except Exception:
             pass
 
-    def _write_file(self, df, path: str, mode: str) -> None:
+    def _apply_write_options(self, writer, options: dict | None):
+        """`save to ... with (k: v, ...)` options (reference
+        spec/basic/update/save-with-options.wv): `partition_by` becomes a
+        partitioned layout (the 100 TB essential — downstream reads prune
+        partitions), `compression` and any other scalar pass through as
+        DataSource write options."""
+        for key, val in (options or {}).items():
+            if isinstance(val, N.Literal):
+                val = val.value
+            elif isinstance(val, N.ArrayCtor):
+                val = [i.value if isinstance(i, N.Literal) else str(i)
+                       for i in val.items]
+            if key == "partition_by":
+                cols = val if isinstance(val, list) else [val]
+                writer = writer.partitionBy(*[str(c) for c in cols])
+            elif key == "row_group_size":
+                # rows in the reference's engine; Spark's closest knob is
+                # the parquet block size in bytes — approximate at ~100B/row
+                writer = writer.option("parquet.block.size",
+                                       int(val) * 100)
+            else:
+                writer = writer.option(str(key), val)
+        return writer
+
+    def _write_file(self, df, path: str, mode: str,
+                    options: dict | None = None) -> None:
         path = self._resolve_path(path)
         fmt = _infer_format(path)
+        w = self._apply_write_options(df.write.mode(mode), options)
         if fmt == "csv":
-            df.write.mode(mode).option("header", "true").csv(path)
+            w.option("header", "true").csv(path)
         elif fmt == "json":
-            df.write.mode(mode).json(path)
+            w.json(path)
         else:
-            df.write.mode(mode).parquet(path)
+            w.parquet(path)
 
     def _run_insert(self, stmt: N.InsertStmt):
         df = self.sql_df(stmt.body)
