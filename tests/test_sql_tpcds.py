@@ -87,3 +87,28 @@ def test_tpcds_query(tpcds, qname):
     exp = _norm(con.execute(sql).fetchall())
     assert len(got) == len(exp), f"{qname}: {len(got)} vs {len(exp)} rows"
     assert got == exp, f"{qname} value mismatch"
+
+
+def test_tpcds_duckdb_dialect_roundtrip(tpcds):
+    """Triple agreement, DuckDB-side: original SQL -> wvlet -> the
+    generator's DUCKDB dialect -> executed by DuckDB must match DuckDB
+    executing the original SQL for all 99 queries.  Exercises the second
+    codegen backend across the full TPC-DS grammar without Spark in the
+    loop (fast)."""
+    import glob
+
+    ws, con = tpcds
+    fails = []
+    for p in sorted(glob.glob(SQL_DIR + "/*.sql")):
+        qname = os.path.basename(p)[:-4]
+        with open(p, encoding="utf-8") as f:
+            sql = f.read()
+        try:
+            dsql = ws.compile_to_sql(ws.to_wvlet(sql), "duckdb")
+            a = sorted(map(str, con.execute(dsql).fetchall()))
+            b = sorted(map(str, con.execute(sql).fetchall()))
+            if a != b:
+                fails.append(f"{qname}: value mismatch")
+        except Exception as e:
+            fails.append(f"{qname}: {type(e).__name__}: {str(e)[:90]}")
+    assert not fails, "\n".join(fails)
