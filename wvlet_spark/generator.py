@@ -1253,14 +1253,33 @@ class SqlGenerator:
                         # last bits.  Spark's decimal division keeps >= 15
                         # fractional digits here, which round-trips to the
                         # same double.  nullif guards the all-null group.
-                        # the sum is narrowed to DECIMAL(20,s) so Spark's
-                        # division-scale adjustment leaves 20 fractional
-                        # digits (38 - 18 integer digits) — enough to
-                        # round-trip to the same double as an unbounded
-                        # quotient even for sub-1 averages
+                        # exact path: narrow the sum to DECIMAL(20,s) so
+                        # Spark's division-scale adjustment leaves 18+s
+                        # fractional digits in the quotient — enough to
+                        # round-trip to the same double as the unbounded
+                        # exact quotient (DuckDB's avg(decimal) is the
+                        # correctly-rounded double of the exact quotient;
+                        # verified empirically, incl. sub-1 averages).
+                        # The narrowing cast would silently NULL past
+                        # 10^(20-s) with ANSI off, so a CASE guards it:
+                        # group sums beyond the headroom take double
+                        # division instead, whose ~1-ulp error is
+                        # negligible at that magnitude.  Catalyst dedups
+                        # the repeated sum()/count() aggregates, so the
+                        # CASE costs no extra aggregation.
                         a = self.expr(arg)
-                        core = (f"CAST(CAST(sum({a}) AS DECIMAL(20,{scale}))"
-                                f" / nullif(count({a}), 0) AS DOUBLE)")
+                        s_expr = f"sum({a})"
+                        c_expr = f"nullif(count({a}), 0)"
+                        if scale <= 18:
+                            limit = 10 ** (20 - scale)
+                            core = (
+                                f"CASE WHEN abs({s_expr}) < {limit} "
+                                f"THEN CAST(CAST({s_expr} AS DECIMAL(20,{scale}))"
+                                f" / {c_expr} AS DOUBLE) "
+                                f"ELSE CAST({s_expr} AS DOUBLE) / {c_expr} END")
+                        else:
+                            # scale too high for the narrowed exact path
+                            core = f"CAST({s_expr} AS DOUBLE) / {c_expr}"
         elif m == "or_else":
             core = f"coalesce({self.expr(t)}, {self.expr(e.args[0])})"
         elif m in ("in", "not_in"):

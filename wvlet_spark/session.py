@@ -114,16 +114,24 @@ class WvletSession:
             column_type=self.column_type,
         )
 
+    # sentinel cached for a column name that appears in multiple registered
+    # tables with DIFFERING types — the lookup is then ambiguous and callers
+    # (the decimal-aggregate rewrite) must not apply a type-directed rewrite
+    _AMBIGUOUS_TYPE = "<ambiguous>"
+
     def column_type(self, col: str) -> str | None:
         """Spark type simpleString of a bare column name, looked up across
         the registered table views (schema comes from the already-read
-        parquet footers — no job runs).  First match wins; TPC-H-style
-        schemas have globally unique column names."""
+        parquet footers — no job runs).  If the name resolves in several
+        tables with conflicting types the answer is None (ambiguous):
+        a first-match-wins guess could cast an aggregate at the wrong
+        decimal scale.  Same-typed duplicates are fine."""
         if self.spark is None:
             return None
         cached = self._coltype_cache.get(col)
         if cached is not None:
-            return cached
+            return None if cached == self._AMBIGUOUS_TYPE else cached
+        found: str | None = None
         for table in list(self._schema_cache):
             cols = self._schema_cache.get(table) or []
             if col in cols:
@@ -132,11 +140,16 @@ class WvletSession:
                 except Exception:
                     continue
                 for f in schema.fields:
-                    self._coltype_cache.setdefault(
-                        f.name, f.dataType.simpleString())
-                if col in self._coltype_cache:
-                    return self._coltype_cache[col]
-        return None
+                    if f.name == col:
+                        t = f.dataType.simpleString()
+                        if found is None:
+                            found = t
+                        elif found != t:
+                            self._coltype_cache[col] = self._AMBIGUOUS_TYPE
+                            return None
+        if found is not None:
+            self._coltype_cache[col] = found
+        return found
 
     def parse(self, text: str) -> list[N.Statement]:
         return Parser(text).parse_statements()
@@ -413,7 +426,14 @@ class WvletSession:
                     self.spark.catalog.dropTempView(view)
                 except Exception:
                     pass
+                # keep the schema caches in lockstep with the catalog:
+                # dead staged-view names would otherwise accumulate across
+                # statements and degrade column_type() scans over a long
+                # session (each dead entry costs a caught spark.table()
+                # failure per lookup)
+                self._schema_cache.pop(view, None)
             self._conn_staged.clear()
+            self._coltype_cache.clear()
         if isinstance(stmt, (N.ModelDef, N.FunctionDef, N.PartialQueryDef, N.TypeDef)):
             self.analyzer.register(stmt)
             return None
