@@ -1,0 +1,264 @@
+"""Trino / Hive dialect SQL -> wvlet conversion against the reference's
+dialect corpora (`spec/sql/trino`, `spec/sql/hive` — the reference's
+SqlParser accepts these; parser/SqlParser.scala).
+
+Three layers:
+- CORPUS SWEEP: every statement in every file either converts (and the
+  converted wvlet PARSES), or raises the documented SqlImportError for a
+  known-unsupported construct.  The per-file convert/reject budget is
+  pinned so coverage can only ratchet up.
+- EXECUTION: self-contained converted statements (literals / VALUES) run
+  on Spark; where DuckDB can run a semantically-equal form, values match.
+- UNIT CASES for each dialect translation rule.
+"""
+
+import os
+
+import pytest
+
+SQL_DIR = "/root/reference/spec/sql"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SQL_DIR), reason="reference sql corpus not available")
+
+# file -> (min converted statements, max rejected statements).
+# Rejects are constructs with no wvlet/Spark surface, each raising a
+# documented SqlImportError (message asserted below).
+EXPECTED = {
+    "trino/create-table-column-with.sql": (4, 0),
+    "trino/create-table-like-basic.sql": (11, 0),
+    "trino/create-table-like.sql": (14, 0),
+    "trino/describe-input.sql": (0, 3),        # prepared-stmt introspection
+    "trino/describe-output.sql": (0, 4),       # prepared-stmt introspection
+    "trino/explain-syntax.sql": (15, 0),
+    "trino/ip-address-literals.sql": (10, 0),
+    "trino/prepare-and-describe.sql": (0, 2),  # PREPARE / DESCRIBE INPUT
+    "trino/set-session.sql": (6, 0),
+    "trino/show-branches.sql": (4, 0),
+    "trino/show-catalogs.sql": (4, 0),
+    "trino/show-create-function.sql": (3, 0),
+    "trino/show-create-materialized-view.sql": (3, 0),
+    "trino/show-create-schema.sql": (2, 0),
+    "trino/show-create-table.sql": (4, 0),
+    "trino/show-grants.sql": (4, 0),
+    "trino/show-roles.sql": (6, 0),
+    "trino/show-session.sql": (1, 0),
+    "trino/show-stats.sql": (3, 0),
+    "trino/union-in-parentheses.sql": (5, 0),
+    "trino/union-in-subquery.sql": (1, 0),
+    "hive/array-angle-bracket-types.sql": (22, 0),
+    "hive/div_operator.sql": (8, 0),
+    "hive/hive-data-types.sql": (6, 0),
+    "hive/hive-functions.sql": (7, 0),
+    "hive/hive-lateral-view.sql": (4, 3),      # posexplode/map/inline UDTFs
+    "hive/hive-partition-write.sql": (13, 0),
+    "hive/hive-udtf.sql": (0, 2),              # multi-column UDTF alias
+    "hive/insert-into-table.sql": (11, 0),
+    "hive/insert-overwrite.sql": (1, 0),
+    "hive/td-time-functions.sql": (4, 0),
+    "hive/with-insert.sql": (6, 1),            # UDTF alias inside CTE
+}
+
+_REJECT_MARKERS = (
+    "DESCRIBE INPUT/OUTPUT", "PREPARE/DEALLOCATE", "LATERAL VIEW",
+    "UDTF multi-column alias",
+)
+
+
+def _corpus_files():
+    return sorted(EXPECTED)
+
+
+@pytest.mark.parametrize("relpath", _corpus_files())
+def test_dialect_corpus_converts_or_documents(relpath):
+    from wvlet_spark.parser import Parser
+    from wvlet_spark.sql_dialect import split_statements
+    from wvlet_spark.sql_import import SqlImportError, sql_to_wvlet
+
+    dialect = relpath.split("/")[0]
+    with open(os.path.join(SQL_DIR, relpath), encoding="utf-8") as f:
+        sql = f.read()
+    converted = rejected = 0
+    for stmt in split_statements(sql):
+        try:
+            wv = sql_to_wvlet(stmt, dialect=dialect)
+        except SqlImportError as ex:
+            assert any(m in str(ex) for m in _REJECT_MARKERS), \
+                f"undocumented reject in {relpath}: {ex}"
+            rejected += 1
+            continue
+        Parser(wv).parse_statements()  # converted text must be valid wvlet
+        converted += 1
+    want_ok, want_rej = EXPECTED[relpath]
+    assert converted >= want_ok, \
+        f"{relpath}: converted {converted} < pinned {want_ok}"
+    assert rejected <= want_rej, \
+        f"{relpath}: rejects {rejected} > pinned {want_rej}"
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple("NULL" if v is None else str(v) for v in r))
+    return sorted(out)
+
+
+def test_trino_union_in_parentheses_executes(spark):
+    """Self-contained VALUES/UNION statements run on Spark and match
+    DuckDB running the ORIGINAL SQL."""
+    import duckdb
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_dialect import split_statements
+
+    with open(f"{SQL_DIR}/trino/union-in-parentheses.sql") as f:
+        sql = f.read()
+    ws = WvletSession(spark)
+    con = duckdb.connect()
+    checked = 0
+    for stmt in split_statements(sql):
+        wv = ws.to_wvlet(stmt, dialect="trino")
+        got = _norm(tuple(r) for r in ws.run(wv).collect())
+        exp = _norm(con.execute(stmt).fetchall())
+        assert got == exp, f"mismatch for:\n{stmt}\n->\n{wv}"
+        checked += 1
+    assert checked == 5
+
+
+def test_trino_ip_literal_downgrade(spark):
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    rows = ws.run_sql("SELECT IPADDRESS '192.168.1.1' as ip1",
+                      dialect="trino").collect()
+    assert rows[0].ip1 == "192.168.1.1"
+    # identifier / function-call uses of the word stay untouched
+    wv = ws.to_wvlet("SELECT ipaddress FROM VALUES ('x') as t(ipaddress)",
+                     dialect="trino")
+    assert "ipaddress" in wv
+
+
+def test_trino_explain_options_strip(spark):
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    wv = ws.to_wvlet(
+        "EXPLAIN (TYPE DISTRIBUTED, FORMAT JSON) SELECT 1 "
+        "FROM (VALUES (1)) AS t(x)", dialect="trino")
+    assert wv.startswith("explain")
+    ws.run(wv)  # explain statement executes (prints a plan)
+
+
+def test_trino_set_session_passthrough():
+    from wvlet_spark.sql_import import sql_to_wvlet
+
+    wv = sql_to_wvlet("SET SESSION distributed_join = 'true'",
+                      dialect="trino")
+    assert wv.startswith('execute sql"SET SESSION')
+
+
+def test_trino_show_catalogs_like(spark):
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    wv = ws.to_wvlet("SHOW CATALOGS LIKE '%cat%'", dialect="trino")
+    assert wv.splitlines()[0] == "show catalogs"
+    assert "where name like '%cat%'" in wv
+    names = {r[0] for r in ws.run("show catalogs").collect()}
+    assert "spark_catalog" in names
+
+
+def test_hive_div_and_angle_types_execute(spark):
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    assert ws.run_sql("SELECT 10 DIV 3 AS d", dialect="hive") \
+        .collect()[0].d == 3
+    r = ws.run_sql(
+        "SELECT CAST(map('k', array(1, 2, 3)) AS map<string, array<int>>) "
+        "AS m", dialect="hive").collect()[0]
+    assert r.m == {"k": [1, 2, 3]}
+    aa = ws.run_sql(
+        "SELECT CAST(array(array(1, 2), array(3, 4)) AS array<array<int>>) "
+        "AS aa", dialect="hive").collect()[0]
+    assert aa.aa == [[1, 2], [3, 4]]
+
+
+def test_hive_lateral_view_explode_executes(spark):
+    from wvlet_spark import WvletSession
+
+    spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])],
+                          ["order_id", "items"]) \
+        .createOrReplaceTempView("lv_orders")
+    ws = WvletSession(spark)
+    rows = ws.run_sql(
+        "SELECT order_id, item FROM lv_orders "
+        "LATERAL VIEW explode(items) items_table AS item",
+        dialect="hive").collect()
+    assert sorted((r.order_id, r.item) for r in rows) == \
+        [(1, "a"), (1, "b"), (2, "c")]
+    spark.catalog.dropTempView("lv_orders")
+
+
+def test_hive_insert_into_table_roundtrip(spark, tmp_path):
+    """INSERT INTO TABLE `backquoted` with Hive write hints executes:
+    the converted wvlet insert writes through Spark saveAsTable."""
+    from wvlet_spark import WvletSession
+
+    old = spark.conf.get("spark.sql.warehouse.dir", None)
+    ws = WvletSession(spark)
+    spark.sql("DROP TABLE IF EXISTS hive_ins_tgt")
+    spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], ["id", "v"]) \
+        .createOrReplaceTempView("hive_ins_src")
+    wv = ws.to_wvlet(
+        "INSERT INTO TABLE `hive_ins_tgt` "
+        "SELECT id, v FROM hive_ins_src DISTRIBUTE BY id SORT BY v DESC",
+        dialect="hive")
+    assert "insert into hive_ins_tgt" in wv
+    assert "distribute by id" in wv and "sort by v desc" in wv
+    ws.run(wv)
+    got = sorted((r.id, r.v) for r in spark.table("hive_ins_tgt").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    spark.sql("DROP TABLE IF EXISTS hive_ins_tgt")
+    spark.catalog.dropTempView("hive_ins_src")
+    assert old == spark.conf.get("spark.sql.warehouse.dir", None)
+
+
+def test_hive_with_insert_form(spark):
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    wv = ws.to_wvlet(
+        "WITH temp_data AS (SELECT 1 AS a) "
+        "INSERT INTO wi_target SELECT * FROM temp_data", dialect="hive")
+    assert wv.startswith("insert into wi_target")
+    assert "with temp_data as {" in wv
+
+
+def test_hive_recursive_cte_insert_converts():
+    from wvlet_spark.sql_import import sql_to_wvlet
+
+    wv = sql_to_wvlet(
+        "WITH RECURSIVE h AS ("
+        " SELECT 1 AS n UNION ALL SELECT n + 1 FROM h WHERE n < 3) "
+        "INSERT INTO tgt SELECT * FROM h", dialect="hive")
+    assert "with recursive h as {" in wv
+
+
+def test_hive_udtf_documented_reject():
+    from wvlet_spark.sql_import import SqlImportError, sql_to_wvlet
+
+    with pytest.raises(SqlImportError, match="UDTF multi-column alias"):
+        sql_to_wvlet(
+            "SELECT each_top_k(20, id, score) AS (rank, score, id) FROM t",
+            dialect="hive")
+
+
+def test_ctas_with_cluster_by_hint_documented():
+    from wvlet_spark.sql_import import sql_to_wvlet
+
+    wv = sql_to_wvlet(
+        "CREATE TABLE clustered AS SELECT * FROM sales CLUSTER BY region",
+        dialect="hive")
+    assert "save to clustered" in wv
+    assert "hive write hint dropped: cluster by region" in wv

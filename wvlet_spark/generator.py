@@ -63,6 +63,8 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "instr": {SPARK: "instr", DUCKDB: "instr"},
     "split": {SPARK: "split", DUCKDB: "string_split_regex"},
     "date_diff": {SPARK: "datediff", DUCKDB: "date_diff"},
+    "list_value": {SPARK: "array", DUCKDB: "list_value"},
+    "collect_list": {SPARK: "collect_list", DUCKDB: "array_agg"},
 }
 
 AGG_FUNCS = {
@@ -116,12 +118,33 @@ def type_sql(t: str, dialect: str) -> str:
     }
     if name in mapping:
         return mapping[name]
-    if name == "array" and "[" in base:
-        inner = base[base.index("[") + 1 : base.rindex("]")]
+    low = base.lower()
+    if low.startswith("array[") and base.endswith("]"):
+        inner = base[base.index("[") + 1 : len(base) - 1]
         if dialect == SPARK:
             return f"ARRAY<{type_sql(inner, dialect)}>"
         return f"{type_sql(inner, dialect)}[]"
+    if low.startswith("map[") and base.endswith("]"):
+        inner = base[base.index("[") + 1 : len(base) - 1]
+        k, v = _split_type_args(inner)
+        if dialect == SPARK:
+            return f"MAP<{type_sql(k, dialect)}, {type_sql(v, dialect)}>"
+        return f"MAP({type_sql(k, dialect)}, {type_sql(v, dialect)})"
     return base.upper()
+
+
+def _split_type_args(s: str) -> tuple[str, str]:
+    """'string,array[int]' -> ('string', 'array[int]') — split on the
+    top-level comma only."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i].strip(), s[i + 1:].strip()
+    return s.strip(), "string"
 
 
 @dataclass

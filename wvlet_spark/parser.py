@@ -263,7 +263,18 @@ class Parser:
                 distribute_by = self._ident_list()
             elif self.at_kw("sort") and self.at_kw("by", offset=1):
                 self.next(); self.next()
-                sort_by = self._ident_list()
+                # hive-style per-partition sort keys allow a direction:
+                # `sort by year desc, month asc`
+                sort_by = []
+                while True:
+                    name = self.expect_ident()
+                    if self.at_kw("asc") or self.at_kw("desc"):
+                        name += " " + self.next().text.lower()
+                    sort_by.append(name)
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
             else:
                 break
         body = self.parse_brace_query()
@@ -765,9 +776,13 @@ class Parser:
                 self.expect_op("]")
                 return f"{base}({','.join(params)})"
             self.next()
-            inner = self.parse_type_name()
+            inners = [self.parse_type_name()]
+            # two-parameter element types: `map[string, int]`
+            while self.at_op(","):
+                self.next()
+                inners.append(self.parse_type_name())
             self.expect_op("]")
-            return f"{base}[{inner}]"
+            return f"{base}[{','.join(inners)}]"
         return base
 
     def parse_name_list_paren(self) -> list[str]:

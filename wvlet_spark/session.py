@@ -154,18 +154,20 @@ class WvletSession:
     def parse(self, text: str) -> list[N.Statement]:
         return Parser(text).parse_statements()
 
-    def to_wvlet(self, sql: str) -> str:
-        """Convert SQL SELECT statement(s) to wvlet source text (the
-        reference's `to_wvlet` migration path, SqlParser.scala /
-        WvletGenerator.scala — here DuckDB's json_serialize_sql does the
-        parsing and sql_import.py emits wvlet)."""
+    def to_wvlet(self, sql: str, dialect: str = "duckdb") -> str:
+        """Convert SQL statement(s) to wvlet source text (the reference's
+        `to_wvlet` migration path, SqlParser.scala / WvletGenerator.scala —
+        here DuckDB's json_serialize_sql does the parsing and
+        sql_import.py emits wvlet).  dialect: 'duckdb' (ANSI), 'trino', or
+        'hive' — Trino/Hive grammar is translated first
+        (sql_dialect.translate)."""
         from wvlet_spark.sql_import import sql_to_wvlet
 
-        return sql_to_wvlet(sql)
+        return sql_to_wvlet(sql, dialect=dialect)
 
-    def run_sql(self, sql: str):
+    def run_sql(self, sql: str, dialect: str = "duckdb"):
         """Convert SQL to wvlet and execute it — one-call migration check."""
-        return self.run(self.to_wvlet(sql))
+        return self.run(self.to_wvlet(sql, dialect=dialect))
 
     def compile_to_sql(self, text: str, dialect: str = SPARK,
                        params: list | tuple | dict | None = None) -> str:
@@ -740,7 +742,15 @@ class WvletSession:
             if stmt.distribute_by:
                 df = df.repartition(*stmt.distribute_by)
             if stmt.sort_by:
-                df = df.sortWithinPartitions(*stmt.sort_by)
+                from pyspark.sql import functions as F
+
+                # entries may carry a direction: "year desc"
+                keys = []
+                for s in stmt.sort_by:
+                    name, _, direction = s.partition(" ")
+                    col = F.col(name)
+                    keys.append(col.desc() if direction == "desc" else col)
+                df = df.sortWithinPartitions(*keys)
         exists = self.spark.catalog.tableExists(stmt.target)
         mode = "overwrite" if (stmt.overwrite or not exists) else "append"
         if exists and stmt.overwrite:

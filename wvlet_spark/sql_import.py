@@ -21,6 +21,7 @@ error (the engine runs those through raw `sql"..."` passthrough instead).
 from __future__ import annotations
 
 import json
+import re
 
 from wvlet_spark.generator import CompileError
 
@@ -82,15 +83,220 @@ def parse_sql(sql: str) -> dict:
     return ast
 
 
-def sql_to_wvlet(sql: str) -> str:
-    """Convert one or more SQL SELECT statements to wvlet source text."""
-    ast = parse_sql(sql)
+def sql_to_wvlet(sql: str, dialect: str = "duckdb") -> str:
+    """Convert one or more SQL statements to wvlet source text.
+
+    dialect: 'duckdb' (default — also covers ANSI/Spark-flavored SQL the
+    DuckDB grammar accepts), 'trino', or 'hive'.  Dialect-specific grammar
+    is translated token-level first (sql_dialect.translate); statement
+    kinds DuckDB's serializer won't touch (INSERT, CTAS, EXPLAIN, SHOW,
+    SET, DDL) are dispatched here to their wvlet statement forms
+    (reference: parser/SqlParser.scala accepts the same corpus;
+    spec/sql/{trino,hive}).
+    """
+    from wvlet_spark.sql_dialect import (DialectError, split_statements,
+                                         translate)
+
     out = []
-    for stmt in ast["statements"]:
-        out.append(_query_node(stmt["node"], top=True))
+    for stmt_sql in split_statements(sql):
+        try:
+            translated = translate(stmt_sql, dialect)
+        except DialectError as ex:
+            raise SqlImportError(str(ex)) from ex
+        out.append(_convert_statement(translated))
     # `;` keeps statements separate — a bare `select` line would otherwise
     # attach to the previous query as a pipe operator
     return ";\n\n".join(out) + "\n"
+
+
+def _convert_query_sql(sql: str) -> str:
+    """One SELECT-like statement -> wvlet query text (AST-walk path)."""
+    ast = parse_sql(sql)
+    parts = [_query_node(s["node"], top=True) for s in ast["statements"]]
+    return ";\n\n".join(parts)
+
+
+def _sql_passthrough(sql: str) -> str:
+    """Statement kinds with no wvlet surface -> `execute sql"..."` —
+    forwarded verbatim to whatever engine the session/profile binds, the
+    same delegation the reference performs for engine-admin statements."""
+    sql = sql.strip().rstrip(";")
+    if '"' in sql or "\n" in sql:
+        return f'execute sql"""{sql}"""'
+    return f'execute sql"{sql}"'
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<target>(?:\"(?:[^\"]|\"\")*\"|[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s*\.\s*(?:\"(?:[^\"]|\"\")*\"|[A-Za-z_][A-Za-z0-9_]*))*)"
+    r"\s*(?P<cols>\([^()]*\))?\s*(?=SELECT|WITH|VALUES|\()",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _unquote_name(name: str) -> str:
+    parts = []
+    for p in re.split(r"\s*\.\s*", name.strip()):
+        if p.startswith('"') and p.endswith('"'):
+            p = p[1:-1].replace('""', '"')
+        parts.append(p)
+    return ".".join(parts)
+
+
+_HIVE_HINT_RE = re.compile(
+    r"\s*(?:CLUSTER\s+BY\s+(?P<cluster>[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"|DISTRIBUTE\s+BY\s+(?P<dist>[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"(?:\s+SORT\s+BY\s+(?P<sort>[A-Za-z_][A-Za-z0-9_]*(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*(?:\s+(?:ASC|DESC))?)*))?"
+    r"|SORT\s+BY\s+(?P<sort2>[A-Za-z_][A-Za-z0-9_]*(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*(?:\s+(?:ASC|DESC))?)*))\s*$",
+    re.IGNORECASE)
+
+
+def _strip_hive_hints(body_sql: str) -> tuple[str, str]:
+    """Peel trailing Hive physical-layout hints (CLUSTER BY / DISTRIBUTE BY
+    [SORT BY] / SORT BY) off a query; returns (query, wvlet-hint-clause).
+    These map 1:1 onto the wvlet insert grammar's options (reference Hive
+    generator emits them; spec/sql/hive/hive-partition-write.sql)."""
+    m = _HIVE_HINT_RE.search(body_sql)
+    if not m:
+        return body_sql, ""
+    norm = " ".join  # collapse whitespace in the captured column list
+    if m.group("cluster"):
+        hint = f"cluster by {norm(m.group('cluster').split())}"
+    else:
+        hint = f"distribute by {norm(m.group('dist').split())}" \
+            if m.group("dist") else ""
+        sort = m.group("sort") or m.group("sort2")
+        if sort:
+            hint = (hint + " " if hint else "") + \
+                f"sort by {norm(sort.split()).lower()}"
+    return body_sql[:m.start()].rstrip(), hint
+
+
+def _convert_insert(sql: str) -> str:
+    """INSERT INTO/OVERWRITE [TABLE] t [(cols)] <query|values> ->
+    wvlet `insert into t [(cols)] { ... }` / `insert overwrite t { ... }`.
+    Handles the Hive `WITH ctes INSERT INTO t SELECT ...` prefix form by
+    moving the CTEs back in front of the SELECT, and Hive's trailing
+    CLUSTER BY / DISTRIBUTE BY / SORT BY write hints."""
+    with_prefix = ""
+    m = re.match(r"^\s*WITH\b", sql, re.IGNORECASE)
+    if m:
+        # find the top-level INSERT keyword; everything before it is CTEs
+        depth = 0
+        for tok in re.finditer(r"--[^\n]*|/\*.*?\*/|'(?:[^']|'')*'"
+                               r"|\"(?:[^\"]|\"\")*\"|[()]|\bINSERT\b|.",
+                               sql, re.IGNORECASE | re.DOTALL):
+            t = tok.group()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.upper() == "INSERT":
+                with_prefix = sql[:tok.start()].rstrip()
+                sql = sql[tok.start():]
+                break
+        else:
+            raise SqlImportError("WITH block without a trailing statement")
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise SqlImportError(f"unsupported INSERT form: {sql[:80]!r}")
+    mode = m.group(1).lower()
+    target = _unquote_name(m.group("target"))
+    cols = m.group("cols") or ""
+    body_sql = sql[m.end():].strip().rstrip(";")
+    body_sql, hint = _strip_hive_hints(body_sql)
+    if re.match(r"^VALUES\b", body_sql, re.IGNORECASE):
+        body_sql = f"SELECT * FROM ({body_sql}) __v"
+    if with_prefix:
+        body_sql = f"{with_prefix} {body_sql}"
+    body = _convert_query_sql(body_sql)
+    head = "insert overwrite" if mode == "overwrite" else "insert into"
+    colpart = f" {cols}" if cols else ""
+    hintpart = f" {hint}" if hint else ""
+    return f"{head} {target}{colpart}{hintpart} {{\n{_indent(body)}\n}}"
+
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<target>(?:\"(?:[^\"]|\"\")*\"|[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s*\.\s*(?:\"(?:[^\"]|\"\")*\"|[A-Za-z_][A-Za-z0-9_]*))*)"
+    r"\s+AS\s+(?=SELECT|WITH|\()",
+    re.IGNORECASE | re.DOTALL)
+
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(?P<kind>CATALOGS|SCHEMAS|DATABASES|TABLES)"
+    r"(?:\s+(?:IN|FROM)\s+(?P<container>[A-Za-z_][A-Za-z0-9_.]*))?"
+    r"(?:\s+LIKE\s+(?P<pat>'(?:[^']|'')*'))?\s*;?\s*$",
+    re.IGNORECASE)
+
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\b(?:\s+ANALYZE)?(?:\s+VERBOSE)?"
+    r"(?:\s*\((?:[^()]*)\))?(?:\s+PLAN\s+FOR\b)?\s*",
+    re.IGNORECASE)
+
+
+def _convert_statement(sql: str) -> str:
+    """Dispatch one (already dialect-translated) statement to its wvlet
+    form; falls through to the SELECT AST walk."""
+    head = re.match(
+        r"\s*(?:--[^\n]*\n|/\*.*?\*/\s*)*\s*([A-Za-z]+)", sql, re.DOTALL)
+    kw = head.group(1).upper() if head else ""
+
+    if kw == "EXPLAIN":
+        inner = _EXPLAIN_RE.sub("", sql, count=1)
+        return "explain\n" + _convert_query_sql(inner)
+    if kw == "INSERT" or (kw == "WITH" and re.search(
+            r"\)\s*INSERT\s+(INTO|OVERWRITE)\b", sql, re.IGNORECASE)):
+        return _convert_insert(sql)
+    if kw == "CREATE":
+        m = _CTAS_RE.match(sql)
+        if m:
+            body_sql, hint = _strip_hive_hints(
+                sql[m.end():].rstrip().rstrip(";"))
+            body = _convert_query_sql(body_sql)
+            out = f"{body}\nsave to {_unquote_name(m.group('target'))}"
+            if hint:
+                # physical-layout-only hint; wvlet save-to has no
+                # bucketing surface, so record it rather than lose it
+                out += f"\n-- hive write hint dropped: {hint}"
+            return out
+        # plain DDL: the wvlet grammar accepts raw CREATE/DROP/ALTER
+        # statements verbatim (DDL passthrough, session.parse_ddl path)
+        return sql.strip().rstrip(";")
+    if kw in ("DROP", "ALTER"):
+        return sql.strip().rstrip(";")
+    if kw == "SHOW":
+        m = _SHOW_RE.match(sql)
+        if m:
+            kind = m.group("kind").lower()
+            if kind == "databases":
+                kind = "schemas"
+            lines = [f"show {kind}"]
+            if m.group("container"):
+                lines[0] += f" in {m.group('container')}"
+            if m.group("pat"):
+                lines.append(f"where name like {m.group('pat')}")
+            return "\n".join(lines)
+        # SHOW ROLES / GRANTS / SESSION / BRANCHES / STATS FOR /
+        # CREATE TABLE ... — engine-admin introspection with no wvlet
+        # relational surface: forward to the bound engine
+        return _sql_passthrough(sql)
+    if kw in ("SET", "RESET", "USE"):
+        return _sql_passthrough(sql)
+    if kw in ("PREPARE", "DEALLOCATE"):
+        raise SqlImportError(
+            "PREPARE/DEALLOCATE have no wvlet statement form — use "
+            "prepared parameters on WvletSession.run(params=...) instead")
+    if kw == "DESCRIBE" and re.match(r"\s*DESCRIBE\s+(INPUT|OUTPUT)\b",
+                                     sql, re.IGNORECASE):
+        raise SqlImportError(
+            "DESCRIBE INPUT/OUTPUT introspects server-side prepared "
+            "statements — no wvlet equivalent")
+    return _convert_query_sql(sql)
 
 
 # --------------------------------------------------------------- query nodes
@@ -102,10 +308,23 @@ def _query_node(node: dict, top: bool = False) -> str:
     ctes = (node.get("cte_map") or {}).get("map") or []
     for entry in ctes:
         name = entry["key"]
-        body = _query_node(entry["value"]["query"]["node"])
+        inner = entry["value"]["query"]["node"]
+        kw = "with"
+        if inner.get("type") == "RECURSIVE_CTE_NODE":
+            # WITH RECURSIVE name AS (base UNION ALL step) ->
+            # with recursive name as { base concat { step } }
+            kw = "with recursive"
+            base = _query_node(inner["left"])
+            step = _query_node(inner["right"])
+            if not inner.get("union_all"):
+                raise SqlImportError(
+                    "recursive CTE with UNION DISTINCT is unsupported")
+            body = f"{base}\nconcat {{\n{_indent(step)}\n}}"
+        else:
+            body = _query_node(inner)
         aliases = entry["value"].get("aliases") or []
         head = name + ("(" + ", ".join(aliases) + ")" if aliases else "")
-        lines.append(f"with {head} as {{\n{_indent(body)}\n}}")
+        lines.append(f"{kw} {head} as {{\n{_indent(body)}\n}}")
 
     if t == "SELECT_NODE":
         lines += _select_node(node)
@@ -295,6 +514,9 @@ def _rel_ref(rel: dict) -> str:
             s = f"unnest({args})"
             if alias:
                 s += f" as {_name(alias)}"
+                cols = rel.get("column_name_alias") or []
+                if cols:
+                    s += "(" + ", ".join(_name(c) for c in cols) + ")"
             return s
     raise SqlImportError(f"unsupported relation {t}")
 
@@ -589,6 +811,12 @@ def _type_name(t: dict) -> str:
         return "long"
     if tid == "list":
         return f"array[{_type_name(info['child_type'])}]"
+    if tid == "map":
+        # MAP serializes as LIST(STRUCT(key, value))
+        kv = info["child_type"]["type_info"]["child_types"]
+        k = _type_name(kv[0]["second"])
+        v = _type_name(kv[1]["second"])
+        return f"map[{k},{v}]"
     if tid in ("time", "time_tz"):
         raise SqlImportError("TIME type not supported by the engine")
     if tid in ("json", "user"):
