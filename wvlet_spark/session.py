@@ -260,6 +260,30 @@ class WvletSession:
 
         self._profiles[prefix] = resolver
 
+    def register_trino_profile(self, prefix: str, host: str, port: int = 8080,
+                               user: str = "wvlet",
+                               catalog: str | None = None,
+                               schema: str | None = None,
+                               scheme: str = "http", **client_kwargs) -> None:
+        """A NETWORK catalog profile speaking the public Trino REST
+        protocol (the reference's trino profile — TrinoConnector.scala):
+        `from <prefix>.<table>` fetches the table over HTTP and stages it
+        run-scoped with the one-invocation-per-statement connector
+        semantics (SourceTableStaging.scala / QueryExecutor.scala).
+        Tables resolve lazily on first reference; dotted rests
+        (`prefix.schema.table`) pass through to the remote qualified
+        name."""
+        from wvlet_spark.connectors import TrinoHttpClient, trino_table_reader
+
+        client = TrinoHttpClient(host, port, user=user, catalog=catalog,
+                                 schema=schema, scheme=scheme,
+                                 **client_kwargs)
+
+        def resolver(table: str):
+            return trino_table_reader(client, table)
+
+        self._profiles[prefix] = resolver
+
     def _stage_connector(self, name: str) -> str:
         """Stage a connector's result as a run-scoped temp view, invoked at
         most once per statement no matter how many times the query
