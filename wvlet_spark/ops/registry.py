@@ -539,6 +539,36 @@ ORDER BY doc_id
 """
 
 
+def q_windowed_agg(spark, sf_dir):
+    """Tumbling-window aggregate over events (the batch twin of the
+    stateful Structured-Streaming incremental aggregate in
+    streaming.windowed_agg_stream — identical window keys/values,
+    parity-tested in tests/test_streaming.py)."""
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import windowed_agg_batch
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    out = windowed_agg_batch(ev.select("ts", "event_type", "value"),
+                             ts_col="ts", window="1 day",
+                             group_cols=["event_type"], value_col="value")
+    return (out.withColumn("total_value", F.round("total_value", 2))
+            .orderBy("window_start", "event_type"))
+
+
+# Spark's window('1 day') aligns tumbling windows to the unix epoch —
+# DuckDB's time_bucket does the same for day buckets.
+O_WINDOWED_AGG = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -559,6 +589,7 @@ def entry_queries() -> dict:
         "ext_sessionize": q_sessionize,
         "ext_multimodal_decode": q_multimodal_decode,
         "ext_audio_decode": q_audio_decode,
+        "ext_windowed_agg": q_windowed_agg,
     }
 
 
@@ -576,6 +607,7 @@ def entry_oracles() -> dict:
         "ext_stratified_sample": _stratified_sample_oracle(),
         "ext_pii_scan": _pii_oracle(),
         "ext_sessionize": O_SESSIONIZE,
+        "ext_windowed_agg": O_WINDOWED_AGG,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
         # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64

@@ -201,6 +201,91 @@ def sessionize_stream(stream, user_col: str = "user_id", ts_col: str = "ts",
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def windowed_agg_batch(df, ts_col: str = "ts", window: str = "1 hour",
+                       group_cols: list[str] | None = None,
+                       value_col: str = "value"):
+    """Tumbling-window aggregate (batch shape): one shuffle on
+    (window, groups); window boundaries via Spark's window() so the
+    streaming twin produces byte-identical keys."""
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+    w = F.window(F.col(ts_col).cast("timestamp"), window)
+    return (df.groupBy(w.alias("win"), *group_cols)
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(value_col).alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    *group_cols, "n_events", "total_value"))
+
+
+def windowed_agg_stream(spark, source_path: str, target_path: str,
+                        checkpoint_path: str, ts_col: str = "ts",
+                        window: str = "1 hour",
+                        group_cols: list[str] | None = None,
+                        value_col: str = "value",
+                        watermark_delay: str = "1 hour",
+                        available_now: bool = True):
+    """STATEFUL incremental windowed aggregation — the extension past the
+    reference's stateless-only incrementalization
+    (transform/Incrementalize.scala:27-107 restricts subscribe() to
+    scan/filter/project; this adds the aggregate case via Structured
+    Streaming state + a foreachBatch upsert).
+
+    update-mode emission means each micro-batch row carries the COMPLETE
+    aggregate-so-far for its (window, groups) key (state store holds the
+    running value, persisted under `checkpoint_path` across runs), so the
+    sink merge is a pure upsert-by-key.  Here the sink is a parquet
+    directory swapped atomically (read-current, anti-join updated keys,
+    union, write-tmp, rename); on a real cluster the same foreachBatch
+    body would be a Delta/Iceberg MERGE INTO — the state/merge split is
+    identical.  Returns the StreamingQuery."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    group_cols = group_cols or []
+    stream = read_stream(spark, source_path, watermark_column=ts_col,
+                         delay=watermark_delay)
+    w = F.window(F.col(ts_col).cast("timestamp"), window)
+    agg = (stream.groupBy(w.alias("win"), *group_cols)
+           .agg(F.count("*").alias("n_events"),
+                F.sum(value_col).alias("total_value"))
+           .select(F.col("win.start").alias("window_start"),
+                   F.col("win.end").alias("window_end"),
+                   *group_cols, "n_events", "total_value"))
+
+    keys = ["window_start", *group_cols]
+
+    def merge(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        if os.path.isdir(target_path):
+            cur = sess.read.parquet(target_path)
+            merged = (cur.join(batch_df.select(*keys).distinct(),
+                               on=keys, how="left_anti")
+                      .unionByName(batch_df))
+        else:
+            merged = batch_df
+        tmp = target_path.rstrip("/") + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path.rstrip("/") + ".__old__"
+        if os.path.isdir(target_path):
+            os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (agg.writeStream.outputMode("update")
+              .option("checkpointLocation", checkpoint_path)
+              .foreachBatch(merge))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_stream(spark, table_or_path: str, watermark_column: str | None = None,
                 delay: str = "10 minutes", fmt: str = "parquet", schema=None):
     """Structured Streaming source with optional watermark — the Spark-native
