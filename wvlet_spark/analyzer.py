@@ -111,6 +111,13 @@ class Analyzer:
                     self.type_methods[fn.name] = fn
                 elif dialect == "spark":
                     self.type_methods[fn.name] = fn
+                elif dialect is not None and fn.name not in self.type_methods:
+                    # other-engine-scoped def with no unscoped/spark
+                    # alternative: use it as a fallback — many such bodies
+                    # are engine-agnostic SQL (reference
+                    # spec/cdp_simple/cdp_types_duckdb.wv defines
+                    # `in duckdb` methods whose bodies are plain literals)
+                    self.type_methods[fn.name] = fn
 
     # -- main entry -----------------------------------------------------------
 
@@ -304,6 +311,13 @@ class Analyzer:
                 return self._inline_function(node, stack + (key,))
             if isinstance(node, N.MethodCall) and node.method in self.type_methods:
                 return self._inline_method(node, stack + (key,))
+            # zero-arg method without parens parses as a qualified Ref
+            # (`td_user_agent.category` inside another method's body —
+            # reference spec/cdp_simple/cdp_types_duckdb.wv)
+            if isinstance(node, N.Ref) and node.name in self.type_methods:
+                return self._inline_method(
+                    N.MethodCall(node.qualifier, node.name, []),
+                    stack + (key,))
             return node
 
         return transform(body, expr_fn=expr_fn)

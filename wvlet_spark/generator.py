@@ -273,17 +273,20 @@ class SqlGenerator:
                 key_sqls.append(f"{ksql} AS {self.q(k.alias)}")
             else:
                 key_sqls.append(ksql)
-        non_keys: list[str] = []
-        if b.columns:
-            non_keys = [c for c in b.columns if c not in key_names]
+        # the reference aggregates EVERY input field — including columns
+        # that are themselves grouping keys (SqlGenerator.defaultAggExprs
+        # maps over inputRelationType.fields; spec/trino/
+        # group-by-reserved-keywords.wv asserts `arbitrary(id)` is present
+        # alongside the `id` key)
+        agg_cols: list[str] = list(b.columns or [])
         arb = "any_value" if self.dialect == SPARK else "arbitrary"
         # output columns are NAMED arbitrary(col) regardless of dialect
         # (reference: spec/basic/nest-filter.wv expects ["age_group",
         # "arbitrary(id)", "arbitrary(age)"])
         agg_sqls = [f"{arb}({self.q(c)}) AS {self.q(f'arbitrary({c})')}"
-                    for c in non_keys]
+                    for c in agg_cols]
         b.select = key_sqls + agg_sqls
-        b.columns = key_names + [f"arbitrary({c})" for c in non_keys]
+        b.columns = key_names + [f"arbitrary({c})" for c in agg_cols]
 
     # ---------------------------------------------------------- relations
 
@@ -868,10 +871,17 @@ class SqlGenerator:
             b2.limit = int(rel.size)
             return self.wrap(b2)
         if self.dialect == SPARK:
-            if rel.is_rows:
-                b.source += f" TABLESAMPLE ({int(rel.size)} ROWS)"
+            clause = (f"TABLESAMPLE ({int(rel.size)} ROWS)" if rel.is_rows
+                      else f"TABLESAMPLE ({rel.size} PERCENT)")
+            if _SAFE_IDENT.match(b.source):
+                # bare table: attach directly so sampling pushes into the scan
+                b.source += f" {clause}"
             else:
-                b.source += f" TABLESAMPLE ({rel.size} PERCENT)"
+                # Spark's grammar rejects TABLESAMPLE after an aliased
+                # relation (`(VALUES ...) AS t(x) TABLESAMPLE` is a parse
+                # error); re-wrap as an anonymous subquery, which it accepts
+                b.source = (f"(SELECT * FROM {b.source}) {clause} "
+                            f"AS {self.q(self.fresh('samp'))}")
             return b
         # duckdb
         if rel.is_rows:

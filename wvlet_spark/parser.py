@@ -664,6 +664,12 @@ class Parser:
         self.expect_kw("model")
         name = self.expect_ident()
         params = self.parse_params()
+        if self.at_op(":"):
+            # `model weblogs: td_sdk_log = { ... }` — type-annotated model
+            # (reference spec/cdp_simple/behavior.wv); the annotation is
+            # advisory here: type METHODS resolve globally by name
+            self.next()
+            self.parse_type_name()
         self.expect_op("=")
         self.expect_op("{")
         body, _ = self.parse_query()
@@ -723,9 +729,16 @@ class Parser:
         self.expect_kw("type")
         name = self.expect_ident()
         binding = None
+        extends = None
         if self.at_kw("in"):
             self.next()
             binding = self.parse_qualified_name()
+        if self.at_kw("extends"):
+            # `type ip_address in duckdb extends string = { def ... }` —
+            # scalar subtype carrying methods (reference
+            # spec/cdp_simple/cdp_types_duckdb.wv)
+            self.next()
+            extends = self.parse_type_name()
         self.expect_op("=")
         cols: list[tuple[str, str]] = []
         methods: list = []
@@ -749,7 +762,8 @@ class Parser:
         else:
             parent = self.parse_type_name()
             return N.TypeDef(name, parent=parent, binding=binding)
-        return N.TypeDef(name, columns=cols, binding=binding, methods=methods)
+        return N.TypeDef(name, parent=extends, columns=cols, binding=binding,
+                         methods=methods)
 
     def parse_type_name(self) -> str:
         base = self.expect_ident()

@@ -67,20 +67,34 @@ def subscribe_filter(session, node: N.Subscribe) -> N.Relation:
     window_sql = ""
     cond: N.Expr
     col = N.Ident(wm_col)
+    # epoch-numbered watermark columns (TD-style `time: int` unix seconds,
+    # reference spec/cdp_*) compare numerically; timestamp columns via a
+    # timestamp literal
+    numeric_wm = isinstance(wm, (int, float)) and not hasattr(wm, "isoformat")
     if wm is None:
         cond = N.Literal(True, "bool")
     else:
-        wm_lit = N.Literal(str(wm), "string")
-        lower = N.Comparison(">", col, N.Cast(wm_lit, "timestamp"))
-        if node.window_size:
-            secs = parse_duration_seconds(node.window_size)
-            upper_expr = N.RawSQLExpr(
-                f"CAST('{wm}' AS TIMESTAMP) + INTERVAL {int(secs)} SECOND"
-            )
-            upper = N.Comparison("<=", col, upper_expr)
-            cond = N.And(lower, upper)
+        if numeric_wm:
+            lower = N.Comparison(">", col, N.RawSQLExpr(repr(wm)))
+            if node.window_size:
+                secs = parse_duration_seconds(node.window_size)
+                upper = N.Comparison(
+                    "<=", col, N.RawSQLExpr(repr(wm + int(secs))))
+                cond = N.And(lower, upper)
+            else:
+                cond = lower
         else:
-            cond = lower
+            wm_lit = N.Literal(str(wm), "string")
+            lower = N.Comparison(">", col, N.Cast(wm_lit, "timestamp"))
+            if node.window_size:
+                secs = parse_duration_seconds(node.window_size)
+                upper_expr = N.RawSQLExpr(
+                    f"CAST('{wm}' AS TIMESTAMP) + INTERVAL {int(secs)} SECOND"
+                )
+                upper = N.Comparison("<=", col, upper_expr)
+                cond = N.And(lower, upper)
+            else:
+                cond = lower
 
         # advance the stored watermark to the window upper bound
         if node.window_size and spark is not None:
@@ -90,6 +104,9 @@ def subscribe_filter(session, node: N.Subscribe) -> N.Relation:
                 session._watermarks[key] = wm + datetime.timedelta(
                     seconds=parse_duration_seconds(node.window_size)
                 )
+            elif numeric_wm:
+                session._watermarks[key] = wm + int(
+                    parse_duration_seconds(node.window_size))
         elif spark is not None:
             row = spark.sql(f"SELECT max({wm_col}) AS hi FROM ({inner_sql})").collect()[0]
             if row["hi"] is not None:

@@ -410,7 +410,8 @@ group by n_nationkey
 order by n_nationkey
 """,
     """
-SELECT n_nationkey, arbitrary(n_name) AS "arbitrary(n_name)",
+SELECT n_nationkey, arbitrary(n_nationkey) AS "arbitrary(n_nationkey)",
+       arbitrary(n_name) AS "arbitrary(n_name)",
        arbitrary(n_regionkey) AS "arbitrary(n_regionkey)"
 FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
 """,
