@@ -109,7 +109,14 @@ class Parser:
                 self.next()
             if self.eof():
                 break
-            stmts.append(self.parse_statement())
+            start = self.peek().line
+            stmt = self.parse_statement()
+            # source line span, for interactive statement selection
+            # (QuerySelector parity — session.run_selection)
+            end = self.peek(-1).line if self.pos > 0 else start
+            stmt.line_start = start
+            stmt.line_end = max(start, end)
+            stmts.append(stmt)
         return stmts
 
     def parse_statement(self) -> N.Statement:

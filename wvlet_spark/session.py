@@ -165,6 +165,17 @@ class WvletSession:
 
         return sql_to_wvlet(sql, dialect=dialect)
 
+    def run_selection(self, text: str, line: int | None = None,
+                      mode: str = "subquery"):
+        """Interactive selection: run `text` as selected by cursor `line`
+        and `mode` — "subquery" (the containing statement truncated at the
+        cursor: mid-pipeline preview), "describe" (its schema), "single",
+        "all_before", "all".  The reference's editor UX
+        (compiler/query/QuerySelector.scala)."""
+        from wvlet_spark.selector import select_text
+
+        return self.run(select_text(text, line, mode))
+
     def run_sql(self, sql: str, dialect: str = "duckdb"):
         """Convert SQL to wvlet and execute it — one-call migration check."""
         return self.run(self.to_wvlet(sql, dialect=dialect))
