@@ -354,3 +354,50 @@ def test_sample_boundary_fractions(spark):
     got = {r.lang for r in out.select("lang").distinct().collect()}
     assert got == {"en"}
     assert out.count() == 250
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from wvlet_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "buy now " * 30), (2, "a varied document with many different words here")],
+        ["doc_id", "text"])
+    r = {x.doc_id: x for x in repetition_stats(df).collect()}
+    assert r[1].dup_word_frac > 0.9 and r[1].dup_2gram_frac > 0.9
+    assert r[1].top_word_frac >= 0.5
+    assert r[2].dup_word_frac == 0.0 and r[2].dup_2gram_frac == 0.0
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets stay within capacity; per (shard, bin) the packed docs are
+    contiguous: each doc starts where the previous one ended (mod capacity)."""
+    from wvlet_spark.ops.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (5 + (i * 7) % 40)) for i in range(200)],
+        ["doc_id", "text"])
+    out = pack_sequences(df, capacity=64, n_shards=4).collect()
+    assert all(0 <= r.bin_offset < 64 for r in out)
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        prev = by_shard.get(r.shard, 0)
+        assert r.bin_id * 64 + r.bin_offset == prev  # contiguous stream
+        by_shard[r.shard] = prev + r.n_tokens
+    # sharding is doc_id % n
+    assert all(r.shard == r.doc_id % 4 for r in out)
+
+
+def test_dedup_against_reference_exact(spark):
+    from wvlet_spark.ops.dedup import dedup_against_reference
+
+    ref = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "other doc")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the  quick brown FOX"),   # normalized dup of ref 1
+         (11, "genuinely new content")], ["doc_id", "text"])
+    kept = [r.doc_id for r in dedup_against_reference(new, ref).collect()]
+    assert kept == [11]
+    # normalize=False keeps the casing-different doc
+    kept2 = [r.doc_id for r in
+             dedup_against_reference(new, ref, normalize=False).collect()]
+    assert sorted(kept2) == [10, 11]

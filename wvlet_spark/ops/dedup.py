@@ -402,3 +402,31 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_against_reference(new_df: DataFrame, ref_df: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            normalize: bool = True) -> DataFrame:
+    """Incremental dedup: drop rows of `new_df` whose (normalized) text
+    already exists in a reference corpus — the cross-snapshot dedup step
+    of a training-data pipeline (today's crawl vs everything already
+    ingested).
+
+    Shape for 100 TB: both sides reduce to (id, md5) before the anti-join,
+    so the shuffle carries 16-byte keys, never documents; the ref side
+    additionally pre-aggregates to DISTINCT hashes (map-side combine).
+    Spark's runtime-filter injection (spark.sql.optimizer.runtime.
+    bloomFilter.enabled, on by default in 3.5+) plants a bloom filter from
+    the smaller side into the bigger side's scan at execution time — the
+    classic "bloom prefilter then exact verify" pattern without hand-built
+    filters, and exact by construction (the anti-join IS the verification).
+    """
+    def keyed(df):
+        norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) \
+            if normalize else F.col(text_col)
+        return df.withColumn("__h", F.md5(norm))
+
+    ref_keys = keyed(ref_df).select("__h").distinct()
+    return (keyed(new_df)
+            .join(ref_keys, on="__h", how="left_anti")
+            .drop("__h"))

@@ -569,6 +569,95 @@ ORDER BY window_start, event_type
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (dup-word / top-word / dup-2gram
+    fractions) — map-only column expressions; the oracle mirrors the same
+    list algebra in DuckDB."""
+    from wvlet_spark.ops.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+O_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS nd,
+         CASE WHEN len(w) >= 2 THEN
+           [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+         ELSE [] END AS grams,
+         list_max([len(list_filter(w, x -> x = u))
+                   FOR u IN list_distinct(w)]) AS topc
+  FROM t
+)
+SELECT doc_id,
+       round(1 - nd / CAST(n AS DOUBLE), 4) AS dup_word_frac,
+       round(topc / CAST(n AS DOUBLE), 4) AS top_word_frac,
+       CASE WHEN len(grams) > 0
+            THEN round(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_2gram_frac
+FROM g ORDER BY doc_id
+"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing placement: per-shard running
+    token cumsum -> (bin, offset).  Window/aggregate SQL only — oracle
+    runs the identical algebra."""
+    from wvlet_spark.ops.packing import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), capacity=512, n_shards=8)
+    return out.orderBy("doc_id")
+
+
+O_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INT) AS shard,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(start_tok / 512) AS BIGINT) AS bin_id,
+       CAST(start_tok % 512 AS BIGINT) AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
+def q_dedup_against_ref(spark, sf_dir):
+    """Cross-snapshot dedup: drop documents whose text already exists in a
+    reference slice (docs with doc_id < 250 stand in for 'yesterday's
+    corpus').  Anti-join on md5 keys; Spark's runtime bloom-filter
+    injection is the at-scale prefilter."""
+    from wvlet_spark.ops.dedup import dedup_against_reference
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    out = dedup_against_reference(new, ref)
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+O_DEDUP_AGAINST_REF = """
+WITH k AS (
+  SELECT doc_id, lang, source,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT doc_id, lang, source FROM k
+WHERE doc_id >= 250
+  AND h NOT IN (SELECT h FROM k WHERE doc_id < 250)
+ORDER BY doc_id
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -590,6 +679,9 @@ def entry_queries() -> dict:
         "ext_multimodal_decode": q_multimodal_decode,
         "ext_audio_decode": q_audio_decode,
         "ext_windowed_agg": q_windowed_agg,
+        "ext_repetition": q_repetition,
+        "ext_sequence_pack": q_sequence_pack,
+        "ext_dedup_against_ref": q_dedup_against_ref,
     }
 
 
@@ -608,6 +700,9 @@ def entry_oracles() -> dict:
         "ext_pii_scan": _pii_oracle(),
         "ext_sessionize": O_SESSIONIZE,
         "ext_windowed_agg": O_WINDOWED_AGG,
+        "ext_repetition": O_REPETITION,
+        "ext_sequence_pack": O_SEQUENCE_PACK,
+        "ext_dedup_against_ref": O_DEDUP_AGAINST_REF,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
         # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64

@@ -131,3 +131,42 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind in ("url", "email", "ipv4", "phone"):
         red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out.withColumn("redacted", red)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition filters for training corpora (the Gopher/MassiveText
+    family: documents dominated by repeated fragments are low-quality and
+    poison dedup/quality sampling):
+
+    - dup_word_frac:  1 - distinct_words / words
+    - top_word_frac:  occurrences of the most frequent word / words
+    - dup_2gram_frac: 1 - distinct_2grams / 2grams
+
+    Pure column expressions over the token array (whole-stage codegen,
+    map-only — survives 100 TB by construction).  top_word_frac is
+    O(distinct * n) per row via a nested higher-order filter, fine for
+    document-sized n; the DuckDB oracle mirrors the same list algebra.
+    """
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
+    w = _tokens(F.col(text_col))
+    n = F.size(w)
+    nd = F.size(F.array_distinct(w))
+    top = F.array_max(F.transform(
+        F.array_distinct(w),
+        lambda u: F.size(F.filter(w, lambda x: x == u))))
+    grams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    ngd = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        F.round(1 - nd / n, 4).alias("dup_word_frac"),
+        F.round(top / n, 4).alias("top_word_frac"),
+        F.when(ng > 0, F.round(1 - ngd / ng, 4)).otherwise(0.0)
+        .alias("dup_2gram_frac"),
+    )
