@@ -118,3 +118,47 @@ def test_filter_pushdown_on_file_scan(ws):
     # projection reaches the scan: 16-column table, 3-column read
     rs = plan.split("ReadSchema: ")[1]
     assert "l_comment" not in rs[:400]
+
+
+def test_bucketed_save_enables_shuffle_free_join(spark):
+    """`save to t with bucketed_on/bucket_count` writes Spark-bucketed
+    tables; a join of two tables bucketed on the same key and count runs
+    WITHOUT a shuffle exchange on either side — the co-located-join
+    guarantee bucketing exists to buy at 100 TB."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    for t in ("bk_left", "bk_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        ws.run("""
+from [[1, 'a'], [2, 'b'], [3, 'c'], [4, 'd']] as t(id, v)
+save to bk_left
+with bucketed_on: ['id'], bucket_count: 4,
+""")
+        ws.run("""
+from [[1, 'x'], [2, 'y'], [4, 'z']] as t(id, w)
+save to bk_right
+with bucketed_on: ['id'], bucket_count: 4,
+""")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = ws.run("""
+from bk_left
+join bk_right on bk_left.id = bk_right.id
+select bk_left.id, v, w
+order by bk_left.id
+""")
+            plan = _plan(df)
+            # the ORDER BY adds one range exchange; the JOIN itself must
+            # read both bucketed scans without hash exchanges
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert plan.count("Exchange hashpartitioning") == 0, plan
+            assert [tuple(r) for r in df.collect()] == \
+                [(1, "a", "x"), (2, "b", "y"), (4, "d", "z")]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for t in ("bk_left", "bk_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

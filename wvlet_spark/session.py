@@ -723,10 +723,15 @@ class WvletSession:
 
     def _apply_write_options(self, writer, options: dict | None):
         """`save to ... with (k: v, ...)` options (reference
-        spec/basic/update/save-with-options.wv): `partition_by` becomes a
-        partitioned layout (the 100 TB essential — downstream reads prune
-        partitions), `compression` and any other scalar pass through as
-        DataSource write options."""
+        spec/basic/update/save-with-options.wv + spec/td-trino/
+        create-table-with.wv): `partition_by` becomes a partitioned layout
+        (the 100 TB essential — downstream reads prune partitions),
+        `bucketed_on`/`bucket_count` become Spark bucketing (co-located
+        joins/aggregations on the bucket key skip their shuffle),
+        `compression` and any other scalar pass through as DataSource
+        write options."""
+        bucket_cols: list[str] | None = None
+        bucket_count: int | None = None
         for key, val in (options or {}).items():
             if isinstance(val, N.Literal):
                 val = val.value
@@ -736,6 +741,11 @@ class WvletSession:
             if key == "partition_by":
                 cols = val if isinstance(val, list) else [val]
                 writer = writer.partitionBy(*[str(c) for c in cols])
+            elif key == "bucketed_on":
+                bucket_cols = [str(c) for c in
+                               (val if isinstance(val, list) else [val])]
+            elif key == "bucket_count":
+                bucket_count = int(val)
             elif key == "row_group_size":
                 # rows in the reference's engine; Spark's closest knob is
                 # the parquet block size in bytes — approximate at ~100B/row
@@ -743,6 +753,10 @@ class WvletSession:
                                        int(val) * 100)
             else:
                 writer = writer.option(str(key), val)
+        if bucket_cols:
+            # sortBy within buckets keeps bucket files merge-join friendly
+            writer = writer.bucketBy(bucket_count or 8, *bucket_cols) \
+                .sortBy(*bucket_cols)
         return writer
 
     def _write_file(self, df, path: str, mode: str,
