@@ -199,6 +199,8 @@ def test_to_wvlet_units(spark, duck):
         "using(r_regionkey) order by n_name limit 3"
         .replace("using(r_regionkey)", "on n_regionkey = r_regionkey"),
         "select count(*) as n from customer where c_comment is not null",
+        "select try_cast('abc' as integer) as a, "
+        "try_cast('7' as integer) as b",
     ]
     for sql in cases:
         got = _norm(tuple(r) for r in ws.run_sql(sql).collect())

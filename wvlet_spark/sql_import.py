@@ -580,9 +580,10 @@ def _expr(e: dict) -> str:
         parts.append("end")
         return " ".join(parts)
     if cls == "CAST":
+        tname = _type_name(e["cast_type"])
         if e.get("try_cast"):
-            raise SqlImportError("TRY_CAST has no wvlet equivalent")
-        return f"{_maybe_paren(e['child'])}::{_type_name(e['cast_type'])}"
+            return f"try_cast({_expr(e['child'])} as {tname})"
+        return f"{_maybe_paren(e['child'])}::{tname}"
     if cls == "SUBQUERY":
         sub = "{\n" + _indent(_query_node(e["subquery"]["node"])) + "\n}"
         if e["subquery_type"] == "SCALAR":
