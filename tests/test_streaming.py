@@ -210,3 +210,40 @@ def test_windowed_agg_stream_incremental_parity(spark, tmp_path):
             value_col="value").collect()
     }
     assert got == exp
+
+
+def test_exact_dedup_stream_parity(spark, tmp_path):
+    """Streaming exact dedup (watermark-bounded state) keeps one row per
+    normalized text, matching the batch operator's representative count."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import exact_dedup_stream, read_stream
+
+    src = str(tmp_path / "docs")
+    base = read_parquet_robust(spark, f"{SF_SMALL}/documents.parquet") \
+        .select("doc_id", "text").limit(100)
+    # plant duplicates: re-id 30 docs with whitespace/casing variants
+    dups = (base.limit(30)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .withColumn("text", F.upper(F.regexp_replace("text", " ", "  "))))
+    docs = (base.unionByName(dups)
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id") % 1000)))
+    docs = docs.localCheckpoint()
+    docs.write.parquet(src)
+
+    stream = read_stream(spark, src)
+    q = (exact_dedup_stream(stream, ts_col="ts", watermark_delay="365 days")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream_out")
+         .option("checkpointLocation", str(tmp_path / "ckp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT count(*) FROM dedup_stream_out").collect()[0][0]
+    from wvlet_spark.ops.dedup import exact_dedup
+
+    exp = exact_dedup(docs).count()
+    assert got == exp
+    assert got < docs.count()  # the corpus contains planted duplicates

@@ -658,6 +658,35 @@ ORDER BY doc_id
 """
 
 
+def q_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embeddings table (the 4x-storage
+    path for ANN at scale) — pure column expressions; the oracle runs the
+    identical arithmetic over DuckDB lists."""
+    from wvlet_spark.ops.similarity import quantize_embeddings
+
+    out = quantize_embeddings(_embs(spark, sf_dir))
+    return out.orderBy("vec_id")
+
+
+O_QUANTIZE = """
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+  FROM t
+), q AS (
+  SELECT vec_id, v, sc,
+         list_transform(v, x -> CAST(round(x / sc) AS INT)) AS q8
+  FROM s
+)
+SELECT vec_id, q8, round(sc, 8) AS scale,
+       round(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - q8[i] * sc))), 6) AS max_abs_err
+FROM q ORDER BY vec_id
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -682,6 +711,7 @@ def entry_queries() -> dict:
         "ext_repetition": q_repetition,
         "ext_sequence_pack": q_sequence_pack,
         "ext_dedup_against_ref": q_dedup_against_ref,
+        "ext_quantize": q_quantize,
     }
 
 
@@ -703,6 +733,7 @@ def entry_oracles() -> dict:
         "ext_repetition": O_REPETITION,
         "ext_sequence_pack": O_SEQUENCE_PACK,
         "ext_dedup_against_ref": O_DEDUP_AGAINST_REF,
+        "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
         # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64

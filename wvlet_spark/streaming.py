@@ -327,3 +327,29 @@ def read_stream(spark, table_or_path: str, watermark_column: str | None = None,
             df = df.withColumn(watermark_column, F.col(watermark_column).cast("timestamp"))
         df = df.withWatermark(watermark_column, delay)
     return df
+
+
+def exact_dedup_stream(stream, key_cols: list[str] | None = None,
+                       text_col: str = "text", ts_col: str | None = None,
+                       watermark_delay: str = "1 hour"):
+    """Streaming twin of ops.dedup.exact_dedup: drop rows whose
+    (normalized-text md5) key was already seen.
+
+    With an event-time watermark the state store evicts keys older than
+    the delay (`dropDuplicatesWithinWatermark`), so state is bounded by
+    the key cardinality INSIDE the watermark horizon — the only shape that
+    survives an unbounded stream; without a watermark Spark would keep
+    every key forever."""
+    from pyspark.sql import functions as F
+
+    if key_cols is None:
+        norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+        stream = stream.withColumn("__h", F.md5(norm))
+        key_cols = ["__h"]
+    if ts_col is not None:
+        if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+            stream = stream.withColumn(ts_col,
+                                       F.col(ts_col).cast("timestamp"))
+        stream = stream.withWatermark(ts_col, watermark_delay)
+        return stream.dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)
