@@ -89,6 +89,16 @@ def cmd_to_wvlet(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from wvlet_spark import WvletSession
+    from wvlet_spark.server import serve
+
+    spark = _make_spark(args.cpus)
+    ws = WvletSession(spark, table_dir=args.table_dir, test_mode=True)
+    serve(ws, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_repl(args) -> int:
     from wvlet_spark import WvletSession
     from wvlet_spark.generator import CompileError
@@ -148,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sql-dialect", default="duckdb",
                     choices=["duckdb", "trino", "hive"])
     sp.set_defaults(fn=cmd_to_wvlet)
+
+    sp = sub.add_parser("serve", help="HTTP query server (FrontendApi)")
+    sp.add_argument("--table-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
+    sp.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("repl", help="interactive session")
     sp.add_argument("--table-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"))
