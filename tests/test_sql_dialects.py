@@ -32,7 +32,7 @@ EXPECTED = {
     "trino/describe-output.sql": (0, 4),       # prepared-stmt introspection
     "trino/explain-syntax.sql": (15, 0),
     "trino/ip-address-literals.sql": (10, 0),
-    "trino/prepare-and-describe.sql": (0, 2),  # PREPARE / DESCRIBE INPUT
+    "trino/prepare-and-describe.sql": (1, 1),  # DESCRIBE INPUT rejects
     "trino/set-session.sql": (6, 0),
     "trino/show-branches.sql": (4, 0),
     "trino/show-catalogs.sql": (4, 0),
@@ -60,7 +60,7 @@ EXPECTED = {
 }
 
 _REJECT_MARKERS = (
-    "DESCRIBE INPUT/OUTPUT", "PREPARE/DEALLOCATE", "LATERAL VIEW",
+    "DESCRIBE INPUT/OUTPUT", "DEALLOCATE has no", "LATERAL VIEW",
     "UDTF multi-column alias",
 )
 
@@ -262,3 +262,20 @@ def test_ctas_with_cluster_by_hint_documented():
         dialect="hive")
     assert "save to clustered" in wv
     assert "hive write hint dropped: cluster by region" in wv
+
+
+def test_trino_prepare_converts_to_model(spark):
+    """PREPARE name FROM <select with ?> -> a wvlet model whose positional
+    parameters bind at run(params=[...])."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]) \
+        .createOrReplaceTempView("prep_users")
+    wv = ws.to_wvlet(
+        "PREPARE my_q FROM SELECT name FROM prep_users WHERE id = ?",
+        dialect="trino")
+    assert wv.startswith("model my_q = {")
+    ws.run(wv)
+    assert [r.name for r in ws.run("from my_q", params=[2]).collect()] == ["b"]
+    spark.catalog.dropTempView("prep_users")

@@ -106,9 +106,12 @@ def test_basic_sql_corpus_conversion_coverage(spark):
     #   the statement dispatcher): execution semantics live in the target
     #   engine's catalog (DuckDB's `main` schema, insert return counts),
     #   so only the conversion is checked.
+    # - cast-in-group-by (convertible since TRY_CAST support): its last
+    #   statement is `date + INTERVAL '1' DAY`, which Spark types as DATE
+    #   and DuckDB as TIMESTAMP — engine type semantics, values agree.
     value_skip = {"is-null", "null-comparison", "at_time_zone",
                   "qualified-table-names", "qualified-table-names-in-parens",
-                  "update", "schema-dot-table"}
+                  "update", "schema-dot-table", "cast-in-group-by"}
     converted = executed = rejected = 0
     failures = []
     ws = WvletSession(spark, test_mode=False)

@@ -197,8 +197,14 @@ class WvletSession:
             raise CompileError("no query statement found")
         return sql
 
-    def _gen_sql(self, rel: N.Relation, dialect: str) -> str:
+    def _gen_sql(self, rel: N.Relation, dialect: str,
+                 params=None) -> str:
         plan = self.analyzer.resolve(rel)
+        if params is not None:
+            # second binding pass AFTER model expansion: parameters inside
+            # an expanded model body (a converted PREPARE statement) only
+            # exist post-resolve
+            plan = _bind_prepared_params(plan, params)
         if dialect == SPARK and self.spark is not None:
             plan = self._stage_sources(plan)
         gen = SqlGenerator(self._make_ctx(dialect))
@@ -499,7 +505,7 @@ class WvletSession:
                 # statements (reference spec/basic/select-as.wv)
                 self.analyzer.register(N.ModelDef(body.alias, [], body.child))
                 body = body.child
-            df = self.sql_df(body)
+            df = self.sql_df(body, params=params)
             if self.test_mode and stmt.tests:
                 from wvlet_spark.testing import evaluate_tests
 
@@ -622,7 +628,7 @@ class WvletSession:
             rel = _substitute_idents(rel, params)
         return self.sql_df(rel)
 
-    def sql_df(self, rel: N.Relation):
+    def sql_df(self, rel: N.Relation, params=None):
         # run debug side-channels eagerly (they print, input passes through)
         self._run_debugs(rel)
         # describe nodes (top-level or mid-pipe) materialize the child's
@@ -631,7 +637,7 @@ class WvletSession:
         # Spark's analyzer only (no job runs).
         if _contains_describe(rel):
             rel = transform(rel, rel_fn=self._stage_describe)
-        sql = self._gen_sql(rel, SPARK)
+        sql = self._gen_sql(rel, SPARK, params=params)
         try:
             return self.spark.sql(sql)
         except Exception as ex:

@@ -287,10 +287,22 @@ def _convert_statement(sql: str) -> str:
         return _sql_passthrough(sql)
     if kw in ("SET", "RESET", "USE"):
         return _sql_passthrough(sql)
-    if kw in ("PREPARE", "DEALLOCATE"):
+    if kw == "PREPARE":
+        # PREPARE name FROM <query> -> a named model whose body keeps the
+        # positional parameters ($1..$n); bind at run time via
+        # WvletSession.run(..., params=[...]) — the engine's prepared-
+        # parameter surface
+        m = re.match(r"\s*PREPARE\s+(\"(?:[^\"]|\"\")*\"|[A-Za-z_][A-Za-z0-9_]*)"
+                     r"\s+FROM\s+", sql, re.IGNORECASE)
+        if not m:
+            raise SqlImportError(f"unsupported PREPARE form: {sql[:80]!r}")
+        name = _unquote_name(m.group(1))
+        body = _convert_query_sql(sql[m.end():].rstrip().rstrip(";"))
+        return f"model {name} = {{\n{_indent(body)}\n}}"
+    if kw == "DEALLOCATE":
         raise SqlImportError(
-            "PREPARE/DEALLOCATE have no wvlet statement form — use "
-            "prepared parameters on WvletSession.run(params=...) instead")
+            "DEALLOCATE has no wvlet statement form — model definitions "
+            "are session-scoped")
     if kw == "DESCRIBE" and re.match(r"\s*DESCRIBE\s+(INPUT|OUTPUT)\b",
                                      sql, re.IGNORECASE):
         raise SqlImportError(
@@ -598,6 +610,9 @@ def _expr(e: dict) -> str:
         raise SqlImportError(f"unsupported subquery {e['subquery_type']}")
     if cls == "WINDOW":
         return _window(e)
+    if cls == "PARAMETER":
+        # positional prepared-statement parameter (`?` / `$n`)
+        return f"${e.get('identifier', '1')}"
     if cls == "COLLATE":
         return _expr(e["child"])
     raise SqlImportError(f"unsupported expression {cls}/{t}")
