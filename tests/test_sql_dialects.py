@@ -50,7 +50,7 @@ EXPECTED = {
     "hive/div_operator.sql": (8, 0),
     "hive/hive-data-types.sql": (6, 0),
     "hive/hive-functions.sql": (7, 0),
-    "hive/hive-lateral-view.sql": (4, 3),      # posexplode/map/inline UDTFs
+    "hive/hive-lateral-view.sql": (5, 2),      # map-explode/inline UDTFs
     "hive/hive-partition-write.sql": (13, 0),
     "hive/hive-udtf.sql": (0, 2),              # multi-column UDTF alias
     "hive/insert-into-table.sql": (11, 0),
@@ -279,3 +279,32 @@ def test_trino_prepare_converts_to_model(spark):
     ws.run(wv)
     assert [r.name for r in ws.run("from my_q", params=[2]).collect()] == ["b"]
     spark.catalog.dropTempView("prep_users")
+
+
+def test_hive_posexplode_executes(spark):
+    """posexplode -> the importer's positional unnest (0-origin) — Spark
+    posexplode on the engine path, generate_subscripts-1 on the DuckDB
+    oracle dialect; both engines agree."""
+    import duckdb
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.generator import DUCKDB
+
+    spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])],
+                          ["order_id", "items"]) \
+        .createOrReplaceTempView("pe_orders")
+    ws = WvletSession(spark)
+    wv = ws.to_wvlet(
+        "SELECT order_id, pos, item FROM pe_orders "
+        "LATERAL VIEW posexplode(items) t AS pos, item", dialect="hive")
+    got = sorted(tuple(r) for r in ws.run(wv).collect())
+    assert got == [(1, 0, "a"), (1, 1, "b"), (2, 0, "c")]
+    # duckdb dialect twin of the same wvlet text
+    dsql = ws.compile_to_sql(wv, dialect=DUCKDB)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pe_orders AS SELECT * FROM (VALUES "
+                "(1, ['a','b']), (2, ['c'])) t(order_id, items)")
+    exp = sorted(tuple(r) for r in con.execute(dsql).fetchall())
+    assert [tuple(map(str, g)) for g in got] == \
+        [tuple(map(str, e)) for e in exp]
+    spark.catalog.dropTempView("pe_orders")

@@ -487,8 +487,20 @@ class SqlGenerator:
         B = SqlGenerator.Block
         if rel.name == "unnest":
             arg = self.expr(rel.args[0])
-            col = (rel.columns[0] if rel.columns else None) or "value"
             alias = self.q(rel.alias or self.fresh("u"))
+            if rel.columns and len(rel.columns) == 2:
+                # positional unnest: `unnest(arr) as t(pos, val)` — Hive's
+                # posexplode (0-origin position), imported from
+                # `LATERAL VIEW posexplode(...)` (spec/sql/hive)
+                pos, col = rel.columns
+                if self.dialect == SPARK:
+                    sql = (f"SELECT posexplode({arg}) AS "
+                           f"({self.q(pos)}, {self.q(col)})")
+                else:
+                    sql = (f"SELECT generate_subscripts({arg}, 1) - 1 AS "
+                           f"{self.q(pos)}, unnest({arg}) AS {self.q(col)}")
+                return B(source=f"({sql}) AS {alias}", columns=[pos, col])
+            col = (rel.columns[0] if rel.columns else None) or "value"
             if self.dialect == SPARK:
                 sql = f"SELECT explode({arg}) AS {self.q(col)}"
                 return B(source=f"({sql}) AS {alias}", columns=[col])

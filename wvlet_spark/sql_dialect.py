@@ -202,16 +202,22 @@ def _rewrite_lateral_views(sql: str) -> str:
             raise DialectError("LATERAL VIEW missing `alias AS cols`")
         alias, cols = am.group(1), [c.strip() for c in
                                     re.split(r"\s*,\s*", am.group(2))]
-        if fname != "explode" or len(cols) != 1:
+        if fname == "explode" and len(cols) == 1:
+            collist = cols[0]
+        elif fname == "posexplode" and len(cols) == 2:
+            # two-column alias = (pos, val): the importer's positional
+            # unnest form, lowered to Spark posexplode
+            collist = ", ".join(cols)
+        else:
             raise DialectError(
                 f"LATERAL VIEW {fname} with {len(cols)} output columns has "
-                "no single-column UNNEST equivalent (posexplode / map "
-                "explode need WITH ORDINALITY / map_entries support)")
+                "no UNNEST equivalent (map explode / inline UDTFs need "
+                "map_entries / struct-expansion support)")
         if outer:
             # OUTER keeps rows with empty/null arrays
-            repl = f" LEFT JOIN UNNEST({args}) AS {alias}({cols[0]}) ON TRUE"
+            repl = f" LEFT JOIN UNNEST({args}) AS {alias}({collist}) ON TRUE"
         else:
-            repl = f" CROSS JOIN UNNEST({args}) AS {alias}({cols[0]})"
+            repl = f" CROSS JOIN UNNEST({args}) AS {alias}({collist})"
         sql = sql[:m.start()] + repl + tail[am.end():]
 
 
