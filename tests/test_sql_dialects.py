@@ -50,7 +50,7 @@ EXPECTED = {
     "hive/div_operator.sql": (8, 0),
     "hive/hive-data-types.sql": (6, 0),
     "hive/hive-functions.sql": (7, 0),
-    "hive/hive-lateral-view.sql": (5, 2),      # map-explode/inline UDTFs
+    "hive/hive-lateral-view.sql": (7, 0),
     "hive/hive-partition-write.sql": (13, 0),
     "hive/hive-udtf.sql": (0, 2),              # multi-column UDTF alias
     "hive/insert-into-table.sql": (11, 0),
@@ -308,3 +308,27 @@ def test_hive_posexplode_executes(spark):
     assert [tuple(map(str, g)) for g in got] == \
         [tuple(map(str, e)) for e in exp]
     spark.catalog.dropTempView("pe_orders")
+
+
+def test_hive_map_explode_and_inline_execute(spark):
+    """2-column explode (MAP) and inline (array<struct>) convert to the
+    wvlet unnest_map / unnest_struct table functions and run on Spark."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark)
+    spark.sql("SELECT 1 AS uid, map('mon', 3, 'tue', 5) AS days") \
+        .createOrReplaceTempView("me_t")
+    rows = ws.run_sql(
+        "SELECT uid, day, cnt FROM me_t "
+        "LATERAL VIEW explode(days) t AS day, cnt", dialect="hive").collect()
+    assert sorted(tuple(r) for r in rows) == [(1, "mon", 3), (1, "tue", 5)]
+
+    spark.sql("SELECT 77 AS order_id").createOrReplaceTempView("iv_orders")
+    rows = ws.run_sql(
+        "SELECT order_id, item_id, item_name FROM iv_orders "
+        "LATERAL VIEW inline(ARRAY(named_struct('id', 1, 'name', 'A'), "
+        "named_struct('id', 2, 'name', 'B'))) t AS item_id, item_name",
+        dialect="hive").collect()
+    assert sorted(tuple(r) for r in rows) == [(77, 1, "A"), (77, 2, "B")]
+    for v in ("me_t", "iv_orders"):
+        spark.catalog.dropTempView(v)

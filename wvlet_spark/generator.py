@@ -506,6 +506,34 @@ class SqlGenerator:
                 return B(source=f"({sql}) AS {alias}", columns=[col])
             sql = f"SELECT unnest({arg}) AS {self.q(col)}"
             return B(source=f"({sql}) AS {alias}", columns=[col])
+        if rel.name == "unnest_struct":
+            # struct expansion: `unnest_struct(arr_of_structs) as t(a, b)`
+            # — one row per element, struct fields as columns (Hive's
+            # `LATERAL VIEW inline(...)`)
+            arg = self.expr(rel.args[0])
+            cols = rel.columns or []
+            alias = self.q(rel.alias or self.fresh("us"))
+            colpart = "(" + ", ".join(self.q(c) for c in cols) + ")" \
+                if cols else ""
+            if self.dialect == SPARK:
+                inner = f"SELECT inline({arg})"
+            else:
+                inner = f"SELECT unnest({arg}, recursive := true)"
+            return B(source=f"({inner}) AS {alias}{colpart}",
+                     columns=cols or None)
+        if rel.name == "unnest_map":
+            # map explode: `unnest_map(m) as t(k, v)` — one row per map
+            # entry (Hive's 2-column `LATERAL VIEW explode(<map>)`)
+            arg = self.expr(rel.args[0])
+            k, v = (rel.columns or ["key", "value"])[:2]
+            alias = self.q(rel.alias or self.fresh("um"))
+            if self.dialect == SPARK:
+                sql = f"SELECT explode({arg}) AS ({self.q(k)}, {self.q(v)})"
+            else:
+                # DuckDB zips parallel unnests positionally
+                sql = (f"SELECT unnest(map_keys({arg})) AS {self.q(k)}, "
+                       f"unnest(map_values({arg})) AS {self.q(v)}")
+            return B(source=f"({sql}) AS {alias}", columns=[k, v])
         args = ", ".join(self.expr(a) for a in rel.args)
         alias = self.q(rel.alias or self.fresh("tf"))
         return B(source=f"{rel.name}({args}) AS {alias}", columns=rel.columns)

@@ -999,7 +999,7 @@ class Parser:
                                 rel.window_size = val
                             else:
                                 rel.params.append((a.alias, a.expr))
-                elif name == "unnest":
+                elif name in ("unnest", "unnest_map", "unnest_struct"):
                     rel = N.TableFunctionCall(
                         name, [a.expr if isinstance(a, N.NamedExpr) else a for a in args]
                     )

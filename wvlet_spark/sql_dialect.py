@@ -208,6 +208,16 @@ def _rewrite_lateral_views(sql: str) -> str:
             # two-column alias = (pos, val): the importer's positional
             # unnest form, lowered to Spark posexplode
             collist = ", ".join(cols)
+        elif fname == "explode" and len(cols) == 2:
+            # 2-column explode = MAP explode (k, v).  The marker function
+            # survives DuckDB's parse-only frontend and tells the importer
+            # to emit the wvlet `unnest_map` table function.
+            args = f"__wv_map_explode({args})"
+            collist = ", ".join(cols)
+        elif fname == "inline":
+            # array-of-structs expansion -> wvlet unnest_struct
+            args = f"__wv_inline({args})"
+            collist = ", ".join(cols)
         else:
             raise DialectError(
                 f"LATERAL VIEW {fname} with {len(cols)} output columns has "

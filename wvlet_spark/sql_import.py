@@ -522,8 +522,19 @@ def _rel_ref(rel: dict) -> str:
     if t == "TABLE_FUNCTION":
         fn = rel.get("function", {})
         if fn.get("function_name") == "unnest":
-            args = ", ".join(_expr(c) for c in fn.get("children", []))
-            s = f"unnest({args})"
+            children = fn.get("children", [])
+            wv_fn = "unnest"
+            if len(children) == 1 and children[0].get("class") == "FUNCTION" \
+                    and children[0].get("function_name") in (
+                        "__wv_map_explode", "__wv_inline"):
+                # markers from the hive dialect shim: 2-column map explode
+                # and array-of-structs inline expansion
+                wv_fn = {"__wv_map_explode": "unnest_map",
+                         "__wv_inline": "unnest_struct"}[
+                    children[0]["function_name"]]
+                children = children[0].get("children", [])
+            args = ", ".join(_expr(c) for c in children)
+            s = f"{wv_fn}({args})"
             if alias:
                 s += f" as {_name(alias)}"
                 cols = rel.get("column_name_alias") or []
