@@ -137,6 +137,12 @@ def _companion_reference(sf: float) -> float | None:
             v = float(obj["duckdb_total"])
             if v > 0 and (best is None or v < best):
                 best = v
+        # embedded sf1 sections carry no "sf" key of their own
+        if sf == 1.0 and isinstance(obj.get("sf1"), dict) \
+                and obj["sf1"].get("duckdb_total"):
+            v = float(obj["sf1"]["duckdb_total"])
+            if v > 0 and (best is None or v < best):
+                best = v
         consider(obj.get("parsed"))
 
     for path in glob.glob(os.path.join(HERE, "BENCH_*.json")):
