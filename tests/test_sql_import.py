@@ -109,9 +109,14 @@ def test_basic_sql_corpus_conversion_coverage(spark):
     # - cast-in-group-by (convertible since TRY_CAST support): its last
     #   statement is `date + INTERVAL '1' DAY`, which Spark types as DATE
     #   and DuckDB as TIMESTAMP — engine type semantics, values agree.
+    # - lambda-expressions: its first statement is `filter(arr, x -> x)` —
+    #   DuckDB implicitly coerces the INT lambda body to BOOLEAN, Spark's
+    #   analyzer is strict about lambda result types (engine typing
+    #   property; the boolean-bodied statements run fine).
     value_skip = {"is-null", "null-comparison", "at_time_zone",
                   "qualified-table-names", "qualified-table-names-in-parens",
-                  "update", "schema-dot-table", "cast-in-group-by"}
+                  "update", "schema-dot-table", "cast-in-group-by",
+                  "lambda-expressions"}
     converted = executed = rejected = 0
     failures = []
     ws = WvletSession(spark, test_mode=False)
@@ -153,11 +158,12 @@ def test_basic_sql_corpus_conversion_coverage(spark):
         else:
             failures.append(f"{name}: value mismatch")
     assert not failures, "\n".join(failures)
-    # coverage floors (the statement dispatcher lifted DDL/INSERT/CTAS
-    # scripts from rejected to converted; remaining rejects are dialect
-    # forms the converter documents)
-    assert converted >= 26, (converted, rejected)
-    assert executed >= 17, (converted, executed, rejected)
+    # coverage floors (round-4 normalizer + ordered-aggregate / lambda /
+    # LIKE-ESCAPE / RLIKE / sample / prepared-statement lifts: 58 of 69
+    # files convert; remaining rejects are TIME/JSON types and Trino
+    # identifier-policy grammar with documented typed errors)
+    assert converted >= 55, (converted, rejected)
+    assert executed >= 19, (converted, executed, rejected)
 
 
 def _benchmark_files():
@@ -209,3 +215,64 @@ def test_to_wvlet_units(spark, duck):
         got = _norm(tuple(r) for r in ws.run_sql(sql).collect())
         exp = _norm(duck.execute(sql).fetchall())
         assert got == exp, f"mismatch for: {sql}\n{ws.to_wvlet(sql)}"
+
+
+def test_prepare_execute_deallocate_lifecycle(spark):
+    """PREPARE -> model, EXECUTE -> bound invocation, DEALLOCATE -> drop
+    (round-4: `?`/`$n`/`$name` params, AS and FROM forms)."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.generator import CompileError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    ws.run_sql("PREPARE pick_nation AS "
+               "SELECT n_name FROM nation WHERE n_regionkey = ? "
+               "ORDER BY n_name")
+    rows = [r[0] for r in ws.run_sql("EXECUTE pick_nation(0)").collect()]
+    assert rows and all(isinstance(v, str) for v in rows)
+    # named params bind by name
+    ws.run_sql("PREPARE pick_named AS "
+               "SELECT n_name FROM nation WHERE n_regionkey = $rk "
+               "ORDER BY n_name")
+    rows2 = [r[0] for r in ws.run(
+        "from pick_named(rk = 0)\nselect n_name").collect()]
+    assert rows2 == rows
+    ws.run_sql("DEALLOCATE pick_nation")
+    try:
+        ws.run_sql("EXECUTE pick_nation(0)")
+        raise AssertionError("deallocated model still resolvable")
+    except CompileError:
+        pass
+
+
+def test_delete_from_conversion(spark):
+    """DELETE FROM t WHERE ... converts to the filtered-pipe delete and
+    executes against a saved table."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    ws.run('from [[1, "a"], [2, "b"], [3, "a"]] as t0(id, tag)\n'
+           'save to del_probe_t')
+    ws.run_sql("DELETE FROM del_probe_t WHERE tag = 'a'")
+    left = [tuple(r) for r in ws.run(
+        "from del_probe_t\norder by id").collect()]
+    assert left == [(2, "b")]
+
+
+def test_ordered_agg_differential(spark, duck):
+    """`array_agg(x order by ...)` through BOTH codegen dialects agrees
+    (Spark struct-sort composition vs DuckDB native modifier)."""
+    from wvlet_spark import WvletSession
+
+    wv = ("from nation\n"
+          "group by n_regionkey\n"
+          "select n_regionkey,\n"
+          "  names = array_agg(n_name order by n_nationkey desc),\n"
+          "  uniq = array_agg(distinct substring(n_name, 1, 1)\n"
+          "                   order by substring(n_name, 1, 1))\n"
+          "order by n_regionkey")
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    got = [tuple(r) for r in ws.run(wv).collect()]
+    duck_sql = ws.compile_to_sql(wv, dialect="duckdb")
+    exp = duck.execute(duck_sql).fetchall()
+    assert [tuple(map(str, r)) for r in got] \
+        == [tuple(map(str, r)) for r in exp]

@@ -211,6 +211,23 @@ class Analyzer:
         bindings = self._bind_params(mdl.params, args, f"model {name}")
         if bindings:
             body = substitute_idents(body, bindings)
+        if args and not mdl.params:
+            # prepared-statement models (PREPARE -> model conversion) have
+            # no declared params; their bodies hold $1/$name placeholders.
+            # EXECUTE-style invocation `from m(v1, v2)` binds those here.
+            positional = [a for n, a in args if n is None]
+            named = {n: a for n, a in args if n is not None}
+
+            def bind_param(node):
+                if isinstance(node, N.Param):
+                    if node.kind == "name" and node.name in named:
+                        return named[node.name]
+                    if node.kind in ("index", "anon") and node.index \
+                            and node.index <= len(positional):
+                        return positional[node.index - 1]
+                return node
+
+            body = transform(body, expr_fn=bind_param)
         expanded = self.resolve(body, stack + (name,))
         return N.ParenRelation(expanded)
 

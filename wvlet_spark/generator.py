@@ -111,6 +111,8 @@ def type_sql(t: str, dialect: str) -> str:
         "boolean": "BOOLEAN", "bool": "BOOLEAN",
         "date": "DATE",
         "timestamp": "TIMESTAMP",
+        # tz-aware: Spark's TIMESTAMP is session-tz (LTZ) already
+        "timestamptz": "TIMESTAMP" if dialect == SPARK else "TIMESTAMPTZ",
         "decimal": "DECIMAL" + args,
         "json": "STRING" if dialect == SPARK else "JSON",
         "binary": "BINARY" if dialect == SPARK else "BLOB",
@@ -1220,6 +1222,73 @@ class SqlGenerator:
             return out
         return f"({l} {e.op} {r})"
 
+    _ORDER_SENSITIVE_AGGS = {"array_agg", "collect_list", "to_array",
+                             "list", "string_agg", "group_concat",
+                             "listagg"}
+
+    def _ordered_agg(self, e: "N.FunctionApply", name: str) -> str:
+        """`agg(x order by k [asc|desc] [nulls first|last], ...)`.
+        DuckDB renders the modifier natively.  Spark has no ORDER BY
+        inside aggregates, so the lowering collects
+        `struct(keys..., value)` (the struct wrapper also preserves NULL
+        values, which bare collect_list drops but array_agg keeps) and
+        sorts the finished array with a comparator lambda — whole-stage-
+        codegen expressions, no extra shuffle: the sort happens on each
+        finished group's array, not on rows.  Nulls sort last by default,
+        matching the reference's DuckDB backend."""
+        base = e.name.lower()
+        dist = "DISTINCT " if e.is_distinct else ""
+        args_sql = ", ".join(self.expr(a) for a in e.args)
+        if self.dialect == DUCKDB:
+            keys = ", ".join(
+                self.expr(k) + (" DESC" if d else "")
+                + {"first": " NULLS FIRST", "last": " NULLS LAST"}.get(
+                    no or "", "")
+                for k, d, no in e.agg_order)
+            return f"{name}({dist}{args_sql} ORDER BY {keys})"
+        if base not in self._ORDER_SENSITIVE_AGGS:
+            # ORDER BY is semantically inert for commutative aggregates
+            return f"{name}({dist}{args_sql})"
+        val_sql = self.expr(e.args[0])
+        is_string_agg = base in ("string_agg", "group_concat", "listagg")
+        sep_sql = self.expr(e.args[1]) if is_string_agg and len(e.args) > 1 \
+            else "','"
+        if e.is_distinct and not (
+                len(e.agg_order) == 1
+                and self.expr(e.agg_order[0][0]) == val_sql):
+            raise CompileError(
+                "DISTINCT aggregate with ORDER BY on a different key is "
+                "ambiguous (which key survives dedup?)")
+        fields = ", ".join(
+            f"'__k{i}', {self.expr(k)}"
+            for i, (k, _, _) in enumerate(e.agg_order))
+        struct = f"named_struct({fields}, '__v', {val_sql})"
+        comps = []
+        for i, (_, d, no) in enumerate(e.agg_order):
+            lt, gt = ("1", "-1") if d else ("-1", "1")
+            # engine default: nulls last regardless of direction
+            na, nb = ("-1", "1") if no == "first" else ("1", "-1")
+            comps.append(
+                f"CASE WHEN a.__k{i} IS NULL AND b.__k{i} IS NULL "
+                f"THEN 0 WHEN a.__k{i} IS NULL THEN {na} "
+                f"WHEN b.__k{i} IS NULL THEN {nb} "
+                f"WHEN a.__k{i} < b.__k{i} THEN {lt} "
+                f"WHEN a.__k{i} > b.__k{i} THEN {gt} ELSE 0 END")
+        if len(comps) == 1:
+            cmp_sql = comps[0]
+        else:
+            chain = " ".join(f"WHEN {c} != 0 THEN {c}" for c in comps[:-1])
+            cmp_sql = f"CASE {chain} ELSE {comps[-1]} END"
+        coll = f"collect_list({struct})"
+        if e.is_distinct:
+            coll = f"array_distinct({coll})"
+        arr = (f"transform(array_sort({coll}, "
+               f"(a, b) -> {cmp_sql}), s -> s.__v)")
+        if is_string_agg:
+            # array_join skips null elements, like string_agg
+            return f"array_join({arr}, {sep_sql})"
+        return arr
+
     def _map_fn(self, name: str) -> str:
         m = FUNC_MAP.get(name.lower())
         if m:
@@ -1250,8 +1319,20 @@ class SqlGenerator:
             a, lam = self.expr(e.args[0]), self.expr(e.args[1])
             core = (f"reduce(slice({a}, 2, greatest(size({a}) - 1, 0)), "
                     f"element_at({a}, 1), {lam})")
+        elif e.name.lower() in ("like_escape", "not_like_escape") \
+                and len(e.args) == 3:
+            # LIKE ... ESCAPE (sql_import keeps it as a call; DuckDB has
+            # these as native functions, Spark only the operator form)
+            a, p, esc = (self.expr(x) for x in e.args)
+            if self.dialect == SPARK:
+                neg = "NOT " if e.name.lower().startswith("not_") else ""
+                core = f"({a} {neg}LIKE {p} ESCAPE {esc})"
+            else:
+                core = f"{e.name.lower()}({a}, {p}, {esc})"
         elif e.name.lower() == "count" and (not e.args or isinstance(e.args[0], N.Star)):
             core = "COUNT(*)"
+        elif e.agg_order:
+            core = self._ordered_agg(e, name)
         else:
             args = ", ".join(self.expr(a) for a in e.args)
             dist = "DISTINCT " if e.is_distinct else ""

@@ -63,6 +63,10 @@ class FunctionApply(Expr):
     filter: Expr | None = None
     raw: bool = False          # native passthrough: render verbatim, no FUNC_MAP
     ignore_nulls: bool = False
+    # ordered aggregation: `array_agg(x order by k [desc], ...)` —
+    # [(key_expr, is_desc)]; lowered natively on DuckDB, via a
+    # struct-sort composition on Spark
+    agg_order: "list[tuple[Expr, bool]] | None" = None
 
 
 @dataclass
@@ -674,6 +678,14 @@ class UseStmt(Statement):
     """use [schema|catalog|connector] name — session context switch
     (reference: spec/basic/use-schema.wv)."""
     target: str
+
+
+@dataclass
+class DeallocateStmt(Statement):
+    """deallocate name — drop a session-scoped model (the SQL
+    PREPARE/DEALLOCATE lifecycle: sql_import converts PREPARE to a
+    model definition, DEALLOCATE to this)."""
+    name: str
 
 
 @dataclass

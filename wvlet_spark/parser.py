@@ -141,6 +141,9 @@ class Parser:
             return N.UseStmt(self.parse_qualified_name())
         if w == "model":
             return self.parse_model_def()
+        if w == "deallocate":
+            self.next()
+            return N.DeallocateStmt(self.parse_qualified_name())
         if w == "def":
             return self.parse_def()
         if w == "val":
@@ -1030,6 +1033,58 @@ class Parser:
             else:
                 rel = N.AliasedRelation(rel, alias, cols)
         return rel
+
+    def parse_function_call(self, name: str) -> "N.FunctionApply":
+        """`fn([distinct] args [order by k [asc|desc], ...])` — the
+        distinct / ordered-aggregation surface (`array_agg(distinct x)`,
+        `array_agg(x order by y desc)`); dialect lowering happens in the
+        generator (DuckDB renders natively, Spark composes a struct
+        sort)."""
+        self.expect_op("(")
+        is_distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            is_distinct = True
+        args: list[N.Expr] = []
+        order: list[tuple[N.Expr, bool]] = []
+        while not self.at_op(")"):
+            if self.at_kw("order") and self.at_kw("by", offset=1):
+                self.next()
+                self.next()
+                while True:
+                    k = self.parse_expr()
+                    desc = False
+                    if self.at_kw("asc"):
+                        self.next()
+                    elif self.at_kw("desc"):
+                        self.next()
+                        desc = True
+                    nulls = None
+                    if self.at_kw("nulls") and (self.at_kw("first", offset=1)
+                                                or self.at_kw("last",
+                                                              offset=1)):
+                        self.next()
+                        nulls = self.peek().text.lower()
+                        self.next()
+                    order.append((k, desc, nulls))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                continue
+            if self.at_kw("from"):
+                # bare query as argument (spec/tpch/q16.wv `.in(from ...)`)
+                args.append(N.ScalarSubquery(self.parse_query_body()))
+            else:
+                a = self.parse_expr()
+                args.append(a.expr if isinstance(a, N.NamedExpr) else a)
+            if self.at_op(","):
+                self.next()
+        self.expect_op(")")
+        fn = N.FunctionApply(name, args, is_distinct)
+        if order:
+            fn.agg_order = order
+        return fn
 
     def parse_call_args(self, allow_named: bool = False) -> list[N.Expr]:
         self.expect_op("(")
@@ -1936,12 +1991,7 @@ class Parser:
             # plain identifier or function call
             self.next()
             if self.at_op("("):
-                raw = self.parse_call_args()
-                is_distinct = False
-                args: list[N.Expr] = []
-                for a in raw:
-                    args.append(a.expr if isinstance(a, N.NamedExpr) else a)
-                fn = N.FunctionApply(w, args, is_distinct)
+                fn = self.parse_function_call(w)
                 # `lag(x) ignore nulls over (...)` / `respect nulls`
                 if self.at_kw("ignore") and self.at_kw("nulls", offset=1):
                     self.next(); self.next()

@@ -480,6 +480,10 @@ class WvletSession:
         if isinstance(stmt, (N.ModelDef, N.FunctionDef, N.PartialQueryDef, N.TypeDef)):
             self.analyzer.register(stmt)
             return None
+        if isinstance(stmt, N.DeallocateStmt):
+            if self.analyzer.models.pop(stmt.name, None) is None:
+                raise CompileError(f"unknown model: {stmt.name}")
+            return None
         if isinstance(stmt, N.ValDef):
             self.analyzer.register(stmt)
             return None

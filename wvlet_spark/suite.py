@@ -1543,3 +1543,77 @@ FROM events WHERE user_id <= 20
 ORDER BY user_id, ts, event_id
 """,
 )
+
+# ordered aggregation inside the call (SURVEY §2.4; round-4 language
+# surface: `array_agg(x order by k [desc] [nulls first|last])` — DuckDB
+# renders natively, Spark composes a null-preserving struct sort)
+q(
+    "agg_order_by",
+    """
+from orders
+where o_custkey <= 200
+group by o_custkey
+select
+  o_custkey,
+  order_keys = array_agg(o_orderkey order by o_orderdate desc, o_orderkey),
+  statuses = array_agg(distinct o_orderstatus order by o_orderstatus),
+  priority_list = string_agg(o_orderpriority, '|' order by o_orderkey)
+order by o_custkey
+""",
+    """
+SELECT
+  o_custkey,
+  array_agg(o_orderkey ORDER BY o_orderdate DESC, o_orderkey) AS order_keys,
+  array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+  string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS priority_list
+FROM orders
+WHERE o_custkey <= 200
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+
+# prepared-statement models: PREPARE/EXECUTE lifecycle (SQL import) maps
+# to parameterized models; $-params bind at invocation
+# (analyzer._expand_model bind_param path)
+q(
+    "prepared_model_exec",
+    """
+model big_cust = {
+  from customer
+  where c_acctbal >= $1 and c_mktsegment = $2
+}
+
+from big_cust(5000.0, 'BUILDING')
+select c_custkey, c_name, c_acctbal::double as acctbal
+order by c_custkey
+""",
+    """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer
+WHERE c_acctbal >= 5000.0 AND c_mktsegment = 'BUILDING'
+ORDER BY c_custkey
+""",
+)
+
+# LIKE ... ESCAPE (round-4: like_escape/not_like_escape lowering —
+# Spark operator form, DuckDB native functions)
+q(
+    "like_escape_filter",
+    """
+from part
+where p_partkey <= 4000
+select p_partkey, masked = replace(p_name, ' ', '_')
+where like_escape(masked, '%!_bolt%', '!') and
+      !not_like_escape(masked, '%!_%', '!')
+order by p_partkey
+""",
+    """
+SELECT p_partkey, replace(p_name, ' ', '_') AS masked
+FROM part
+WHERE p_partkey <= 4000
+  AND replace(p_name, ' ', '_') LIKE '%!_bolt%' ESCAPE '!'
+  AND NOT (replace(p_name, ' ', '_') NOT LIKE '%!_%' ESCAPE '!')
+ORDER BY p_partkey
+""",
+)
