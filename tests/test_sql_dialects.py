@@ -28,11 +28,11 @@ EXPECTED = {
     "trino/create-table-column-with.sql": (4, 0),
     "trino/create-table-like-basic.sql": (11, 0),
     "trino/create-table-like.sql": (14, 0),
-    "trino/describe-input.sql": (0, 3),        # prepared-stmt introspection
-    "trino/describe-output.sql": (0, 4),       # prepared-stmt introspection
+    "trino/describe-input.sql": (3, 0),        # -> describe input <model>
+    "trino/describe-output.sql": (4, 0),       # -> describe output <model>
     "trino/explain-syntax.sql": (15, 0),
     "trino/ip-address-literals.sql": (10, 0),
-    "trino/prepare-and-describe.sql": (1, 1),  # DESCRIBE INPUT rejects
+    "trino/prepare-and-describe.sql": (2, 0),
     "trino/set-session.sql": (6, 0),
     "trino/show-branches.sql": (4, 0),
     "trino/show-catalogs.sql": (4, 0),

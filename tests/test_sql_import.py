@@ -276,3 +276,17 @@ def test_ordered_agg_differential(spark, duck):
     exp = duck.execute(duck_sql).fetchall()
     assert [tuple(map(str, r)) for r in got] \
         == [tuple(map(str, r)) for r in exp]
+
+
+def test_describe_input_output(spark):
+    """Trino DESCRIBE INPUT/OUTPUT over prepared-statement models
+    (round-4: spec/sql/trino/describe-*.sql no longer reject)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    ws.run_sql("PREPARE probe_q AS SELECT n_name FROM nation "
+               "WHERE n_regionkey = ? AND n_nationkey < ?")
+    inp = [tuple(r) for r in ws.run_sql("DESCRIBE INPUT probe_q").collect()]
+    assert inp == [(1, "unknown"), (2, "unknown")]
+    out = [tuple(r) for r in ws.run_sql("DESCRIBE OUTPUT probe_q").collect()]
+    assert out == [("n_name", "string")]

@@ -530,6 +530,16 @@ class Describe(Relation):
 
 
 @dataclass
+class DescribePrepared(Relation):
+    """describe input|output <model> — Trino's prepared-statement
+    introspection (DESCRIBE INPUT lists parameter positions, DESCRIBE
+    OUTPUT the result schema); models are this engine's prepared
+    statements (reference: spec/sql/trino/describe-input.sql)."""
+    kind: str   # "input" | "output"
+    name: str
+
+
+@dataclass
 class TestRelation(Relation):
     child: Relation
     expr: Expr             # the assertion expression

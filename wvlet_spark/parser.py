@@ -922,6 +922,11 @@ class Parser:
             return self.parse_show()
         if self.at_kw("describe"):
             self.next()
+            if (self.at_kw("input") or self.at_kw("output")) \
+                    and self.peek(1).kind == "IDENT":
+                kind = self.peek().text.lower()
+                self.next()
+                return N.DescribePrepared(kind, self.parse_qualified_name())
             inner = self.parse_relation_primary()
             return N.Describe(inner)
         if self.at_op("{"):

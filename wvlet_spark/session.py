@@ -659,6 +659,8 @@ class WvletSession:
                 conf.set("spark.sql.ansi.doubleQuotedIdentifiers", old)
 
     def _stage_describe(self, node: N.Relation) -> N.Relation:
+        if isinstance(node, N.DescribePrepared):
+            return self._stage_describe_prepared(node)
         if not isinstance(node, N.Describe):
             return node
         from wvlet_spark.printer import _type_name
@@ -668,6 +670,62 @@ class WvletSession:
         rows = [(f.name, _type_name(f.dataType)) for f in schema.fields]
         df = self.spark.createDataFrame(
             rows, "column_name string, column_type string")
+        self._view_n += 1
+        view = f"__wv_desc_{self._view_n}"
+        df.createOrReplaceTempView(view)
+        self._schema_cache[view] = df.columns
+        return N.TableRef(view)
+
+    def _stage_describe_prepared(self, node: N.DescribePrepared
+                                 ) -> N.Relation:
+        """describe input|output <model>: Trino prepared-statement
+        introspection over this engine's model registry.  INPUT lists
+        parameter positions (type `unknown` — parameters are untyped until
+        bound, as in Trino); OUTPUT resolves the body's schema through
+        Spark's analyzer with parameters null-bound (no job runs)."""
+        from copy import deepcopy
+
+        from wvlet_spark.analyzer import transform as ast_transform
+
+        mdl = self.analyzer.models.get(node.name)
+        if mdl is None:
+            raise CompileError(f"unknown prepared statement / model: "
+                               f"{node.name}")
+        if node.kind == "input":
+            seen: list[tuple[int, str]] = []
+            order: dict[str, int] = {}
+
+            def collect(n):
+                if isinstance(n, N.Param):
+                    key = n.name if n.kind == "name" else str(n.index)
+                    if key not in order:
+                        pos = n.index if n.kind in ("index", "anon") \
+                            and n.index else len(order) + 1
+                        order[key] = pos
+                        seen.append((pos, "unknown"))
+                return n
+
+            ast_transform(mdl.body, expr_fn=collect)
+            for i, (pname, ptype, _d) in enumerate(mdl.params or []):
+                seen.append((i + 1, ptype or "unknown"))
+            rows = sorted(set(seen)) or []
+            df = self.spark.createDataFrame(
+                rows, "position int, type string") if rows else \
+                self.spark.createDataFrame([], "position int, type string")
+        else:
+            from wvlet_spark.printer import _type_name
+
+            def null_bind(n):
+                if isinstance(n, N.Param):
+                    return N.Literal(None, "null")
+                return n
+
+            body = ast_transform(deepcopy(mdl.body), expr_fn=null_bind)
+            body = self.analyzer.resolve(body, (node.name,))
+            schema = self.spark.sql(self._gen_sql(body, SPARK)).schema
+            rows = [(f.name, _type_name(f.dataType)) for f in schema.fields]
+            df = self.spark.createDataFrame(
+                rows, "column_name string, column_type string")
         self._view_n += 1
         view = f"__wv_desc_{self._view_n}"
         df.createOrReplaceTempView(view)
@@ -863,7 +921,7 @@ def _contains_describe(rel) -> bool:
         nonlocal found
         if found:
             return
-        if isinstance(x, N.Describe):
+        if isinstance(x, (N.Describe, N.DescribePrepared)):
             found = True
             return
         if dataclasses.is_dataclass(x) and not isinstance(x, type):

@@ -610,11 +610,14 @@ def _convert_statement(sql: str) -> str:
         if not m:
             raise SqlImportError(f"unsupported DEALLOCATE form: {sql[:80]!r}")
         return f"deallocate {_unquote_name(m.group(1))}"
-    if kw == "DESCRIBE" and re.match(r"\s*DESCRIBE\s+(INPUT|OUTPUT)\b",
-                                     sql, re.IGNORECASE):
-        raise SqlImportError(
-            "DESCRIBE INPUT/OUTPUT introspects server-side prepared "
-            "statements — no wvlet equivalent")
+    if kw == "DESCRIBE":
+        m = re.match(r"\s*DESCRIBE\s+(INPUT|OUTPUT)\s+"
+                     r"(\"(?:[^\"]|\"\")*\"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+                     sql, re.IGNORECASE)
+        if m:
+            # prepared statements are models here; `describe input|output`
+            # introspects the registered model (session._stage_describe_prepared)
+            return f"describe {m.group(1).lower()} {_unquote_name(m.group(2))}"
     return _convert_query_sql(sql)
 
 
