@@ -401,3 +401,37 @@ def test_dedup_against_reference_exact(spark):
     kept2 = [r.doc_id for r in
              dedup_against_reference(new, ref, normalize=False).collect()]
     assert sorted(kept2) == [10, 11]
+
+
+def test_decontaminate_planted(spark):
+    from wvlet_spark.ops.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris and it is large")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "we know the capital of france is paris today"),  # overlaps
+         (2, "completely unrelated words about gardening tools here"),
+         (3, "tiny")],                                          # < n words
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           decontaminate(train, bench, n=3, threshold=0.2).collect()}
+    assert out[1].n_contaminated >= 4 and out[1].is_contaminated
+    assert out[2].n_contaminated == 0 and not out[2].is_contaminated
+    assert out[3].n_grams == 1 and out[3].contamination == 0.0
+
+
+def test_canonical_representatives(spark):
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.graph import canonical_representatives
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the much longer duplicate text"),
+         (3, "singleton")], ["doc_id", "text"])
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], ["doc_id", "cluster_id"])
+    reps = {r.cluster_id: r for r in canonical_representatives(
+        clustered, docs, F.length("text").cast("long")).collect()}
+    assert reps[1].canonical_id == 2      # longest text wins
+    assert reps[3].canonical_id == 3

@@ -430,3 +430,50 @@ def dedup_against_reference(new_df: DataFrame, ref_df: DataFrame,
     return (keyed(new_df)
             .join(ref_keys, on="__h", how="left_anti")
             .drop("__h"))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene step:
+    score each training document by the fraction of its DISTINCT word
+    n-grams that also occur in an evaluation/benchmark corpus, and flag
+    documents above `threshold` (n=8..13 is the published range; short
+    docs with fewer than n words contribute their whole text as one gram,
+    same convention as the dedup shingles).
+
+    Columns added: n_grams, n_contaminated, contamination (double),
+    is_contaminated.
+
+    100 TB shape: both sides shingle with the same JVM expressions as the
+    dedup family and hash each gram to xxhash64 — the (id, hash) explode
+    shuffle carries 16 bytes per gram, gram STRINGS never leave the map
+    stage.  The benchmark side reduces to DISTINCT hashes first (eval
+    sets are tiny next to a training corpus), so AQE picks a broadcast
+    join from the aggregated size at runtime; nothing pins broadcast, so
+    an unexpectedly large reference degrades to a shuffled join instead
+    of an OOM."""
+    grams = F.array_distinct(_shingles(text_col, n))
+    doc_h = (df.select(F.col(id_col), F.explode(grams).alias("__g"))
+             .select(F.col(id_col), F.xxhash64("__g").alias("__h")))
+    bench_h = (benchmark
+               .select(F.explode(grams).alias("__g"))
+               .select(F.xxhash64("__g").alias("__h"))
+               .distinct()
+               .withColumn("__m", F.lit(1)))
+    stats = (doc_h.join(bench_h, "__h", "left")
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_grams"),
+                  F.coalesce(F.sum("__m"), F.lit(0)).alias("n_contaminated")))
+    out = (df.join(stats, id_col, "left")
+           .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+           .withColumn("n_contaminated", F.coalesce("n_contaminated",
+                                                    F.lit(0)))
+           .withColumn(
+               "contamination",
+               F.when(F.col("n_grams") > 0,
+                      F.col("n_contaminated").cast("double")
+                      / F.col("n_grams")).otherwise(F.lit(0.0)))
+           .withColumn("is_contaminated",
+                       F.col("contamination") >= F.lit(threshold)))
+    return out

@@ -67,3 +67,30 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame,
            .withColumn("is_canonical",
                        (F.col(id_col) == F.col("cluster_id"))))
     return out
+
+
+def canonical_representatives(clustered: DataFrame, docs: DataFrame,
+                              score_col, id_col: str = "doc_id"
+                              ) -> DataFrame:
+    """One representative per duplicate cluster: highest `score_col`,
+    lowest id on ties — the "keep the best copy" step after duplicate
+    clustering in a training-data pipeline.
+
+    `clustered` is duplicate_clusters() output (id, cluster_id);
+    `score_col` is a Column evaluated against `docs` (e.g. a quality
+    score or F.length("text")).  One window partitioned by cluster_id —
+    a single shuffle of (id, cluster_id, score) rows, never documents."""
+    from pyspark.sql import Window
+
+    scored = (clustered
+              .join(docs.select(F.col(id_col), score_col.alias("__score")),
+                    id_col)
+              .select(id_col, "cluster_id", "__score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__score").desc(), F.col(id_col))
+    return (scored
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("cluster_id",
+                    F.col(id_col).alias("canonical_id"),
+                    F.col("__score").alias("score")))

@@ -687,6 +687,86 @@ FROM q ORDER BY vec_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 stand in for
+    the evaluation set; every other document is scored by 3-gram overlap
+    with it.  The DuckDB oracle recomputes grams, the distinct benchmark
+    gram set, and the per-doc overlap independently (strings, not the
+    Spark side's xxhash64 keys)."""
+    from wvlet_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    out = decontaminate(train, bench, n=3, threshold=0.2)
+    return (out.select("doc_id", "n_grams", "n_contaminated",
+                       "contamination", "is_contaminated")
+            .orderBy("doc_id"))
+
+
+O_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(w)-2),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+    ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id % 20 = 0
+), doc_g AS (
+  SELECT doc_id, unnest(grams) AS dg FROM g WHERE doc_id % 20 <> 0
+), stats AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         count(b.bg) AS n_contaminated
+  FROM doc_g LEFT JOIN bench b ON doc_g.dg = b.bg
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       CASE WHEN n_grams > 0
+            THEN CAST(n_contaminated AS DOUBLE) / n_grams
+            ELSE 0.0 END AS contamination,
+       (CASE WHEN n_grams > 0
+             THEN CAST(n_contaminated AS DOUBLE) / n_grams
+             ELSE 0.0 END) >= 0.2 AS is_contaminated
+FROM stats
+ORDER BY doc_id
+"""
+
+
+def q_canonical_docs(spark, sf_dir):
+    """Keep-the-best-copy: duplicate clusters (same pipeline as
+    ext_dup_clusters) reduced to one representative per cluster — longest
+    text wins, lowest id breaks ties.  Oracle re-derives the clusters via
+    the recursive transitive closure and the argmax with a window."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+    from wvlet_spark.ops.graph import canonical_representatives, duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    cands = minhash_near_dup_pairs(docs, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, candidates=cands, threshold=0.5)
+    clustered = duplicate_clusters(docs, pairs)
+    return (canonical_representatives(
+                clustered, docs, F.length("text").cast("long"))
+            .orderBy("cluster_id"))
+
+
+O_CANONICAL_DOCS = O_DUP_CLUSTERS.replace(
+    "SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical\n"
+    "FROM walk GROUP BY a ORDER BY doc_id",
+    """SELECT cluster_id, canonical_id, score FROM (
+  SELECT c.cluster_id, c.doc_id AS canonical_id,
+         CAST(length(d.text) AS BIGINT) AS score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn
+  FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM walk GROUP BY a) c
+  JOIN documents d USING (doc_id)
+) WHERE rn = 1 ORDER BY cluster_id""")
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -712,6 +792,8 @@ def entry_queries() -> dict:
         "ext_sequence_pack": q_sequence_pack,
         "ext_dedup_against_ref": q_dedup_against_ref,
         "ext_quantize": q_quantize,
+        "ext_decontaminate": q_decontaminate,
+        "ext_canonical_docs": q_canonical_docs,
     }
 
 
@@ -733,6 +815,8 @@ def entry_oracles() -> dict:
         "ext_repetition": O_REPETITION,
         "ext_sequence_pack": O_SEQUENCE_PACK,
         "ext_dedup_against_ref": O_DEDUP_AGAINST_REF,
+        "ext_decontaminate": O_DECONTAMINATE,
+        "ext_canonical_docs": O_CANONICAL_DOCS,
         "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
