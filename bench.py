@@ -315,9 +315,14 @@ def main() -> None:
                            "SPARK_GRAFT_SF1_REPEATS", "2"))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=900)
-            line = proc.stdout.strip().splitlines()[-1]
-            inner = json.loads(line)
+                capture_output=True, text=True, timeout=1800)
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"sf1 subprocess produced no output "
+                    f"(rc={proc.returncode}): "
+                    f"{(proc.stderr or '')[-300:]}")
+            inner = json.loads(lines[-1])
             out["sf1"] = {
                 "value": inner["value"],
                 "queries": inner["queries"],

@@ -435,3 +435,26 @@ def test_canonical_representatives(spark):
         clustered, docs, F.length("text").cast("long")).collect()}
     assert reps[1].canonical_id == 2      # longest text wins
     assert reps[3].canonical_id == 3
+
+
+def test_ivf_index_partition_pruned(spark, tmp_path):
+    """build_ivf_index writes cluster-partitioned parquet;
+    ivf_search_index scans only the probed lists (partition pruning
+    visible in the physical plan) and reaches brute-force recall."""
+    from wvlet_spark.ops.similarity import (brute_force_topk,
+                                            build_ivf_index,
+                                            ivf_search_index)
+    from wvlet_spark.session import read_parquet_robust
+
+    embs = read_parquet_robust(
+        spark, f"{SF_DIR}/embeddings.parquet").limit(400)
+    q = embs.orderBy("vec_id").first().embedding
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(embs, path, n_clusters=8)
+    got = ivf_search_index(spark, path, q, k=10, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_cluster" in plan and "PartitionFilters" in plan
+    ids = {r.vec_id for r in got.collect()}
+    exact = {r.vec_id for r in
+             brute_force_topk(embs, q, k=10).collect()}
+    assert len(ids & exact) >= 6  # nprobe=4 of 8 lists

@@ -290,3 +290,24 @@ def test_describe_input_output(spark):
     assert inp == [(1, "unknown"), (2, "unknown")]
     out = [tuple(r) for r in ws.run_sql("DESCRIBE OUTPUT probe_q").collect()]
     assert out == [("n_name", "string")]
+
+
+def test_trino_row_map_types(spark):
+    """Trino paren types (row/array/map) convert and execute on Spark
+    (round-4: spec/sql/basic/row-map-types.sql lift)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    r = ws.run_sql(
+        "SELECT CAST(x AS ROW(id integer, name varchar, active boolean)) "
+        "AS s FROM (VALUES (ROW(1, 'a', TRUE))) AS t(x)").collect()
+    assert r[0].s.id == 1 and r[0].s.name == "a" and r[0].s.active is True
+    r2 = ws.run_sql(
+        "SELECT CAST(ARRAY[ROW(1, 'a'), ROW(2, 'b')] "
+        "AS array(ROW(k bigint, v varchar))) AS arr").collect()
+    assert [(e.k, e.v) for e in r2[0].arr] == [(1, "a"), (2, "b")]
+    r3 = ws.run_sql(
+        "SELECT map(ARRAY['a','b'], ARRAY[1,2]) AS m").collect()
+    assert dict(r3[0].m) == {"a": 1, "b": 2}
+    r4 = ws.run_sql("SELECT map('a', 1, 'b', 2) AS m").collect()
+    assert dict(r4[0].m) == {"a": 1, "b": 2}

@@ -132,7 +132,39 @@ def type_sql(t: str, dialect: str) -> str:
         if dialect == SPARK:
             return f"MAP<{type_sql(k, dialect)}, {type_sql(v, dialect)}>"
         return f"MAP({type_sql(k, dialect)}, {type_sql(v, dialect)})"
+    if low.startswith("struct(") and base.endswith(")"):
+        # `struct(id long, name string)` — SQL ROW types (sql_import
+        # emits these for Trino ROW / DuckDB STRUCT casts)
+        inner = base[base.index("(") + 1 : len(base) - 1]
+        fields = []
+        for part in _split_type_list(inner):
+            bits = part.strip().split(None, 1)
+            if len(bits) != 2:
+                raise CompileError(f"malformed struct field: {part!r}")
+            fname, ftype = bits
+            if dialect == SPARK:
+                fields.append(f"{fname}: {type_sql(ftype, dialect)}")
+            else:
+                fields.append(f"{fname} {type_sql(ftype, dialect)}")
+        if dialect == SPARK:
+            return "STRUCT<" + ", ".join(fields) + ">"
+        return "STRUCT(" + ", ".join(fields) + ")"
     return base.upper()
+
+
+def _split_type_list(s: str) -> list[str]:
+    """Top-level comma split over a type list (nesting-aware)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "[(<":
+            depth += 1
+        elif ch in "])>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in (x.strip() for x in parts) if p]
 
 
 def _split_type_args(s: str) -> tuple[str, str]:
@@ -1319,6 +1351,24 @@ class SqlGenerator:
             a, lam = self.expr(e.args[0]), self.expr(e.args[1])
             core = (f"reduce(slice({a}, 2, greatest(size({a}) - 1, 0)), "
                     f"element_at({a}, 1), {lam})")
+        elif e.name.lower() == "row" and self.dialect == SPARK and e.args:
+            # SQL ROW constructor.  NOT struct(): inside a VALUES list
+            # Spark re-reads struct(...) as a row constructor and
+            # explodes its arity; named_struct with struct()'s default
+            # field names (col1..colN) is stable in every position
+            kv = ", ".join(f"'col{i + 1}', {self.expr(a)}"
+                           for i, a in enumerate(e.args))
+            core = f"named_struct({kv})"
+        elif e.name.lower() == "map" and self.dialect == SPARK \
+                and len(e.args) == 2 \
+                and all(isinstance(a, N.ArrayCtor)
+                        or (isinstance(a, N.FunctionApply)
+                            and a.name.lower() in ("list_value", "array"))
+                        for a in e.args):
+            # two-array map constructor (DuckDB/legacy Trino form);
+            # Spark's map() is variadic key/value pairs
+            core = (f"map_from_arrays({self.expr(e.args[0])}, "
+                    f"{self.expr(e.args[1])})")
         elif e.name.lower() in ("like_escape", "not_like_escape") \
                 and len(e.args) == 3:
             # LIKE ... ESCAPE (sql_import keeps it as a call; DuckDB has

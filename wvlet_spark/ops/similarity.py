@@ -301,3 +301,49 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
         F.round("__s", 8).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def build_ivf_index(df: DataFrame, path: str, n_clusters: int = 16,
+                    seed: int = 42, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> "np.ndarray":
+    """Persist an IVF index: the assigned table written PARTITIONED BY
+    `ivf_cluster` — every inverted list becomes its own parquet directory
+    — plus the centroid matrix under `<path>/_wv_centroids` (the `_`
+    prefix hides it from Spark's recursive parquet reads).
+
+    This is the at-scale counterpart of the in-memory `ivf_topk`: at
+    100 TB a probe reads `nprobe / n_clusters` of the corpus as a
+    PARTITION-PRUNED scan (the pruning shows up as
+    `PartitionFilters: [ivf_cluster IN (...)]` in the physical plan)
+    instead of re-assigning the whole table per query.  Returns the
+    centroid matrix for immediate searches."""
+    C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col)
+    assigned = ivf_assign(df, C, vec_col)
+    (assigned.write.mode("overwrite")
+     .partitionBy("ivf_cluster").parquet(path))
+    spark = df.sparkSession
+    rows = [(int(i), [float(x) for x in C[i]]) for i in range(len(C))]
+    (spark.createDataFrame(rows, "ivf_cluster int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/_wv_centroids"))
+    return C
+
+
+def ivf_search_index(spark, path: str, query_vec: list[float], k: int = 10,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k over a persisted IVF index (`build_ivf_index` layout): load
+    the (tiny) centroid table, pick the `nprobe` nearest lists, and scan
+    ONLY those partitions — exact cosine inside.  The `ivf_cluster IN`
+    filter is a partition filter, so unprobed lists are never read."""
+    cent = spark.read.parquet(path + "/_wv_centroids").collect()
+    C = np.asarray([r.centroid for r in
+                    sorted(cent, key=lambda r: r.ivf_cluster)])
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = np.einsum("ij,ij->i", C, C) - 2 * (C @ q)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = (spark.read.parquet(path)
+            .filter(F.col("ivf_cluster").isin(probes)))
+    sim = cosine_to_query(F.col(vec_col), query_vec)
+    return (cand.select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))

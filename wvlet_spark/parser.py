@@ -11,6 +11,18 @@ from __future__ import annotations
 from wvlet_spark.lexer import Token, WvletSyntaxError, tokenize
 from wvlet_spark import nodes as N
 
+
+def _join_type_tokens(toks: "list[str]") -> str:
+    """Render type tokens without spaces around punctuation:
+    ['a', 'struct', '(', 'b', 'int', ')'] -> 'a struct(b int)'."""
+    out = ""
+    for t in toks:
+        if t in ("(", "[", ")", "]", ","):
+            out += t
+        else:
+            out += (" " if out and out[-1] not in "([" else "") + t
+    return out
+
 # Pipe operators that begin a new relational op inside a query pipeline.
 PIPE_KEYWORDS = {
     "where", "select", "agg", "group", "order", "limit", "offset", "add",
@@ -778,13 +790,27 @@ class Parser:
     def parse_type_name(self) -> str:
         base = self.expect_ident()
         if self.at_op("("):
+            # parenthesized type args: `decimal(15,2)`, or composite field
+            # lists `struct(id long, name string)` — keep each top-level
+            # comma group intact (tokens joined by spaces, nesting kept)
             self.next()
             args = []
-            while not self.at_op(")"):
-                args.append(self.next().text)
-                if self.at_op(","):
-                    self.next()
+            cur: list[str] = []
+            depth = 0
+            while not (depth == 0 and self.at_op(")")):
+                t = self.next()
+                if t.text in ("(", "["):
+                    depth += 1
+                elif t.text in (")", "]"):
+                    depth -= 1
+                if t.text == "," and depth == 0:
+                    args.append(_join_type_tokens(cur))
+                    cur = []
+                else:
+                    cur.append(t.text)
             self.expect_op(")")
+            if cur:
+                args.append(_join_type_tokens(cur))
             return f"{base}({','.join(args)})"
         if self.at_op("["):
             # `array[int]` element types, or numeric parameters in bracket

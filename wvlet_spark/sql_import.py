@@ -185,6 +185,96 @@ def _sig_only(toks):
     return [(k, t) for k, t in toks if k not in ("ws", "comment")]
 
 
+_TYPE_WORDS = {
+    "tinyint", "smallint", "int", "integer", "bigint", "hugeint", "float",
+    "real", "double", "varchar", "string", "text", "boolean", "bool",
+    "date", "timestamp", "timestamptz", "time", "blob", "binary",
+    "decimal", "numeric", "char", "uuid", "json", "interval",
+}
+
+_COMPOSITE_TYPE_HEADS = {"row", "array", "map", "struct", "decimal",
+                         "numeric", "varchar", "char"}
+
+
+def _sig_paren_args(sig, open_idx):
+    """sig[open_idx] == '(': top-level-comma argument split; returns
+    (args, close_idx) or (None, None)."""
+    depth, close = 0, None
+    for m in range(open_idx, len(sig)):
+        t = sig[m][1]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+            if depth == 0:
+                close = m
+                break
+    if close is None:
+        return None, None
+    args, cur, depth = [], [], 0
+    for m in range(open_idx + 1, close):
+        k, t = sig[m]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append((k, t))
+    args.append(cur)
+    return args, close
+
+
+def _render_trino_type(sig) -> str | None:
+    """Significant tokens -> DuckDB type text, or None when they are NOT
+    a type expression (i.e. a value constructor)."""
+    if not sig or sig[0][0] != "word":
+        return None
+    low = sig[0][1].lower()
+    if len(sig) == 1:
+        t = sig[0][1]
+        # simple type, or an already-rewritten pseudo-token
+        if low in _TYPE_WORDS or "(" in t or t.endswith("[]"):
+            return t
+        return None
+    if sig[-1][1] == "]" and sig[-2][1] == "[":
+        inner = _render_trino_type(sig[:-2])
+        return f"{inner}[]" if inner else None
+    if sig[1][1] != "(":
+        return None
+    args, close = _sig_paren_args(sig, 1)
+    if args is None or close != len(sig) - 1:
+        return None
+    if low in ("row", "struct"):
+        fields = []
+        for a in args:
+            if len(a) < 2 or a[0][0] != "word":
+                return None
+            ft = _render_trino_type(a[1:])
+            if ft is None:
+                return None
+            fields.append(f"{a[0][1]} {ft}")
+        return "STRUCT(" + ", ".join(fields) + ")"
+    if low == "array":
+        if len(args) != 1:
+            return None
+        inner = _render_trino_type(args[0])
+        return f"{inner}[]" if inner else None
+    if low == "map":
+        if len(args) != 2:
+            return None
+        k1 = _render_trino_type(args[0])
+        v1 = _render_trino_type(args[1])
+        return f"MAP({k1}, {v1})" if k1 and v1 else None
+    if low in _COMPOSITE_TYPE_HEADS:
+        # decimal(10,2) / varchar(10) — parameters must be numeric
+        if all(len(a) == 1 and a[0][0] == "num" for a in args):
+            return "".join(x for _, x in sig)
+    return None
+
+
 def _is_plain_table_group(toks) -> bool:
     """Significant tokens form `[(...)] name[.name]* [alias]` — i.e. a
     parenthesized table reference (Trino allows `FROM (tbl alias)`), not
@@ -313,6 +403,23 @@ def _normalize_pass(toks):
                 return (toks[:close] + [("op", ","), ("ws", " "),
                                         ("word", "null")]
                         + toks[close:]), True
+        elif low in ("row", "array", "map"):
+            # Trino paren type spellings -> DuckDB, recursively:
+            #   row(a bigint, b varchar) -> STRUCT(a bigint, b varchar)
+            #   array(T) -> T[]        map(K, V) -> MAP(K, V)
+            # Rewritten only when the whole argument tree renders as a
+            # TYPE, so the value constructors row(1,'a') / array(1,2) /
+            # map('k', v) pass through untouched.
+            j = _sig_idx(toks, i)
+            if not (j < n_t and toks[j][1] == "("):
+                continue
+            close = _close_paren(toks, j + 1)
+            if close is None:
+                continue
+            repl = _render_trino_type(_sig_only(toks[i:close + 1]))
+            if repl is None:
+                continue
+            return toks[:i] + [("word", repl)] + toks[close + 1:], True
         elif low == "timestamp":
             # `timestamp(p) with[out] time zone`: DuckDB rejects the
             # precision modifier on the tz forms — drop it (micros is the
@@ -1245,6 +1352,11 @@ def _type_name(t: dict) -> str:
         k = _type_name(kv[0]["second"])
         v = _type_name(kv[1]["second"])
         return f"map[{k},{v}]"
+    if tid == "struct":
+        kids = info.get("child_types") or []
+        fields = ", ".join(f"{c['first']} {_type_name(c['second'])}"
+                           for c in kids)
+        return f"struct({fields})"
     if tid in ("timestamp with time zone", "timestamp_tz", "timestamptz"):
         return "timestamptz"
     if tid == "timestamp without time zone":
