@@ -1139,6 +1139,16 @@ class SqlGenerator:
             return "(" + " ".join(parts) + ")"
         if isinstance(e, N.Cast):
             fn = "TRY_CAST" if e.try_cast else "CAST"
+            low_t = e.to_type.strip().lower()
+            if self.dialect == SPARK \
+                    and isinstance(e.expr, N.Literal) \
+                    and e.expr.kind == "string" \
+                    and (low_t.startswith(("map[", "struct(", "array["))):
+                # Spark cannot CAST a string to a complex type; a JSON
+                # string literal (Trino `CAST(JSON '...' AS MAP(...))`)
+                # parses with from_json instead
+                return (f"from_json({self.expr(e.expr)}, "
+                        f"{self.str_lit(type_sql(e.to_type, self.dialect))})")
             return f"{fn}({self.expr(e.expr)} AS {type_sql(e.to_type, self.dialect)})"
         if isinstance(e, N.ArrayCtor):
             items = ", ".join(self.expr(i) for i in e.items)

@@ -418,8 +418,27 @@ def _normalize_pass(toks):
                 continue
             repl = _render_trino_type(_sig_only(toks[i:close + 1]))
             if repl is None:
+                first = _sig_idx(toks, j)
+                if low == "array" and first < n_t \
+                        and not (toks[first][0] == "word"
+                                 and toks[first][1].lower() in
+                                 ("select", "from", "with", "values")):
+                    # Hive/Trino array(...) VALUE constructor — DuckDB's
+                    # grammar reserves array( for types (and ARRAY(SELECT
+                    # ...) for array subqueries, left alone); list_value
+                    # is the constructor spelling
+                    return (toks[:i] + [("word", "list_value")]
+                            + toks[i + 1:]), True
                 continue
             return toks[:i] + [("word", repl)] + toks[close + 1:], True
+        elif low == "json":
+            # Trino typed literal `JSON '...'`: Spark's JSON story is
+            # strings + from_json/get_json_object, so the literal IS the
+            # string (type_sql maps json -> STRING likewise)
+            j = _sig_idx(toks, i)
+            if j < n_t and toks[j][0] == "string":
+                return toks[:i] + toks[i + 1:], True
+            continue
         elif low == "timestamp":
             # `timestamp(p) with[out] time zone`: DuckDB rejects the
             # precision modifier on the tz forms — drop it (micros is the
