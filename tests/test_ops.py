@@ -458,3 +458,37 @@ def test_ivf_index_partition_pruned(spark, tmp_path):
     exact = {r.vec_id for r in
              brute_force_topk(embs, q, k=10).collect()}
     assert len(ids & exact) >= 6  # nprobe=4 of 8 lists
+
+
+def test_vocabulary_df(spark):
+    from wvlet_spark.ops.text import vocabulary_df
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog"), (3, "the the cat")],
+        ["doc_id", "text"])
+    out = {r.word: r for r in vocabulary_df(docs).collect()}
+    assert out["the"].total_count == 4 and out["the"].doc_freq == 3
+    assert out["cat"].doc_freq == 2
+    import math
+    assert abs(out["dog"].idf - math.log(3 / 1)) < 1e-9
+
+
+def test_remove_boilerplate_lines(spark):
+    from wvlet_spark.ops.graph import F  # noqa: F401 - spark session warm
+
+    from wvlet_spark.ops.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nreal content one\n\nfooter text"),
+         (2, "cookie banner\nreal content two\n\nfooter text"),
+         (3, "unique document")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in
+           remove_boilerplate_lines(docs, min_docs=2).collect()}
+    # normalized-duplicate lines dropped everywhere, blanks kept
+    assert out[1] == "real content one\n\nfooter text".replace(
+        "\nfooter text", "") or "footer text" not in out[1]
+    assert "real content one" in out[1] and "COOKIE" not in out[1]
+    assert "real content two" in out[2] and "cookie" not in out[2]
+    assert out[3] == "unique document"
+    assert "" in out[1].split("\n")  # blank line survives

@@ -767,6 +767,35 @@ O_CANONICAL_DOCS = O_DUP_CLUSTERS.replace(
 ) WHERE rn = 1 ORDER BY cluster_id""")
 
 
+def q_vocab_df(spark, sf_dir):
+    """Corpus vocabulary: total count, document frequency, IDF per word —
+    top 100 by frequency.  Oracle recomputes via unnest in DuckDB."""
+    from wvlet_spark.ops.text import vocabulary_df
+
+    docs = _docs(spark, sf_dir)
+    out = vocabulary_df(docs, top_n=100)
+    return out.select("word", "total_count", "doc_freq",
+                      F.round("idf", 6).alias("idf"))
+
+
+O_VOCAB_DF = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), f AS (
+  SELECT word, count(*) AS total_count,
+         count(DISTINCT doc_id) AS doc_freq
+  FROM w WHERE word <> '' GROUP BY word
+)
+SELECT word, total_count, doc_freq,
+       round(ln((SELECT count(*) FROM documents)::DOUBLE / doc_freq), 6)
+         AS idf
+FROM f
+ORDER BY total_count DESC, word
+LIMIT 100
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -794,6 +823,7 @@ def entry_queries() -> dict:
         "ext_quantize": q_quantize,
         "ext_decontaminate": q_decontaminate,
         "ext_canonical_docs": q_canonical_docs,
+        "ext_vocab_df": q_vocab_df,
     }
 
 
@@ -817,6 +847,7 @@ def entry_oracles() -> dict:
         "ext_dedup_against_ref": O_DEDUP_AGAINST_REF,
         "ext_decontaminate": O_DECONTAMINATE,
         "ext_canonical_docs": O_CANONICAL_DOCS,
+        "ext_vocab_df": O_VOCAB_DF,
         "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,

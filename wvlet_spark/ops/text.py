@@ -170,3 +170,77 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.when(ng > 0, F.round(1 - ngd / ng, 4)).otherwise(0.0)
         .alias("dup_2gram_frac"),
     )
+
+
+def vocabulary_df(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", top_n: int | None = None,
+                  approx_df: bool = False) -> DataFrame:
+    """Corpus vocabulary with document frequency and IDF — the classic
+    map-reduce over a training corpus (stopword discovery, tokenizer
+    vocab candidates, TF-IDF weights).
+
+    Returns (word, total_count, doc_freq, idf) where
+    idf = ln(N / doc_freq), N = corpus document count.
+
+    100 TB shape: one shuffle keyed on word with map-side partial
+    aggregation (sum/count combine associatively, so stopword skew is
+    absorbed in the combiners).  doc_freq is count(DISTINCT doc) —
+    Spark rewrites that with an expand+two-phase plan; pass
+    `approx_df=True` to use approx_count_distinct (one phase, ~2%
+    error) when exact document frequencies don't matter."""
+    n_docs = df.count()
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    dfreq = (F.approx_count_distinct(id_col) if approx_df
+             else F.countDistinct(id_col))
+    out = (words.groupBy("word")
+           .agg(F.count(F.lit(1)).alias("total_count"),
+                dfreq.alias("doc_freq"))
+           .withColumn("idf", F.log(F.lit(float(n_docs))
+                                    / F.col("doc_freq"))))
+    if top_n:
+        out = out.orderBy(F.col("total_count").desc(), "word").limit(top_n)
+    return out
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 2) -> DataFrame:
+    """Corpus-level exact line dedup (boilerplate removal, the
+    RefinedWeb/CCNet hygiene step): a line whose normalized form appears
+    in >= `min_docs` DISTINCT documents is dropped from every document;
+    blank lines are structural and always kept.
+
+    100 TB shape: the line explode shuffles (id, idx, xxhash64) — 24
+    bytes per line, line text stays map-side; the boilerplate-hash table
+    is tiny (only repeated lines) so AQE broadcasts the anti-join; the
+    reassembly reuses the ordered-collect shape (one groupBy on id,
+    array sort inside the finished group)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__idx", "__line"))
+    norm = F.trim(F.lower(F.col("__line")))
+    keyed = lines.withColumn(
+        "__h", F.when(norm != "", F.xxhash64(norm)))
+    boiler = (keyed.filter(F.col("__h").isNotNull())
+              .select("__h", id_col).distinct()
+              .groupBy("__h").count()
+              .filter(F.col("count") >= min_docs)
+              .select("__h"))
+    kept = keyed.join(boiler, "__h", "left_anti")
+    reassembled = (kept
+                   .groupBy(id_col)
+                   .agg(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("__idx").alias("i"),
+                                        F.col("__line").alias("l")))),
+                           lambda s: s.l),
+                       "\n").alias(text_col)))
+    return (df.drop(text_col)
+            .join(reassembled, id_col, "left")
+            .withColumn(text_col, F.coalesce(text_col, F.lit(""))))
