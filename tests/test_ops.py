@@ -492,3 +492,18 @@ def test_remove_boilerplate_lines(spark):
     assert "real content two" in out[2] and "cookie" not in out[2]
     assert out[3] == "unique document"
     assert "" in out[1].split("\n")  # blank line survives
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from wvlet_spark.ops.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry")],
+        ["doc_id", "text"])
+    rows = {(r.doc_id, r.word): r for r in
+            tfidf_top_terms(docs, k=2).collect()}
+    # apple: tf=2 in doc1, df=1 -> weight 2*ln(3)
+    assert abs(rows[(1, "apple")].weight - round(2 * math.log(3), 6)) < 1e-9
+    assert rows[(1, "apple")].rn == 1  # highest weight in doc 1

@@ -796,6 +796,40 @@ LIMIT 100
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (flat rows; oracle mirrors via
+    unnest + window in DuckDB)."""
+    from wvlet_spark.ops.text import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rn")
+
+
+O_TFIDF_TERMS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), wnz AS (
+  SELECT * FROM w WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM wnz GROUP BY doc_id, word
+), vocab AS (
+  SELECT word, count(DISTINCT doc_id) AS doc_freq FROM wnz GROUP BY word
+), weighted AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                          / vocab.doc_freq), 6) AS weight
+  FROM tf JOIN vocab USING (word)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY weight DESC, word) AS rn
+  FROM weighted
+)
+SELECT doc_id, word, tf, weight, rn FROM ranked
+WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -824,6 +858,7 @@ def entry_queries() -> dict:
         "ext_decontaminate": q_decontaminate,
         "ext_canonical_docs": q_canonical_docs,
         "ext_vocab_df": q_vocab_df,
+        "ext_tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -848,6 +883,7 @@ def entry_oracles() -> dict:
         "ext_decontaminate": O_DECONTAMINATE,
         "ext_canonical_docs": O_CANONICAL_DOCS,
         "ext_vocab_df": O_VOCAB_DF,
+        "ext_tfidf_terms": O_TFIDF_TERMS,
         "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,

@@ -244,3 +244,37 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     return (df.drop(text_col)
             .join(reassembled, id_col, "left")
             .withColumn(text_col, F.coalesce(text_col, F.lit(""))))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic featurizer
+    (keyword extraction, nearest-neighbor features, topic seeds):
+    weight = tf * ln(N / doc_freq).
+
+    100 TB shape: term frequencies are one (id, word)-keyed aggregation
+    with map-side combine; the vocabulary (word, doc_freq) table is tiny
+    relative to the corpus (vocabularies grow ~log of corpus size), so
+    AQE broadcasts the weight join; the per-doc top-k is one window over
+    the (id, word, weight) rows — documents themselves never shuffle."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = words.select(id_col, "word").distinct() \
+        .groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    weighted = (tf.join(vocab, "word")
+                .withColumn("weight",
+                            F.round(F.col("tf")
+                                    * F.log(F.lit(float(n_docs))
+                                            / F.col("doc_freq")), 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("weight").desc(), F.col("word"))
+    return (weighted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "word", "tf", "weight", "rn"))
