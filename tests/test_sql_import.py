@@ -311,3 +311,23 @@ def test_trino_row_map_types(spark):
     assert dict(r3[0].m) == {"a": 1, "b": 2}
     r4 = ws.run_sql("SELECT map('a', 1, 'b', 2) AS m").collect()
     assert dict(r4[0].m) == {"a": 1, "b": 2}
+
+
+def test_json_object_key_value(spark):
+    """JSON_OBJECT incl. standard KEY/VALUE syntax and ON NULL modifiers
+    (round-4: spec/sql/basic/json-object.sql lift)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    assert ws.run_sql(
+        "SELECT JSON_OBJECT(KEY 'name' VALUE 'Alice', KEY 'age' VALUE 25) "
+        "AS j").collect()[0].j == '{"name":"Alice","age":25}'
+    rows = ws.run_sql(
+        "SELECT JSON_OBJECT(KEY 'age' VALUE age NULL ON NULL) AS j "
+        "FROM (VALUES (25), (NULL)) AS t(age)").collect()
+    assert sorted(r.j for r in rows) == ['{"age":25}', '{"age":null}']
+    rows = ws.run_sql(
+        "SELECT JSON_OBJECT(KEY 'a' VALUE a, KEY 'b' VALUE b "
+        "ABSENT ON NULL) AS j "
+        "FROM (VALUES ('x', NULL)) AS t(a, b)").collect()
+    assert rows[0].j == '{"a":"x"}'

@@ -1331,6 +1331,36 @@ class SqlGenerator:
             return f"array_join({arr}, {sep_sql})"
         return arr
 
+    def _json_object(self, e: "N.FunctionApply") -> str:
+        """json_object(k1, v1, ...).  SQL-standard default is NULL ON
+        NULL; `__wv_json_object_absent` marks ABSENT ON NULL (sql_import
+        KEY/VALUE rewrite).  Spark builds to_json(named_struct(...)) —
+        to_json drops null fields by default (= ABSENT), so NULL ON NULL
+        pins ignoreNullFields=false.  DuckDB's json_object is natively
+        NULL ON NULL; the ABSENT variant strips nulls via a json filter."""
+        absent = e.name.lower() == "__wv_json_object_absent"
+        pairs = list(zip(e.args[0::2], e.args[1::2]))
+        if self.dialect == SPARK:
+            for k, _v in pairs:
+                if not (isinstance(k, N.Literal) and k.kind == "string"):
+                    raise CompileError(
+                        "json_object on Spark needs literal string keys "
+                        "(named_struct lowering)")
+            kv = ", ".join(f"{self.str_lit(k.value)}, {self.expr(v)}"
+                           for k, v in pairs)
+            ns = f"named_struct({kv})"
+            if absent:
+                return f"to_json({ns})"
+            return f"to_json({ns}, map('ignoreNullFields', 'false'))"
+        args = ", ".join(f"{self.expr(k)}, {self.expr(v)}"
+                         for k, v in pairs)
+        core = f"json_object({args})"
+        if absent:
+            # json_merge_patch deletes keys whose patch value is null —
+            # exactly ABSENT ON NULL
+            core = f"json_merge_patch('{{}}'::JSON, {core})"
+        return core
+
     def _map_fn(self, name: str) -> str:
         m = FUNC_MAP.get(name.lower())
         if m:
@@ -1361,6 +1391,9 @@ class SqlGenerator:
             a, lam = self.expr(e.args[0]), self.expr(e.args[1])
             core = (f"reduce(slice({a}, 2, greatest(size({a}) - 1, 0)), "
                     f"element_at({a}, 1), {lam})")
+        elif e.name.lower() in ("json_object", "__wv_json_object_absent") \
+                and e.args and len(e.args) % 2 == 0:
+            core = self._json_object(e)
         elif e.name.lower() == "row" and self.dialect == SPARK and e.args:
             # SQL ROW constructor.  NOT struct(): inside a VALUES list
             # Spark re-reads struct(...) as a row constructor and

@@ -431,6 +431,66 @@ def _normalize_pass(toks):
                             + toks[i + 1:]), True
                 continue
             return toks[:i] + [("word", repl)] + toks[close + 1:], True
+        elif low == "json_object":
+            # standard-SQL JSON_OBJECT(KEY k VALUE v ... [NULL|ABSENT ON
+            # NULL] [WITH|WITHOUT UNIQUE KEYS]) -> DuckDB's alternating
+            # form; ABSENT ON NULL survives as a marker function name the
+            # generator lowers (Spark to_json drops nulls by default,
+            # NULL ON NULL pins ignoreNullFields=false)
+            j = _sig_idx(toks, i)
+            if not (j < n_t and toks[j][1] == "("):
+                continue
+            close = _close_paren(toks, j + 1)
+            if close is None:
+                continue
+            inner = toks[j + 1:close]
+            sig = _sig_only(inner)
+            absent = False
+            consumed = False
+            out_in: list = []
+            depth = 0
+            m = 0
+            while m < len(sig):
+                k2, t2 = sig[m]
+                l2 = t2.lower() if k2 == "word" else t2
+                if t2 in ("(", "["):
+                    depth += 1
+                elif t2 in (")", "]"):
+                    depth -= 1
+                if depth == 0 and k2 == "word":
+                    if l2 == "key":
+                        consumed = True
+                        m += 1
+                        continue
+                    if l2 == "value":
+                        consumed = True
+                        out_in.append(("op", ","))
+                        m += 1
+                        continue
+                    if l2 in ("null", "absent") and m + 2 < len(sig) \
+                            and sig[m + 1][1].lower() == "on" \
+                            and sig[m + 2][1].lower() == "null":
+                        consumed = True
+                        absent = (l2 == "absent")
+                        m += 3
+                        continue
+                    if l2 in ("with", "without") and m + 2 < len(sig) \
+                            and sig[m + 1][1].lower() == "unique" \
+                            and sig[m + 2][1].lower() == "keys":
+                        consumed = True
+                        m += 3
+                        continue
+                out_in.append((k2, t2))
+                m += 1
+            if not consumed:
+                continue
+            body = []
+            for k2, t2 in out_in:
+                body.append((k2, t2))
+                body.append(("ws", " "))
+            fn_name = "__wv_json_object_absent" if absent else "json_object"
+            return (toks[:i] + [("word", fn_name), ("op", "(")]
+                    + body + [("op", ")")] + toks[close + 1:]), True
         elif low == "json":
             # Trino typed literal `JSON '...'`: Spark's JSON story is
             # strings + from_json/get_json_object, so the literal IS the
