@@ -507,3 +507,20 @@ def test_tfidf_top_terms(spark):
     # apple: tf=2 in doc1, df=1 -> weight 2*ln(3)
     assert abs(rows[(1, "apple")].weight - round(2 * math.log(3), 6)) < 1e-9
     assert rows[(1, "apple")].rn == 1  # highest weight in doc 1
+
+
+def test_duplicate_substring_spans(spark):
+    from wvlet_spark.ops.dedup import duplicate_substring_spans
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, f"intro words here then {shared} and a unique tail one"),
+         (2, f"different opening {shared} closing remarks here"),
+         (3, "totally unrelated content with no repeats at all")],
+        ["doc_id", "text"])
+    spans = {(r.doc_id): (r.span_start, r.span_end, r.span_words)
+             for r in duplicate_substring_spans(docs, k=5).collect()}
+    # doc1: shared block starts at word 4, 7 words long
+    assert spans[1] == (4, 10, 7)
+    assert spans[2] == (2, 8, 7)
+    assert 3 not in spans

@@ -477,3 +477,47 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
            .withColumn("is_contaminated",
                        F.col("contamination") >= F.lit(threshold)))
     return out
+
+
+def duplicate_substring_spans(df: DataFrame, k: int = 5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring spans (the substring-dedup step of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, approximated at word granularity): every maximal run of
+    word positions whose k-grams occur MORE THAN ONCE in the corpus.
+    Returns (id, span_start, span_end, span_words) in 0-based word
+    positions, span_end inclusive — the spans a dedup pass would cut.
+
+    100 TB shape: positions explode to (id, pos, xxhash64(gram)) — 24
+    bytes per token, gram text never leaves the map side; one count
+    shuffle keyed on the gram hash with map-side combine; repeated-gram
+    join back; run-merging is the classic pos - row_number() trick, one
+    window per doc over slim position rows."""
+    from pyspark.sql import Window
+
+    w = _tokens(text_col)
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(w) - k + 1),
+                    lambda i: F.struct(
+                        (i - 1).alias("pos"),
+                        F.xxhash64(F.concat_ws(" ", F.slice(w, i, k)))
+                        .alias("h")))
+    ).otherwise(F.array().cast(
+        "array<struct<pos:int,h:bigint>>"))
+    g = (df.select(F.col(id_col), F.explode(grams).alias("g"))
+         .select(F.col(id_col), F.col("g.pos").alias("pos"),
+                 F.col("g.h").alias("h")))
+    dup_h = (g.groupBy("h").count()
+             .filter(F.col("count") > 1).select("h"))
+    d = g.join(dup_h, "h", "left_semi")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    runs = d.withColumn("grp",
+                        F.col("pos") - F.row_number().over(win))
+    return (runs.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k - 1).alias("span_end"),
+                 (F.max("pos") + k - F.min("pos")).alias("span_words"))
+            .drop("grp")
+            .orderBy(id_col, "span_start"))

@@ -830,6 +830,41 @@ WHERE rn <= 3 ORDER BY doc_id, rn
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (word-level, k=5): maximal runs
+    of positions whose 5-grams repeat anywhere in the corpus.  Oracle
+    recomputes with gram STRINGS + the same run-merge window in DuckDB."""
+    from wvlet_spark.ops.dedup import duplicate_substring_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_substring_spans(docs, k=5)
+
+
+O_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS s(i)
+  WHERE len(w) >= 5
+), duph AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+), d AS (
+  SELECT doc_id, pos FROM g JOIN duph USING (gram)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+       max(pos) + 5 - min(pos) AS span_words
+FROM runs GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -859,6 +894,7 @@ def entry_queries() -> dict:
         "ext_canonical_docs": q_canonical_docs,
         "ext_vocab_df": q_vocab_df,
         "ext_tfidf_terms": q_tfidf_terms,
+        "ext_dup_spans": q_dup_spans,
     }
 
 
@@ -884,6 +920,7 @@ def entry_oracles() -> dict:
         "ext_canonical_docs": O_CANONICAL_DOCS,
         "ext_vocab_df": O_VOCAB_DF,
         "ext_tfidf_terms": O_TFIDF_TERMS,
+        "ext_dup_spans": O_DUP_SPANS,
         "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
