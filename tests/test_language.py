@@ -744,3 +744,20 @@ with
     back = spark.read.parquet(out)
     assert sorted((r.id, r.lang) for r in back.collect()) == \
         [(1, "en"), (2, "de"), (3, "en")]
+
+
+def test_builtin_pipeline_tools(spark):
+    """The training-pipeline operator library is language-reachable via
+    `call <tool>(table=...)` (round-4 builtin tool registry)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    ws.run('from [[1, "the cat"], [2, "the cat"], [3, "a dog"]] '
+           'as t(doc_id, text)\nsave to tool_docs')
+    assert ws.run("call exact_dedup(table='tool_docs')").count() == 2
+    vocab = {r.word: r.total_count for r in
+             ws.run("call vocabulary(table='tool_docs')").collect()}
+    assert vocab["the"] == 2 and vocab["cat"] == 2
+    samp = ws.run("call deterministic_sample(table='tool_docs', "
+                  "fraction=1.0)")
+    assert samp.count() == 3

@@ -50,6 +50,7 @@ class WvletSession:
         self._conn_staged: dict[str, str] = {}   # connector -> staged view
         self._profiles: dict[str, object] = {}   # prefix -> table resolver
         self._tools: dict[str, object] = {}
+        self._register_builtin_tools()
         self.last_test_results: list[tuple[bool, str]] = []
         if table_dir and spark is not None:
             self.register_parquet_dir(table_dir)
@@ -248,6 +249,54 @@ class WvletSession:
         """Register an external action for `call name(args)`:
         fn(spark, **kwargs) -> DataFrame | None."""
         self._tools[name] = fn
+
+    def _register_builtin_tools(self) -> None:
+        """The training-pipeline operator library at the LANGUAGE level:
+        `call exact_dedup(table='documents')`,
+        `call decontaminate(table='train_docs', benchmark='eval_docs')`,
+        `call deterministic_sample(table='documents', fraction=0.1)`, ...
+        Each builtin reads the named registered table(s) and returns the
+        operator's DataFrame as the statement result (pipe operators can
+        continue the result like any relation)."""
+        def _df(name: str):
+            return self.spark.table(name)
+
+        def _one_table(fn, **fixed):
+            def tool(spark, table, **kw):
+                return fn(_df(table), **{**fixed, **kw})
+            return tool
+
+        from wvlet_spark.ops import dedup, sampling, text
+
+        self._tools.update({
+            "exact_dedup": _one_table(dedup.exact_dedup),
+            "minhash_pairs": _one_table(dedup.minhash_near_dup_pairs),
+            "dup_spans": _one_table(dedup.duplicate_substring_spans),
+            "language_id": _one_table(text.language_id),
+            "quality_score": _one_table(text.quality_score),
+            "token_stats": _one_table(text.token_stats),
+            "fingerprint": _one_table(text.document_fingerprint),
+            "pii_scan": _one_table(text.pii_scan),
+            "repetition_stats": _one_table(text.repetition_stats),
+            "vocabulary": _one_table(text.vocabulary_df),
+            "tfidf_terms": _one_table(text.tfidf_top_terms),
+            "remove_boilerplate": _one_table(text.remove_boilerplate_lines),
+        })
+
+        def tool_sample(spark, table, fraction, **kw):
+            return sampling.deterministic_sample(
+                _df(table), float(fraction), **kw)
+
+        def tool_decontaminate(spark, table, benchmark, **kw):
+            return dedup.decontaminate(_df(table), _df(benchmark), **kw)
+
+        def tool_dedup_against(spark, table, reference, **kw):
+            return dedup.dedup_against_reference(
+                _df(table), _df(reference), **kw)
+
+        self._tools["deterministic_sample"] = tool_sample
+        self._tools["decontaminate"] = tool_decontaminate
+        self._tools["dedup_against_reference"] = tool_dedup_against
 
     def register_duckdb_profile(self, prefix: str, db_path: str) -> None:
         """A real second-engine profile (the reference's `-profile duckdb`
