@@ -162,3 +162,21 @@ order by bk_left.id
     finally:
         for t in ("bk_left", "bk_right"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    """Round-4 ops keep the relational invariants: no cartesian
+    products, no Python in the plan (pure JVM expressions), joins are
+    equi joins."""
+    from tests.conftest import SF_DIR
+
+    import wvlet_spark.ops.registry as reg
+
+    qs = reg.entry_queries()
+    for name in ("ext_decontaminate", "ext_tfidf_terms", "ext_dup_spans",
+                 "ext_vocab_df", "ext_canonical_docs"):
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "Python" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
