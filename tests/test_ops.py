@@ -524,3 +524,19 @@ def test_duplicate_substring_spans(spark):
     assert spans[1] == (4, 10, 7)
     assert spans[2] == (2, 8, 7)
     assert 3 not in spans
+
+
+def test_semantic_dedup(spark):
+    from wvlet_spark.ops.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]     # cosine ~0.9999 to base
+    far = [0.0, 1.0, 0.0, 0.0]
+    other = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, other)],
+        ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, n_clusters=2, threshold=0.99).collect()}
+    assert not out[2].keep and out[2].dup_of == 1   # near-dup of 1
+    assert out[1].keep and out[3].keep and out[4].keep

@@ -865,6 +865,17 @@ ORDER BY doc_id, span_start
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table (k-means
+    blocking -> within-cluster cosine >= 0.4 drops (the synthetic corpus plants near-dups at ~0.4-0.5 cosine, same threshold as ext_embedding_dedup)).  k-means has no
+    DuckDB equivalent — rows-only driver check; the planted-pair pytest
+    (test_semantic_dedup) is the value oracle."""
+    from wvlet_spark.ops.similarity import semantic_dedup
+
+    embs = _embs(spark, sf_dir)
+    return semantic_dedup(embs, n_clusters=8, threshold=0.4)
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -895,6 +906,7 @@ def entry_queries() -> dict:
         "ext_vocab_df": q_vocab_df,
         "ext_tfidf_terms": q_tfidf_terms,
         "ext_dup_spans": q_dup_spans,
+        "ext_semantic_dedup": q_semantic_dedup,
     }
 
 

@@ -347,3 +347,49 @@ def ivf_search_index(spark, path: str, query_vec: list[float], k: int = 10,
     return (cand.select(F.col(id_col), sim.alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
+
+
+def semantic_dedup(df: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.95, seed: int = 42,
+                   vec_col: str = "embedding", id_col: str = "vec_id"
+                   ) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the embeddings, then WITHIN each cluster drop every
+    vector whose cosine to a lower-id cluster member is >= `threshold`.
+    Returns (id, sem_cluster, keep, dup_of) — dup_of is the lowest-id
+    member it duplicates (null when kept).
+
+    100 TB shape: exactly the published algorithm's cost model — the
+    pairwise pass is quadratic only WITHIN a cluster, and `n_clusters`
+    scales with the corpus (the paper uses ~50k clusters for LAION-scale)
+    to keep per-cluster sizes bounded.  Centroids train on a bounded
+    sample (ivf_train_centroids); assignment is one map-only matmul per
+    Arrow batch; the within-cluster self-join is an equi join on the
+    cluster id; norms precomputed map-side so each candidate pair costs
+    one numpy dot product."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
+    C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col)
+    v = (ivf_assign(df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v")), C, "__v")
+         .withColumnRenamed("ivf_cluster", "sem_cluster")
+         .withColumn("__n", _norm_udf(F.col("__v"))))
+    v = v.localCheckpoint()
+    l, r_ = v.alias("l"), v.alias("r")
+    pairs = l.join(r_, on=[F.col("l.sem_cluster") == F.col("r.sem_cluster"),
+                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+    dot = _pair_dot_udf(F.col("l.__v"), F.col("r.__v"))
+    cos = dot / (F.col("l.__n") * F.col("r.__n"))
+    dup_edges = (pairs.select(
+        F.col(f"l.{id_col}").alias("__keep_id"),
+        F.col(f"r.{id_col}").alias("__dup_id"),
+        F.round(cos, 6).alias("__cos"))
+        .filter(F.col("__cos") >= threshold))
+    dup_of = (dup_edges.groupBy("__dup_id")
+              .agg(F.min("__keep_id").alias("dup_of"))
+              .withColumnRenamed("__dup_id", id_col))
+    return (v.select(id_col, "sem_cluster")
+            .join(dup_of, id_col, "left")
+            .withColumn("keep", F.col("dup_of").isNull())
+            .orderBy(id_col))
