@@ -52,11 +52,11 @@ EXPECTED = {
     "hive/hive-functions.sql": (7, 0),
     "hive/hive-lateral-view.sql": (7, 0),
     "hive/hive-partition-write.sql": (13, 0),
-    "hive/hive-udtf.sql": (0, 2),              # multi-column UDTF alias
+    "hive/hive-udtf.sql": (1, 1),   # each_top_k -> window; generic UDTF rejects
     "hive/insert-into-table.sql": (11, 0),
     "hive/insert-overwrite.sql": (1, 0),
     "hive/td-time-functions.sql": (4, 0),
-    "hive/with-insert.sql": (6, 1),            # UDTF alias inside CTE
+    "hive/with-insert.sql": (7, 0),
 }
 
 _REJECT_MARKERS = (
@@ -332,3 +332,20 @@ def test_hive_map_explode_and_inline_execute(spark):
     assert sorted(tuple(r) for r in rows) == [(77, 1, "A"), (77, 2, "B")]
     for v in ("me_t", "iv_orders"):
         spark.catalog.dropTempView(v)
+
+
+def test_each_top_k_semantics(spark):
+    """TD's each_top_k UDTF rewrites to the window form and returns the
+    top-k rows per group by score (round-4 lift)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    ws.run('from [[1, "a", 10.0], [1, "b", 30.0], [1, "c", 20.0], '
+           '[2, "d", 5.0], [2, "e", 7.0]] as t(gid, tag, score)\n'
+           'save to etk_src')
+    rows = [tuple(r) for r in ws.run_sql(
+        "SELECT each_top_k(2, gid, score, gid, tag) "
+        "AS (rank, score, gid, tag) FROM etk_src",
+        dialect="hive").orderBy("gid", "rank").collect()]
+    assert rows == [(1, 30.0, 1, "b"), (2, 20.0, 1, "c"),
+                    (1, 7.0, 2, "e"), (2, 5.0, 2, "d")]

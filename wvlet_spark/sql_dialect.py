@@ -231,6 +231,100 @@ def _rewrite_lateral_views(sql: str) -> str:
         sql = sql[:m.start()] + repl + tail[am.end():]
 
 
+# ---------------------------------------------- TD each_top_k UDTF
+
+def _balanced_span(s: str, open_idx: int) -> int:
+    """Index AFTER the paren group opening at s[open_idx] == '('."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(s)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def _rewrite_each_top_k(sql: str) -> str:
+    """Treasure Data's `each_top_k(k, group, value, x...) AS (r, v, x...)`
+    UDTF (top-k rows per group) -> the equivalent window form:
+
+        SELECT r, v, x... FROM (
+          SELECT row_number() OVER (PARTITION BY group
+                                    ORDER BY value DESC) AS r,
+                 value AS v, x_i AS ..., <original FROM part>
+        ) __wv_etk WHERE r <= k
+
+    Trailing Hive physical hints (CLUSTER/DISTRIBUTE/SORT BY) on the
+    source are dropped — they direct Hive's shuffle for the UDTF, which
+    the window's partitioning already implies."""
+    m = re.search(r"\beach_top_k\s*\(", sql, re.IGNORECASE)
+    if m is None:
+        return sql
+    # enclosing SELECT
+    sel = None
+    for sm in re.finditer(r"\bSELECT\b", sql[:m.start()], re.IGNORECASE):
+        sel = sm
+    if sel is None:
+        return sql
+    args_end = _balanced_span(sql, sql.index("(", m.end() - 1))
+    args = _split_top_commas(sql[sql.index("(", m.end() - 1) + 1:
+                                 args_end - 1])
+    am = re.match(r"\s*AS\s*\(", sql[args_end:], re.IGNORECASE)
+    if am is None or len(args) < 3:
+        return sql
+    alias_open = args_end + am.end() - 1
+    alias_end = _balanced_span(sql, alias_open)
+    aliases = _split_top_commas(sql[alias_open + 1:alias_end - 1])
+    k, group, value, extras = args[0], args[1], args[2], args[3:]
+    if len(aliases) != 2 + len(extras):
+        return sql  # generic UDTF shape — leave for the documented reject
+    # FROM part runs to the first unmatched ')' or end of statement
+    depth = 0
+    end = len(sql)
+    for i in range(alias_end, len(sql)):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            end = i
+            break
+    from_part = sql[alias_end:end].strip()
+    hint = re.search(r"\s*(CLUSTER|DISTRIBUTE|SORT)\s+BY\s+[A-Za-z_0-9`,.\s]+$",
+                     from_part, re.IGNORECASE)
+    if hint:
+        from_part = from_part[:hint.start()].rstrip()
+    inner_cols = [f"row_number() OVER (PARTITION BY {group} "
+                  f"ORDER BY {value} DESC) AS {aliases[0]}",
+                  f"{value} AS {aliases[1]}"]
+    inner_cols += [f"{x} AS {a}" for x, a in zip(extras, aliases[2:])]
+    repl = (f"SELECT {', '.join(aliases)} FROM (SELECT "
+            f"{', '.join(inner_cols)} {from_part}) __wv_etk "
+            f"WHERE {aliases[0]} <= {k}")
+    out = sql[:sel.start()] + repl + sql[end:]
+    return _rewrite_each_top_k(out)
+
+
 # ------------------------------------------------------------ public API
 
 def translate(sql: str, dialect: str) -> str:
@@ -241,6 +335,7 @@ def translate(sql: str, dialect: str) -> str:
     if dialect not in ("hive", "trino"):
         raise DialectError(f"unknown SQL dialect: {dialect!r}")
     if dialect == "hive":
+        sql = _rewrite_each_top_k(sql)
         if re.search(r"\)\s+AS\s*\(\s*[A-Za-z_]", sql, re.IGNORECASE):
             raise DialectError(
                 "Hive UDTF multi-column alias (`f(...) AS (c1, c2, ...)`) "
