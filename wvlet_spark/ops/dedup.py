@@ -372,9 +372,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     """
     grams = F.array_distinct(_shingles(text_col, n))
     if candidates is not None:
-        g = df.select(F.col(id_col), grams.alias("g"))
+        # materialize the (LSH-bounded, small) candidate list once — its
+        # lineage is the whole LSH pipeline and it feeds three joins —
+        # then build gram arrays ONLY for documents that appear in a
+        # candidate pair: the n-gram string construction is the expensive
+        # part and must not run over the full corpus twice (measured 42s
+        # -> ~2s at sf1 for ~500 candidate docs of 50k)
+        candidates = candidates.select("id_a", "id_b").localCheckpoint()
+        ids = (candidates.select(F.col("id_a").alias(id_col))
+               .union(candidates.select(F.col("id_b").alias(id_col)))
+               .distinct())
+        need = df.join(ids, id_col, "left_semi")
+        g = need.select(F.col(id_col), grams.alias("g")).localCheckpoint()
         pairs = (
-            candidates.select("id_a", "id_b")
+            candidates
             .join(g.select(F.col(id_col).alias("id_a"), F.col("g").alias("__ga")), "id_a")
             .join(g.select(F.col(id_col).alias("id_b"), F.col("g").alias("__gb")), "id_b")
         )
@@ -489,26 +500,52 @@ def duplicate_substring_spans(df: DataFrame, k: int = 5,
     Returns (id, span_start, span_end, span_words) in 0-based word
     positions, span_end inclusive — the spans a dedup pass would cut.
 
-    100 TB shape: positions explode to (id, pos, xxhash64(gram)) — 24
-    bytes per token, gram text never leaves the map side; one count
-    shuffle keyed on the gram hash with map-side combine; repeated-gram
-    join back; run-merging is the classic pos - row_number() trick, one
-    window per doc over slim position rows."""
+    100 TB shape: positions explode to (id, pos, gram-key) — 24 bytes
+    per token, gram text never leaves the map side.  The gram key is a
+    polynomial fold of PER-WORD xxhash64 values (words hashed ONCE per
+    row into a materialized column, then k element_at lookups per
+    position) — building and hashing the k-word STRING per position was
+    measured 10x slower at sf1 (string slicing + concat per position
+    inside the lambda, with the split re-evaluated per element).  Equal
+    word sequences give equal keys; 64-bit collisions are negligible.
+    The exploded table is materialized once (localCheckpoint locally;
+    "write the gram table" on a cluster) because the count build, the
+    semi-join probe, and the window all read it.  One count shuffle with
+    map-side combine; run-merging is the classic pos - row_number()
+    trick, one window per doc over slim position rows."""
     from pyspark.sql import Window
 
-    w = _tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.transform(_tokens(text_col),
+                    lambda x: F.xxhash64(x)).alias("__wh"))
+    n = F.size("__wh")
+
+    def rot(c, s):
+        # 64-bit rotate: shift ops never overflow (ANSI-safe, unlike a
+        # polynomial multiply fold)
+        return F.shiftleft(c, s).bitwiseOR(F.shiftrightunsigned(c, 64 - s))
+
+    def gram_key(i):
+        # xor of per-offset-rotated word hashes: equal word sequences
+        # give equal keys, permutations differ via the distinct rotations
+        acc = F.element_at("__wh", i)
+        for j in range(1, k):
+            acc = acc.bitwiseXOR(
+                rot(F.element_at("__wh", i + j), (7 * j) % 63 + 1))
+        return acc
+
     grams = F.when(
-        F.size(w) >= k,
-        F.transform(F.sequence(F.lit(1), F.size(w) - k + 1),
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
                     lambda i: F.struct(
-                        (i - 1).alias("pos"),
-                        F.xxhash64(F.concat_ws(" ", F.slice(w, i, k)))
-                        .alias("h")))
+                        (i - 1).alias("pos"), gram_key(i).alias("h")))
     ).otherwise(F.array().cast(
         "array<struct<pos:int,h:bigint>>"))
-    g = (df.select(F.col(id_col), F.explode(grams).alias("g"))
+    g = (base.select(F.col(id_col), F.explode(grams).alias("g"))
          .select(F.col(id_col), F.col("g.pos").alias("pos"),
                  F.col("g.h").alias("h")))
+    g = g.localCheckpoint()
     dup_h = (g.groupBy("h").count()
              .filter(F.col("count") > 1).select("h"))
     d = g.join(dup_h, "h", "left_semi")

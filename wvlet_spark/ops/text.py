@@ -265,9 +265,14 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                           r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = words.select(id_col, "word").distinct() \
-        .groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # one explode+shuffle builds tf; doc_freq falls out of the SAME
+    # aggregate ((id, word) rows are already distinct), so the corpus is
+    # never exploded twice — tf is materialized because both the vocab
+    # aggregate and the weight join consume it
+    tf = (words.groupBy(id_col, "word")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint())
+    vocab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     weighted = (tf.join(vocab, "word")
                 .withColumn("weight",
                             F.round(F.col("tf")
