@@ -19,3 +19,23 @@ def test_suite_entry(name, ws, duck):
         return
     good, msg = compare(df, duck, osql)
     assert good, f"{name}: {msg}"
+
+
+def _ext_oracled():
+    from wvlet_spark.ops.registry import entry_oracles
+
+    return sorted(entry_oracles())
+
+
+@pytest.mark.parametrize("name", _ext_oracled())
+def test_ext_entry(name, spark, duck):
+    """Extension-operator driver entries hash-match their DuckDB oracles
+    at sf0.01 — with this, EVERY oracled row of the driver's CORRECTNESS
+    gate has a pytest mirror on current code."""
+    from tests.conftest import SF_DIR
+
+    from wvlet_spark.ops.registry import entry_oracles, entry_queries
+
+    df = entry_queries()[name](spark, SF_DIR)
+    good, msg = compare(df, duck, entry_oracles()[name])
+    assert good, f"{name}: {msg}"
