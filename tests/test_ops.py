@@ -540,3 +540,36 @@ def test_semantic_dedup(spark):
            semantic_dedup(df, n_clusters=2, threshold=0.99).collect()}
     assert not out[2].keep and out[2].dup_of == 1   # near-dup of 1
     assert out[1].keep and out[3].keep and out[4].keep
+
+
+def test_training_pipeline_end_to_end(spark):
+    """The full hygiene chain composes: boilerplate-line removal ->
+    exact dedup -> benchmark decontamination -> quality/token filter ->
+    deterministic sample.  Planted artifacts verify every stage acted."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.dedup import decontaminate, exact_dedup
+    from wvlet_spark.ops.sampling import deterministic_sample
+    from wvlet_spark.ops.text import (remove_boilerplate_lines, token_stats)
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER"
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\nunique content number {i} with several words")
+         for i in range(1, 9)]
+        + [(9, f"{banner}\nunique content number 1 with several words"),
+           (10, "eval question: what is the capital of france today")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")], ["doc_id", "text"])
+
+    cleaned = remove_boilerplate_lines(docs, min_docs=3)
+    assert all(banner not in r.text for r in cleaned.collect())
+    deduped = exact_dedup(cleaned)          # doc 9 == doc 1 post-cleaning
+    assert deduped.count() == 9
+    scored = decontaminate(deduped, bench, n=3, threshold=0.3)
+    kept = scored.filter(~F.col("is_contaminated"))
+    assert kept.count() == 8                # doc 10 flagged
+    featured = token_stats(kept)
+    assert featured.filter(F.col("n_tokens") <= 0).count() == 0
+    sampled = deterministic_sample(featured, 1.0)
+    assert sampled.count() == 8             # fraction=1.0 keeps all
