@@ -562,10 +562,83 @@ def _normalize_pass(toks):
     return toks, False
 
 
+_STRUCTURAL_KWS = {
+    "select", "from", "where", "group", "by", "order", "having", "limit",
+    "union", "intersect", "except", "join", "inner", "left", "right",
+    "full", "cross", "on", "using", "values", "as", "case", "when",
+    "then", "else", "end", "and", "or", "not", "null", "is", "in",
+    "like", "between", "distinct", "with", "asc", "desc",
+}
+
+
+def _quote_declared_cols(toks):
+    """Trino treats most keywords as valid identifiers; DuckDB's grammar
+    does not.  When a statement DECLARES a column via an alias list
+    (`AS t(interval, offset)`), every bare reference to that name in the
+    same statement is provably an identifier — quote those references so
+    the DuckDB frontend accepts them (spec/sql/basic/non-reserved-
+    keywords.sql).  Scoped to declared names only: `INTERVAL '1' DAY` in
+    a statement that doesn't declare `interval` is untouched, and a
+    reference followed by `(` (function call) never quotes."""
+    declared: set[str] = set()
+    n_t = len(toks)
+    for i, (k, t) in enumerate(toks):
+        if k != "word" or t.lower() != "as":
+            continue
+        j = _sig_idx(toks, i)
+        if not (j < n_t and toks[j][0] == "word"):
+            continue
+        j2 = _sig_idx(toks, j)
+        if not (j2 < n_t and toks[j2][1] == "("):
+            continue
+        close = _close_paren(toks, j2 + 1)
+        if close is None:
+            continue
+        inner = _sig_only(toks[j2 + 1:close])
+        # a column alias list is exactly word [, word]*
+        cols, ok = [], True
+        expect_word = True
+        for k2, t2 in inner:
+            if expect_word and k2 == "word":
+                cols.append(t2.lower())
+                expect_word = False
+            elif not expect_word and t2 == ",":
+                expect_word = True
+            else:
+                ok = False
+                break
+        if ok and cols and not expect_word:
+            declared.update(cols)
+    # structural words stay untouched even when (pathologically) declared
+    # — quoting them would corrupt the statement skeleton.  `all` quotes
+    # unless it follows UNION/INTERSECT/EXCEPT.
+    declared -= _STRUCTURAL_KWS
+    if not declared:
+        return toks, False
+    out = []
+    changed = False
+    for i, (k, t) in enumerate(toks):
+        if k == "word" and t.lower() in declared:
+            low = t.lower()
+            nxt = _sig_idx(toks, i)
+            prev = _sig_idx(toks, i, -1)
+            after_setop = prev >= 0 and toks[prev][0] == "word" \
+                and toks[prev][1].lower() in ("union", "intersect",
+                                              "except")
+            if not (nxt < n_t and toks[nxt][1] == "(") \
+                    and not (low == "all" and after_setop):
+                out.append(("dquote", '"' + low + '"'))
+                changed = True
+                continue
+        out.append((k, t))
+    return out, changed
+
+
 def _normalize_stmt(sql: str) -> str:
     from wvlet_spark.sql_dialect import tokenize
 
     toks = tokenize(sql)
+    toks, _ = _quote_declared_cols(toks)
     changed = True
     while changed:
         toks, changed = _normalize_pass(toks)
@@ -1464,11 +1537,22 @@ _PIPE_WORDS = {
 }
 
 
+# wvlet EXPRESSION-level keywords: legal SQL identifiers that would
+# derail the wvlet expression parser if emitted bare (`interval` starts
+# an interval literal, `if`/`case` conditionals, ...)
+_EXPR_KWS = {
+    "interval", "if", "case", "when", "then", "else", "end", "exists",
+    "in", "is", "not", "and", "or", "null", "true", "false", "cast",
+    "try_cast", "between", "like", "over", "ignore", "respect", "nulls",
+}
+
+
 def _name(s: str) -> str:
     from wvlet_spark.generator import _RESERVED
 
     if _IDENT_OK.match(s) and s.lower() not in _RESERVED \
-            and s.lower() not in _PIPE_WORDS:
+            and s.lower() not in _PIPE_WORDS \
+            and s.lower() not in _EXPR_KWS:
         return s
     return f"`{s}`"
 
