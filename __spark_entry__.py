@@ -49,21 +49,26 @@ def _suite_query(wv_text: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # Ordering policy (the external driver samples the first N entries in
-# insertion order, N=50 in recent rounds): OLDEST DRIVER EVIDENCE FIRST.
-# The sort key is (latest round with a recorded CORRECTNESS row for the
-# entry, name) — computed mechanically from the CORRECTNESS_r*.json
-# artifacts in the repo, never hand-curated.  Entries with no recorded row
-# (new this round) sort first; ties break alphabetically.  This is a
-# neutral round-robin: every declared query gets re-verified on code at
-# most ~⌈total/N⌉ rounds old, and nothing the code does can steer WHICH
-# queries the verifier samples beyond that stated staleness rotation.
-def _last_checked_round() -> dict[str, int]:
+# insertion order, N=50 in recent rounds): OLDEST DRIVER EVIDENCE FIRST,
+# with one refinement from the round-4 verdict: an entry whose MOST
+# RECENT recorded row errored sorts FIRST (an `err` row is not evidence
+# of health, so treating it as fresh evidence would hide the fix for a
+# full rotation).  The sort key is (not-errored, latest round with a
+# recorded CORRECTNESS row, name) — computed mechanically from the
+# CORRECTNESS_r*.json artifacts in the repo, never hand-curated.
+# Entries with no recorded row (new this round) sort before healthy ones;
+# ties break alphabetically.  This is a neutral round-robin: every
+# declared query gets re-verified on code at most ~⌈total/N⌉ rounds old,
+# and nothing the code does can steer WHICH queries the verifier samples
+# beyond that stated staleness rotation.
+def _latest_rows() -> dict[str, tuple[int, dict]]:
+    """name -> (latest round with a recorded CORRECTNESS row, that row)."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    last: dict[str, int] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -74,9 +79,10 @@ def _last_checked_round() -> dict[str, int]:
                 rows = json.load(f)
         except Exception:
             continue
-        for name in rows:
-            last[name] = max(last.get(name, -1), rnd)
-    return last
+        for name, row in rows.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row if isinstance(row, dict) else {})
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -88,9 +94,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pool[name] = _suite_query(wv)
     pool.update(ext_queries())
 
-    last = _last_checked_round()
+    latest = _latest_rows()
+    oracles = set(oracle_sql())
+
+    def key(name: str):
+        if name not in latest:
+            return (0, -1, name)        # never graded: first
+        rnd, row = latest[name]
+        err = row.get("err")
+        # Healthy evidence = a hash-green row, or a rows-only row for an
+        # entry that (still) has no oracle — the declared-design outcome
+        # for hash-seeded / orchestration entries.  An errored row, or a
+        # no_oracle row for an entry that NOW ships an oracle, is stale
+        # evidence and sorts before every healthy entry.
+        healthy = bool(row.get("hash_match")) or (
+            err == "no_oracle" and row.get("spark_rows") is not None
+            and name not in oracles)
+        return (1 if healthy else 0, rnd, name)
+
     out: dict[str, Callable] = {}
-    for name in sorted(pool, key=lambda n: (last.get(n, -1), n)):
+    for name in sorted(pool, key=key):
         out[name] = pool[name]
     return out
 

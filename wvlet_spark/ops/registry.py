@@ -9,9 +9,50 @@ weaker rows-only check — their row counts are deterministic.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import functions as F
+
+# The driver's correctness gate runs Spark + DuckDB side-by-side at
+# sf=0.01 (TESTDATA.md).  Data-dependent oracle constants — the seeded
+# k-means centroid matrix and the query vector — are derived from the
+# SAME parquet at oracle-build time (pyarrow read, sorted by vec_id; the
+# Spark side trains on the orderBy(vec_id)-limited sample, so the inputs
+# are row-identical) and inlined as SQL literals, the pattern the
+# hyperplane-LSH oracle below already uses for its seeded planes.
+_ORACLE_SF_DIR = os.environ.get("WVLET_SPARK_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
+_ORACLE_NP_CACHE: dict[str, tuple] = {}
+
+
+def _oracle_embeddings_np() -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, X) from the oracle-scale embeddings parquet, vec_id-sorted."""
+    hit = _ORACLE_NP_CACHE.get(_ORACLE_SF_DIR)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        d = t.to_pydict()
+        order = np.argsort(np.asarray(d["vec_id"]), kind="stable")
+        ids = np.asarray(d["vec_id"])[order]
+        X = np.array([d["embedding"][i] for i in order], dtype=np.float64)
+        hit = (ids, X)
+        _ORACLE_NP_CACHE[_ORACLE_SF_DIR] = hit
+    return hit
+
+
+def _centroid_values_sql(C: np.ndarray) -> str:
+    """k-means centroid matrix as DuckDB VALUES rows (i, [coeffs...])."""
+    return ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}])"
+        for i in range(len(C)))
+
+
+def _vec_literal(v: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
 
 
 def _docs(spark, sf_dir):
@@ -159,9 +200,9 @@ FROM walk GROUP BY a ORDER BY doc_id
 
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k against the first vector (seeded k-means
-    lists, nprobe nearest lists probed, exact cosine inside).  The k-means
-    model has no DuckDB equivalent — rows-only driver check; recall is
-    oracle-tested in pytest against brute force."""
+    lists, nprobe nearest lists probed, exact cosine inside).  The DuckDB
+    oracle (_ivf_topk_oracle) re-derives assignment + probes from the
+    inlined trained centroids; recall vs brute force is pytest-checked."""
     from wvlet_spark.ops.similarity import ivf_topk
 
     emb = _embs(spark, sf_dir)
@@ -661,11 +702,16 @@ ORDER BY doc_id
 def q_quantize(spark, sf_dir):
     """int8 scalar quantization of the embeddings table (the 4x-storage
     path for ANN at scale) — pure column expressions; the oracle runs the
-    identical arithmetic over DuckDB lists."""
+    identical arithmetic over DuckDB lists.  The int8 vector is projected
+    through to_json so the driver's pandas canonicalizer (which hashes
+    rows and cannot hash Python lists) gets a flat comparable string."""
     from wvlet_spark.ops.similarity import quantize_embeddings
 
     out = quantize_embeddings(_embs(spark, sf_dir))
-    return out.orderBy("vec_id")
+    return (out.select("vec_id",
+                       F.to_json(F.col("q8")).alias("q8"),
+                       "scale", "max_abs_err")
+            .orderBy("vec_id"))
 
 
 O_QUANTIZE = """
@@ -680,7 +726,7 @@ WITH t AS (
          list_transform(v, x -> CAST(round(x / sc) AS INT)) AS q8
   FROM s
 )
-SELECT vec_id, q8, round(sc, 8) AS scale,
+SELECT vec_id, to_json(q8) AS q8, round(sc, 8) AS scale,
        round(list_max(list_transform(range(1, len(v) + 1),
              i -> abs(v[i] - q8[i] * sc))), 6) AS max_abs_err
 FROM q ORDER BY vec_id
@@ -867,13 +913,132 @@ ORDER BY doc_id, span_start
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table (k-means
-    blocking -> within-cluster cosine >= 0.4 drops (the synthetic corpus plants near-dups at ~0.4-0.5 cosine, same threshold as ext_embedding_dedup)).  k-means has no
-    DuckDB equivalent — rows-only driver check; the planted-pair pytest
-    (test_semantic_dedup) is the value oracle."""
+    blocking -> within-cluster cosine >= 0.4 drops; the synthetic corpus
+    plants near-dups at ~0.4-0.5 cosine, same threshold as
+    ext_embedding_dedup).  The DuckDB oracle (_semantic_dedup_oracle)
+    re-derives the seeded k-means assignment from the inlined trained
+    centroids; the planted-pair pytest (test_semantic_dedup) checks the
+    algorithmic outcome independently."""
     from wvlet_spark.ops.similarity import semantic_dedup
 
     embs = _embs(spark, sf_dir)
     return semantic_dedup(embs, n_clusters=8, threshold=0.4)
+
+
+def _semantic_dedup_oracle(n_clusters: int = 8,
+                           threshold: float = 0.4) -> str:
+    """DuckDB oracle for SemDeDup: re-derive the seeded k-means assignment
+    from the INLINED trained centroid matrix (kmeans_np on the identical
+    vec_id-sorted sample), then within-cluster lower-id cosine drops —
+    the full algorithm re-verified independently, not just the cosines."""
+    from wvlet_spark.ops.similarity import kmeans_np
+
+    _ids, X = _oracle_embeddings_np()
+    C = kmeans_np(X, n_clusters, iters=8, seed=42)
+    return f"""
+WITH cent(i, c) AS (VALUES
+    {_centroid_values_sql(C)}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (
+  SELECT vec_id, v,
+         CAST(arg_min(i, list_dot_product(c, c)
+                         - 2 * list_dot_product(v, c)) AS BIGINT) AS sem_cluster
+  FROM v, cent
+  GROUP BY vec_id, v
+),
+e AS (
+  SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of
+  FROM a l JOIN a r ON l.sem_cluster = r.sem_cluster AND l.vec_id < r.vec_id
+  WHERE round(list_dot_product(l.v, r.v)
+              / (sqrt(list_dot_product(l.v, l.v))
+                 * sqrt(list_dot_product(r.v, r.v))), 6) >= {threshold}
+  GROUP BY r.vec_id
+)
+SELECT a.vec_id, a.sem_cluster, e.dup_of, e.dup_of IS NULL AS keep
+FROM a LEFT JOIN e ON a.vec_id = e.vec_id
+ORDER BY a.vec_id
+"""
+
+
+def _ivf_topk_oracle(n_clusters: int = 8, nprobe: int = 3,
+                     k: int = 10) -> str:
+    """DuckDB oracle for IVF top-k: inlined trained centroids, nearest-
+    centroid assignment re-derived in SQL, probe set computed from the
+    same centroid/query math as ivf_topk, exact cosine inside the probed
+    lists.  Ordered by the UNROUNDED cosine (as the Spark side does) so
+    the k-boundary selection matches."""
+    from wvlet_spark.ops.similarity import kmeans_np
+
+    _ids, X = _oracle_embeddings_np()
+    C = kmeans_np(X, n_clusters, iters=8, seed=42)
+    q = X[0]  # vec_id-sorted -> the _query_vec row (min vec_id)
+    d = np.einsum("ij,ij->i", C, C) - 2 * (C @ q)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    qn = float(np.sqrt(q @ q)) or 1.0
+    return f"""
+WITH cent(i, c) AS (VALUES
+    {_centroid_values_sql(C)}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (
+  SELECT vec_id, v,
+         arg_min(i, list_dot_product(c, c)
+                    - 2 * list_dot_product(v, c)) AS cl
+  FROM v, cent
+  GROUP BY vec_id, v
+),
+s AS (
+  SELECT vec_id,
+         list_dot_product(v, {_vec_literal(q)})
+           / (sqrt(list_dot_product(v, v)) * {qn!r}) AS cos_raw
+  FROM a
+  WHERE cl IN ({", ".join(map(str, probes))})
+)
+SELECT vec_id, round(cos_raw, 5) AS cosine
+FROM s ORDER BY cos_raw DESC, vec_id LIMIT {k}
+"""
+
+
+def _lsh_topk_oracle(planes: int = 6, multiprobe: int = 3,
+                     k: int = 10) -> str:
+    """DuckDB oracle for multiprobe LSH top-k: seeded hyperplanes inlined
+    (same pattern as _embedding_dedup_lsh_oracle), per-row bucket
+    re-derived in SQL, the probe set computed by the SAME
+    lsh_probe_buckets helper the Spark path uses, exact cosine inside."""
+    from wvlet_spark.ops.similarity import _hyperplanes, lsh_probe_buckets
+
+    _ids, X = _oracle_embeddings_np()
+    q = X[0]
+    dim = X.shape[1]
+    H = _hyperplanes(dim, planes, seed=42)
+    probes = lsh_probe_buckets([float(x) for x in q], planes, multiprobe,
+                               seed=42)
+    qn = float(np.sqrt(q @ q)) or 1.0
+    hp_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in H[i])}])"
+        for i in range(planes))
+    return f"""
+WITH hp(i, h) AS (VALUES
+    {hp_rows}
+),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sum(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), hp.h) >= 0
+                  THEN (1::BIGINT << hp.i) ELSE 0 END) AS bucket
+  FROM embeddings, hp
+  GROUP BY vec_id, embedding
+),
+s AS (
+  SELECT vec_id,
+         list_dot_product(v, {_vec_literal(q)})
+           / (sqrt(list_dot_product(v, v)) * {qn!r}) AS cos_raw
+  FROM b
+  WHERE bucket IN ({", ".join(map(str, probes))})
+)
+SELECT vec_id, round(cos_raw, 5) AS cosine
+FROM s ORDER BY cos_raw DESC, vec_id LIMIT {k}
+"""
 
 
 def entry_queries() -> dict:
@@ -936,7 +1101,10 @@ def entry_oracles() -> dict:
         "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
-        # ext_minhash_pairs / ext_simhash_pairs / ext_lsh_topk: xxhash64
-        # band buckets have no DuckDB equivalent — rows-only check
-        # (deterministic row counts)
+        "ext_semantic_dedup": _semantic_dedup_oracle(),
+        "ext_ivf_topk": _ivf_topk_oracle(),
+        "ext_lsh_topk": _lsh_topk_oracle(),
+        # ext_minhash_pairs / ext_simhash_pairs: xxhash64 signatures have
+        # no DuckDB equivalent — rows-only check (deterministic row
+        # counts) + pytest oracles (recall vs brute force, LSH ⊆ exact)
     }

@@ -163,19 +163,17 @@ def rp_lsh_buckets(df: DataFrame, dim: int, planes: int = 12, seed: int = 42,
     return df.withColumn("lsh_bucket", _bucket(F.col(vec_col)))
 
 
-def ivf_train_centroids(df: DataFrame, n_clusters: int = 16, iters: int = 8,
-                        sample_limit: int = 20_000, seed: int = 42,
-                        vec_col: str = "embedding") -> np.ndarray:
-    """Seeded k-means centroids from a bounded sample (Lloyd iterations in
-    numpy on the driver).  The sample is capped at `sample_limit` rows —
-    at 100 TB the centroid model still trains on a fixed-size sample; only
-    the ASSIGNMENT pass below scales with the data."""
-    rows = (df.select(F.col(vec_col).cast("array<double>"))
-              .limit(sample_limit).collect())
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+def kmeans_np(X: np.ndarray, n_clusters: int, iters: int = 8,
+              seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means on an in-memory (n, dim) float64 matrix.
+
+    Shared by the Spark training path (ivf_train_centroids) and the
+    DuckDB oracle builders (registry._oracle_centroids): given the SAME
+    row-ordered sample both produce bit-identical centroids, which is
+    what lets the oracles inline the trained matrix as SQL literals."""
     rng = np.random.RandomState(seed)
     k = min(n_clusters, len(X))
-    C = X[rng.choice(len(X), size=k, replace=False)]
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
         # (n, k) squared distances via |x|^2 - 2 x.c + |c|^2
         d = (np.einsum("ij,ij->i", X, X)[:, None]
@@ -186,6 +184,31 @@ def ivf_train_centroids(df: DataFrame, n_clusters: int = 16, iters: int = 8,
             if len(m):
                 C[j] = m.mean(axis=0)
     return C
+
+
+def ivf_train_centroids(df: DataFrame, n_clusters: int = 16, iters: int = 8,
+                        sample_limit: int = 20_000, seed: int = 42,
+                        vec_col: str = "embedding",
+                        order_col: str | None = "vec_id") -> np.ndarray:
+    """Seeded k-means centroids from a bounded sample (Lloyd iterations in
+    numpy on the driver).  The sample is capped at `sample_limit` rows —
+    at 100 TB the centroid model still trains on a fixed-size sample; only
+    the ASSIGNMENT pass below scales with the data.
+
+    When `order_col` is present the sample is the FIRST `sample_limit`
+    rows by that column (TakeOrdered — one distributed top-k, no full
+    sort), which makes the trained model independent of partition /
+    file-split order: the same (data, seed) always yields the same
+    centroids, so DuckDB oracles can re-derive them."""
+    sel = df.select(*(([F.col(order_col).alias("__o")]
+                       if order_col and order_col in df.columns else [])
+                      + [F.col(vec_col).cast("array<double>").alias("__v")]))
+    if order_col and order_col in df.columns:
+        rows = sel.orderBy("__o").limit(sample_limit).collect()
+    else:
+        rows = sel.limit(sample_limit).collect()
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    return kmeans_np(X, n_clusters, iters, seed)
 
 
 def ivf_assign(df: DataFrame, centroids: np.ndarray,
@@ -223,7 +246,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     distribution (clustered corpora get tight lists) where hyperplane LSH
     is distribution-oblivious."""
     C = centroids if centroids is not None else ivf_train_centroids(
-        df, n_clusters, seed=seed, vec_col=vec_col)
+        df, n_clusters, seed=seed, vec_col=vec_col, order_col=id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     d = np.einsum("ij,ij->i", C, C) - 2 * (C @ q)
     probes = [int(i) for i in np.argsort(d)[:nprobe]]
@@ -237,6 +260,26 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def lsh_probe_buckets(query_vec: list[float], planes: int = 12,
+                      multiprobe: int = 1, seed: int = 42) -> list[int]:
+    """The deterministic probe set for a query: its own bucket plus, for
+    multiprobe >= 1, flips of the planes with smallest |projection| (the
+    most uncertain sign bits).  Shared by lsh_bucket_topk and the DuckDB
+    oracle builder so both probe the identical buckets."""
+    H = _hyperplanes(len(query_vec), planes, seed)
+    proj = H @ np.asarray(query_vec, dtype=np.float64)
+    qb = 0
+    for i in range(planes):
+        if proj[i] >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if multiprobe >= 1:
+        order = np.argsort(np.abs(proj))
+        for i in order[: max(multiprobe * 3, 3)]:
+            probes.add(qb ^ (1 << int(i)))
+    return sorted(int(b) for b in probes)
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     planes: int = 12, multiprobe: int = 1, seed: int = 42,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -246,20 +289,9 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     At scale the bucketed table is precomputed+partitioned by bucket, making
     this a partition-pruned scan instead of a full pass."""
     dim = len(query_vec)
-    H = _hyperplanes(dim, planes, seed)
-    qb = 0
-    proj = H @ np.asarray(query_vec)
-    for i in range(planes):
-        if proj[i] >= 0:
-            qb |= 1 << i
-    probes = {qb}
-    if multiprobe >= 1:
-        # flip the planes with smallest |projection| first (most uncertain)
-        order = np.argsort(np.abs(proj))
-        for i in order[: max(multiprobe * 3, 3)]:
-            probes.add(qb ^ (1 << int(i)))
+    probes = lsh_probe_buckets(query_vec, planes, multiprobe, seed)
     bucketed = rp_lsh_buckets(df, dim, planes, seed, vec_col)
-    cand = bucketed.filter(F.col("lsh_bucket").isin([int(b) for b in probes]))
+    cand = bucketed.filter(F.col("lsh_bucket").isin(probes))
     sim = cosine_to_query(F.col(vec_col), query_vec)
     return (
         cand.select(F.col(id_col), sim.alias("cosine"))
@@ -317,7 +349,8 @@ def build_ivf_index(df: DataFrame, path: str, n_clusters: int = 16,
     `PartitionFilters: [ivf_cluster IN (...)]` in the physical plan)
     instead of re-assigning the whole table per query.  Returns the
     centroid matrix for immediate searches."""
-    C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col)
+    C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col,
+                             order_col=id_col)
     assigned = ivf_assign(df, C, vec_col)
     (assigned.write.mode("overwrite")
      .partitionBy("ivf_cluster").parquet(path))
@@ -369,7 +402,8 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
     one numpy dot product."""
     from wvlet_spark.ops.util import ensure_map_parallelism
     df = ensure_map_parallelism(df)
-    C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col)
+    C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col,
+                             order_col=id_col)
     v = (ivf_assign(df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__v")), C, "__v")

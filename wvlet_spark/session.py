@@ -690,6 +690,7 @@ class WvletSession:
         # Spark's analyzer only (no job runs).
         if _contains_describe(rel):
             rel = transform(rel, rel_fn=self._stage_describe)
+        rel = self._stage_agg_in_subqueries(rel, params)
         sql = self._gen_sql(rel, SPARK, params=params)
         try:
             return self.spark.sql(sql)
@@ -706,6 +707,45 @@ class WvletSession:
                 return self.spark.sql(sql)
             finally:
                 conf.set("spark.sql.ansi.doubleQuotedIdentifiers", old)
+
+    def _stage_agg_in_subqueries(self, rel: N.Relation,
+                                 params=None) -> N.Relation:
+        """Materialize uncorrelated aggregate IN-subqueries once.
+
+        Catalyst propagates `x IN (<subquery>)` across join equality
+        constraints (InferFiltersFromConstraints), planting the subquery's
+        semi-join — and with it the whole aggregation pipeline — on BOTH
+        sides of the join.  TPC-H Q18 is the canonical victim: lineitem is
+        scanned and re-aggregated twice, once under orders and once under
+        lineitem itself.  Early filtering on both scans is the right call
+        at 100 TB, but re-running the aggregate is not: stage the subquery
+        as a lazily localCheckpoint-ed temp view, so every inferred copy
+        of the semi-join probes the SAME materialized (usually tiny) key
+        list and the aggregation runs exactly once.
+
+        Correlated subqueries reference outer columns and fail analysis
+        when compiled standalone — the except leaves them inline, where
+        Catalyst's decorrelation handles them."""
+        from wvlet_spark.analyzer import transform as ast_transform
+
+        def expr_fn(e: N.Expr) -> N.Expr:
+            if not isinstance(e, N.InSubquery):
+                return e
+            if not _tree_contains(e.query, (N.GroupBy, N.Agg, N.Dedup,
+                                            N.CountRel)):
+                return e
+            try:
+                sub_sql = self._gen_sql(e.query, SPARK, params=params)
+                df = self.spark.sql(sub_sql).localCheckpoint(eager=False)
+            except Exception:
+                return e
+            self._view_n += 1
+            view = f"__wv_insub_{self._view_n}"
+            df.createOrReplaceTempView(view)
+            self._schema_cache[view] = df.columns
+            return N.InSubquery(e.expr, N.TableRef(view), e.negated)
+
+        return ast_transform(rel, expr_fn=expr_fn)
 
     def _stage_describe(self, node: N.Relation) -> N.Relation:
         if isinstance(node, N.DescribePrepared):
@@ -961,7 +1001,7 @@ class WvletSession:
         return self.compile_to_sql(text, dialect=DUCKDB)
 
 
-def _contains_describe(rel) -> bool:
+def _tree_contains(rel, types: tuple) -> bool:
     import dataclasses
 
     found = False
@@ -970,7 +1010,7 @@ def _contains_describe(rel) -> bool:
         nonlocal found
         if found:
             return
-        if isinstance(x, (N.Describe, N.DescribePrepared)):
+        if isinstance(x, types):
             found = True
             return
         if dataclasses.is_dataclass(x) and not isinstance(x, type):
@@ -982,6 +1022,10 @@ def _contains_describe(rel) -> bool:
 
     walk(rel)
     return found
+
+
+def _contains_describe(rel) -> bool:
+    return _tree_contains(rel, (N.Describe, N.DescribePrepared))
 
 
 def _json_key_order(path: str) -> list[str] | None:

@@ -1555,16 +1555,16 @@ where o_custkey <= 200
 group by o_custkey
 select
   o_custkey,
-  order_keys = array_agg(o_orderkey order by o_orderdate desc, o_orderkey),
-  statuses = array_agg(distinct o_orderstatus order by o_orderstatus),
+  order_keys = to_json(array_agg(o_orderkey order by o_orderdate desc, o_orderkey)),
+  statuses = to_json(array_agg(distinct o_orderstatus order by o_orderstatus)),
   priority_list = string_agg(o_orderpriority, '|' order by o_orderkey)
 order by o_custkey
 """,
     """
 SELECT
   o_custkey,
-  array_agg(o_orderkey ORDER BY o_orderdate DESC, o_orderkey) AS order_keys,
-  array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+  to_json(array_agg(o_orderkey ORDER BY o_orderdate DESC, o_orderkey)) AS order_keys,
+  to_json(array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus)) AS statuses,
   string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS priority_list
 FROM orders
 WHERE o_custkey <= 200
