@@ -52,7 +52,7 @@ EXPECTED = {
     "hive/hive-functions.sql": (7, 0),
     "hive/hive-lateral-view.sql": (7, 0),
     "hive/hive-partition-write.sql": (13, 0),
-    "hive/hive-udtf.sql": (1, 1),   # each_top_k -> window; generic UDTF rejects
+    "hive/hive-udtf.sql": (2, 0),   # each_top_k -> window; generic UDTF -> unnest
     "hive/insert-into-table.sql": (11, 0),
     "hive/insert-overwrite.sql": (1, 0),
     "hive/td-time-functions.sql": (4, 0),
@@ -245,12 +245,25 @@ def test_hive_recursive_cte_insert_converts():
     assert "with recursive h as {" in wv
 
 
-def test_hive_udtf_documented_reject():
+def test_hive_udtf_select_position_converts():
+    """Generic UDTF with a multi-column alias in select position is Hive
+    shorthand for a lateral view — converted to the unnest form."""
+    from wvlet_spark.sql_import import sql_to_wvlet
+
+    wv = sql_to_wvlet(
+        "SELECT my_udtf(a, b) AS (c1, c2, c3) FROM t", dialect="hive")
+    assert "unnest(my_udtf(a, b)) as __udtf(c1, c2, c3)" in wv
+    assert "select c1, c2, c3" in wv
+
+
+def test_hive_udtf_with_clauses_still_rejects():
+    """The select-position rewrite only fires on a bare relation tail;
+    anything richer keeps the documented reject."""
     from wvlet_spark.sql_import import SqlImportError, sql_to_wvlet
 
     with pytest.raises(SqlImportError, match="UDTF multi-column alias"):
         sql_to_wvlet(
-            "SELECT each_top_k(20, id, score) AS (rank, score, id) FROM t",
+            "SELECT my_udtf(a) AS (c1, c2) FROM t WHERE x > 1",
             dialect="hive")
 
 

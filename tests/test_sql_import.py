@@ -158,11 +158,10 @@ def test_basic_sql_corpus_conversion_coverage(spark):
         else:
             failures.append(f"{name}: value mismatch")
     assert not failures, "\n".join(failures)
-    # coverage floors (round-4 normalizer + ordered-aggregate / lambda /
-    # LIKE-ESCAPE / RLIKE / sample / prepared-statement lifts: 58 of 69
-    # files convert; remaining rejects are TIME/JSON types and Trino
-    # identifier-policy grammar with documented typed errors)
-    assert converted >= 63, (converted, rejected)
+    # coverage floors: round-5 closed the last rejects (FROM VALUES sans
+    # parens, Trino double-alias, keyword-separated statements, TIME via
+    # Spark 4.1 spark.sql.timeType.enabled) — ALL 69 files convert
+    assert converted == 69 and rejected == 0, (converted, rejected)
     assert executed >= 19, (converted, executed, rejected)
 
 
@@ -189,6 +188,20 @@ def test_benchmark_sql_corpus(spark, qname):
     finally:
         con.close()
     assert got == exp, f"{qname} mismatch\n{ws.to_wvlet(sql)}"
+
+
+def test_time_type_end_to_end(spark, duck):
+    """Spark 4.1 TIME (spark.sql.timeType.enabled, set by WvletSession):
+    TIME literals, casts, and HOUR/MINUTE extraction run on Spark and
+    match DuckDB values."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, test_mode=False)
+    sql = ("SELECT TIME '10:30:45' AS t, CAST('23:59:59' AS TIME) AS t2, "
+           "hour(TIME '10:30:45') AS h, minute(TIME '10:30:45') AS m")
+    got = _norm(tuple(r) for r in ws.run_sql(sql).collect())
+    exp = _norm(duck.execute(sql).fetchall())
+    assert got == exp
 
 
 def test_to_wvlet_units(spark, duck):

@@ -110,6 +110,7 @@ def type_sql(t: str, dialect: str) -> str:
         "varchar": "STRING" if dialect == SPARK else "VARCHAR",
         "boolean": "BOOLEAN", "bool": "BOOLEAN",
         "date": "DATE",
+        "time": "TIME",   # Spark 4.1 (spark.sql.timeType.enabled) / DuckDB
         "timestamp": "TIMESTAMP",
         # tz-aware: Spark's TIMESTAMP is session-tz (LTZ) already
         "timestamptz": "TIMESTAMP" if dialect == SPARK else "TIMESTAMPTZ",

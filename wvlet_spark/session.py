@@ -52,6 +52,13 @@ class WvletSession:
         self._tools: dict[str, object] = {}
         self._register_builtin_tools()
         self.last_test_results: list[tuple[bool, str]] = []
+        if spark is not None:
+            try:
+                # Spark 4.1 TIME type (wvlet `time`, TIME 'hh:mm:ss'
+                # literals) ships behind this flag
+                spark.conf.set("spark.sql.timeType.enabled", "true")
+            except Exception:
+                pass  # older Spark: TIME queries raise their own error
         if table_dir and spark is not None:
             self.register_parquet_dir(table_dir)
 

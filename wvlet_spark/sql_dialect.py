@@ -77,20 +77,65 @@ def _sig(tokens, i, step=1):
     return i
 
 
+# Tokens after which a top-level SELECT/VALUES continues the SAME
+# statement (set operations, subquery opener, CTE definition) rather than
+# starting a new one.
+_STMT_CONTINUERS = frozenset(
+    "union all distinct intersect except as ( , minus".split())
+
+
 def split_statements(sql: str) -> list[str]:
     """Split on top-level `;` (string/comment-safe); COMMENTS ARE DROPPED
     (keyword dispatch and pattern rewrites must see the statement's first
     real token, and comment text must never trigger a rewrite); empty
-    pieces are dropped."""
+    pieces are dropped.
+
+    When the input contains NO semicolons at all, additionally splits
+    before a depth-0 SELECT/WITH that cannot continue the current
+    statement — the reference corpus contains files whose statements are
+    separated only by blank lines + comments (spec/sql/basic/at-alias.sql),
+    which its hand-written parser accepts.  Files that use `;` use it
+    consistently, so the heuristic never fires for them (it would
+    otherwise mis-split `INSERT ... SELECT` / `PREPARE ... FROM SELECT`)."""
+    toks = tokenize(sql)
+    keyword_split = not any(k == "op" and t == ";" for k, t in toks)
     parts, cur = [], []
-    for kind, text in tokenize(sql):
+    depth = 0
+    last_sig = None
+    first_sig = None      # first token of the current statement
+    with_pending = False  # WITH statement still awaiting its main SELECT
+    for kind, text in toks:
         if kind == "comment":
             cur.append(("ws", " "))
-        elif kind == "op" and text == ";":
+            continue
+        if kind == "op":
+            if text == ";":
+                parts.append(_render(cur).strip())
+                cur, last_sig, first_sig, depth = [], None, None, 0
+                with_pending = False
+                continue
+            if text == "(":
+                depth += 1
+            elif text == ")":
+                depth = max(0, depth - 1)
+        low = text.lower() if kind == "word" else None
+        if (keyword_split and kind == "word" and depth == 0
+                and low in ("select", "with") and last_sig is not None
+                and first_sig in ("select", "with", "values")
+                and last_sig not in _STMT_CONTINUERS
+                and not (low == "select" and with_pending)):
             parts.append(_render(cur).strip())
-            cur = []
-        else:
-            cur.append((kind, text))
+            cur, last_sig, first_sig = [], None, None
+            with_pending = False
+        cur.append((kind, text))
+        if kind != "ws":
+            if first_sig is None:
+                first_sig = low if kind == "word" else text
+                with_pending = first_sig == "with"
+            elif with_pending and kind == "word" and depth == 0 \
+                    and low == "select":
+                with_pending = False
+            last_sig = low if kind == "word" else text.lower()
     parts.append(_render(cur).strip())
     return [p for p in parts if p]
 
@@ -327,6 +372,45 @@ def _rewrite_each_top_k(sql: str) -> str:
 
 # ------------------------------------------------------------ public API
 
+_SELECT_UDTF_RE = re.compile(
+    r"^\s*SELECT\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(",
+    re.IGNORECASE)
+
+
+def _rewrite_select_udtf(sql: str) -> str:
+    """Hive UDTF in select position with a multi-column alias:
+
+        SELECT f(args) AS (c1, c2, ...) FROM rel
+
+    is Hive shorthand for a lateral view over `f` (the UDTF must be the
+    sole select expression) — rewrite to the FROM-position spelling the
+    rest of the pipeline already understands:
+
+        SELECT c1, c2, ... FROM rel CROSS JOIN UNNEST(f(args)) AS __udtf(c1, c2, ...)
+
+    Only fires when the tail after FROM is a bare relation (no depth-0
+    clause keywords) — anything richer keeps the documented reject."""
+    m = _SELECT_UDTF_RE.match(sql)
+    if not m:
+        return sql
+    fname = m.group(1)
+    open_idx = sql.index("(", m.end(1))
+    end = _balanced_span(sql, open_idx)  # index AFTER the closing paren
+    call = sql[m.end(1):end].strip()
+    rest = sql[end:]
+    am = re.match(r"\s*AS\s*\(([^()]*)\)\s*FROM\s+(.*)$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    if not am:
+        return sql
+    cols = [c.strip() for c in am.group(1).split(",") if c.strip()]
+    tail = am.group(2).strip().rstrip(";").strip()
+    if not cols or not re.match(r"^[A-Za-z_][A-Za-z0-9_.]*$", tail):
+        return sql
+    col_list = ", ".join(cols)
+    return (f"SELECT {col_list} FROM {tail} CROSS JOIN "
+            f"UNNEST({fname}{call}) AS __udtf({col_list})")
+
+
 def translate(sql: str, dialect: str) -> str:
     """Rewrite `dialect` ('hive' | 'trino') SQL into DuckDB-parseable SQL.
     'duckdb' (default dialect) passes through unchanged."""
@@ -336,6 +420,7 @@ def translate(sql: str, dialect: str) -> str:
         raise DialectError(f"unknown SQL dialect: {dialect!r}")
     if dialect == "hive":
         sql = _rewrite_each_top_k(sql)
+        sql = _rewrite_select_udtf(sql)
         if re.search(r"\)\s+AS\s*\(\s*[A-Za-z_]", sql, re.IGNORECASE):
             raise DialectError(
                 "Hive UDTF multi-column alias (`f(...) AS (c1, c2, ...)`) "

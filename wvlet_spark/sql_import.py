@@ -313,6 +313,35 @@ def _is_plain_table_group(toks) -> bool:
     return i == len(sig)
 
 
+_CLAUSE_KEYWORDS = frozenset(
+    "where on left right inner full outer cross join group order limit "
+    "having union intersect except qualify using natural window offset "
+    "fetch tablesample sample positional anti semi asof lateral values "
+    "with select from".split())
+
+
+def _is_alias_word(tok) -> bool:
+    return tok[0] == "dquote" or (
+        tok[0] == "word" and tok[1].lower() not in _CLAUSE_KEYWORDS)
+
+
+def _is_col_name_list(toks) -> bool:
+    """Significant tokens form `name [, name]*` — an alias column list,
+    not an expression / subquery group."""
+    sig = _sig_only(toks)
+    if not sig:
+        return False
+    expect_name = True
+    for kind, text in sig:
+        if expect_name:
+            if kind not in ("word", "dquote", "backtick"):
+                return False
+        elif text != ",":
+            return False
+        expect_name = not expect_name
+    return not expect_name
+
+
 def _normalize_pass(toks):
     """One rewrite per pass; returns (tokens, changed)."""
     n_t = len(toks)
@@ -332,6 +361,81 @@ def _normalize_pass(toks):
         if k != "word":
             continue
         low = t.lower()
+        if low in ("time", "timestamp"):
+            # `time('10:30:00')` / `timestamp('...')` function-call form
+            # (Trino): DuckDB's grammar reads the bare keyword as the
+            # start of a typed literal — quote it so it parses as a
+            # function call.  Only fires on a string first argument, so
+            # type positions (`CAST(x AS TIME(3))`) keep the keyword.
+            j = _sig_idx(toks, i)
+            p = _sig_idx(toks, i, -1)
+            prev_ok = not (p >= 0 and toks[p][0] == "word"
+                           and toks[p][1].lower() in ("as", "at"))
+            if prev_ok and j < n_t and toks[j][1] == "(":
+                j2 = _sig_idx(toks, j)
+                if j2 < n_t and toks[j2][0] == "string":
+                    return toks[:i] + [("dquote", f'"{low}"')] \
+                        + toks[i + 1:], True
+            # no continue: `timestamp(p) with time zone` precision-drop
+            # below must still see this token
+        if low == "values":
+            # Trino `FROM VALUES (...), (...)` without parentheses
+            # (spec/sql/basic/at-alias.sql) — DuckDB's grammar only
+            # accepts the parenthesized form, so wrap the row list:
+            # FROM VALUES (r1), (r2) alias  ->  FROM (VALUES (r1), (r2)) alias
+            p = _sig_idx(toks, i, -1)
+            if p >= 0 and toks[p][0] == "word" \
+                    and toks[p][1].lower() in ("from", "join"):
+                j = _sig_idx(toks, i)
+                if j < n_t and toks[j][1] == "(":
+                    end = j
+                    while True:
+                        close = _close_paren(toks, end + 1)
+                        if close is None:
+                            end = None
+                            break
+                        nxt = _sig_idx(toks, close)
+                        # `, (` continues the row list; anything else
+                        # (alias, join keyword, a second FROM item) ends it
+                        if nxt < n_t and toks[nxt][1] == ",":
+                            nxt2 = _sig_idx(toks, nxt)
+                            if nxt2 < n_t and toks[nxt2][1] == "(":
+                                end = nxt2
+                                continue
+                        end = close
+                        break
+                    if end is not None:
+                        return (toks[:i] + [("op", "(")] + toks[i:end + 1]
+                                + [("op", ")")] + toks[end + 1:]), True
+            continue
+        if low == "as":
+            # Trino double alias (spec/sql/basic/map-alias.sql):
+            #   rel AS a(cols) b   /   rel AS a(cols) AS b
+            # The outer name shadows the inner one (only `b.*` / bare
+            # columns are referenceable), so rebind the column list to the
+            # outer name: rel AS b(cols).
+            j = _sig_idx(toks, i)
+            if not (j < n_t and toks[j][0] in ("word", "dquote")):
+                continue
+            j2 = _sig_idx(toks, j)
+            if not (j2 < n_t and toks[j2][1] == "("):
+                continue
+            close = _close_paren(toks, j2 + 1)
+            if close is None or not _is_col_name_list(toks[j2 + 1:close]):
+                continue
+            nxt = _sig_idx(toks, close)
+            second = drop_end = None
+            if nxt < n_t and toks[nxt][0] == "word" \
+                    and toks[nxt][1].lower() == "as":
+                n2 = _sig_idx(toks, nxt)
+                if n2 < n_t and _is_alias_word(toks[n2]):
+                    second, drop_end = toks[n2], n2
+            elif nxt < n_t and _is_alias_word(toks[nxt]):
+                second, drop_end = toks[nxt], nxt
+            if second is not None:
+                return (toks[:j] + [second] + toks[j + 1:close + 1]
+                        + toks[drop_end + 1:]), True
+            continue
         if low == "tablesample":
             # TABLESAMPLE METHOD (size) [AS alias] ->
             # [AS alias] USING SAMPLE method(N%)  (TABLESAMPLE sizes are
@@ -1484,6 +1588,13 @@ def _constant(v: dict) -> str:
         return f"'{val}'::date"
     if tid in ("TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS"):
         return f"'{val}'::timestamp"
+    if tid == "TIME":
+        # Spark 4.1 TIME (spark.sql.timeType.enabled — set by WvletSession)
+        return f"'{val}'::time"
+    if tid == "TIMESTAMP WITH TIME ZONE":
+        # DuckDB serializes the value with a numeric offset (`...+00`),
+        # which both Spark and DuckDB timestamp casts accept
+        return f"'{val}'::timestamptz"
     raise SqlImportError(f"unsupported constant type {tid}")
 
 
@@ -1513,8 +1624,10 @@ def _type_name(t: dict) -> str:
         return "timestamptz"
     if tid == "timestamp without time zone":
         return "timestamp"
-    if tid in ("time", "time_tz"):
-        raise SqlImportError("TIME type not supported by the engine")
+    if tid == "time":
+        return "time"  # Spark 4.1 TIME, gated on spark.sql.timeType.enabled
+    if tid == "time_tz":
+        raise SqlImportError("TIME WITH TIME ZONE not supported by Spark")
     if tid in ("json", "user"):
         raise SqlImportError(f"no Spark analogue for type {tid}")
     return tid
