@@ -544,6 +544,59 @@ def test_delete_from_catalog_table(ws, spark):
     spark.sql("DROP TABLE IF EXISTS del_t")
 
 
+def test_acid_sql_generation():
+    """Transactional DELETE/MERGE text for Delta/Iceberg targets — the
+    capability branch, testable without the runtimes."""
+    from wvlet_spark import acid
+
+    assert acid.delete_sql("t", "(x > 1)") == "DELETE FROM t WHERE (x > 1)"
+    assert acid.delete_sql("t", None) == "DELETE FROM t WHERE TRUE"
+    m = acid.merge_upsert_sql("tgt", "src", ["window_start", "k"])
+    assert m == ("MERGE INTO tgt t USING src s "
+                 "ON t.window_start = s.window_start AND t.k = s.k "
+                 "WHEN MATCHED THEN UPDATE SET * "
+                 "WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_acid_provider_probe(ws, spark):
+    """Temp views and parquet saveAsTable targets report a non-ACID
+    provider, so delete takes the rewrite fallback in this sandbox."""
+    from wvlet_spark import acid
+
+    spark.table("nation").createOrReplaceTempView("prov_v")
+    assert acid.table_provider(spark, "prov_v") is None \
+        or acid.table_provider(spark, "prov_v") not in acid.ACID_PROVIDERS
+    assert not acid.supports_sql_delete(spark, "prov_v")
+    spark.catalog.dropTempView("prov_v")
+    assert not acid.supports_merge(spark, "no_such_table_xyz")
+
+
+def test_delete_emits_sql_on_acid_target(ws, spark, monkeypatch):
+    """When the target's provider is Delta/Iceberg, delete issues native
+    `DELETE FROM ... WHERE` instead of rewriting the table."""
+    from wvlet_spark import acid
+
+    monkeypatch.setattr(acid, "supports_sql_delete", lambda s, t: True)
+    issued = []
+    real_sql = ws.spark.sql
+
+    class _Rec:
+        def __getattr__(self, a):
+            return getattr(spark, a)
+
+        def sql(self, q, **kw):
+            if q.strip().upper().startswith("DELETE"):
+                issued.append(q)
+                return None
+            return real_sql(q, **kw)
+
+    monkeypatch.setattr(ws, "spark", _Rec())
+    ws.run("from nation where n_regionkey = 0\ndelete")
+    assert issued == ["DELETE FROM nation WHERE ((n_regionkey = 0))"]
+    # nation itself untouched (no rewrite happened)
+    assert spark.table("nation").count() == 25
+
+
 def test_recursive_cte_sequence(ws):
     df = ws.run("""
 with recursive seq as {

@@ -983,6 +983,14 @@ class WvletSession:
             raise CompileError("delete requires a filtered table pipeline")
         table = node.name
         gen = SqlGenerator(self._make_ctx(SPARK))
+        from wvlet_spark import acid
+
+        if acid.supports_sql_delete(self.spark, table):
+            # Delta/Iceberg target: native transactional DELETE — no
+            # table rewrite, no lineage break needed
+            cond = " AND ".join(f"({gen.expr(c)})" for c in conds) or None
+            self.spark.sql(acid.delete_sql(table, cond))
+            return None
         keep = " AND ".join(f"NOT ({gen.expr(c)})" for c in conds) if conds else "FALSE"
         remaining = self.spark.sql(f"SELECT * FROM {table} WHERE {keep}")
         # Break plan lineage before overwriting the relation we read from:

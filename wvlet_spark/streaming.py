@@ -242,7 +242,8 @@ def windowed_agg_stream(spark, source_path: str, target_path: str,
                         group_cols: list[str] | None = None,
                         value_col: str = "value",
                         watermark_delay: str = "1 hour",
-                        available_now: bool = True):
+                        available_now: bool = True,
+                        target_table: str | None = None):
     """STATEFUL incremental windowed aggregation — the extension past the
     reference's stateless-only incrementalization
     (transform/Incrementalize.scala:27-107 restricts subscribe() to
@@ -252,11 +253,12 @@ def windowed_agg_stream(spark, source_path: str, target_path: str,
     update-mode emission means each micro-batch row carries the COMPLETE
     aggregate-so-far for its (window, groups) key (state store holds the
     running value, persisted under `checkpoint_path` across runs), so the
-    sink merge is a pure upsert-by-key.  Here the sink is a parquet
-    directory swapped atomically (read-current, anti-join updated keys,
-    union, write-tmp, rename); on a real cluster the same foreachBatch
-    body would be a Delta/Iceberg MERGE INTO — the state/merge split is
-    identical.  Returns the StreamingQuery."""
+    sink merge is a pure upsert-by-key.  When `target_table` names a
+    Delta/Iceberg catalog table (acid.supports_merge), each batch issues
+    a transactional MERGE INTO; otherwise the sink is a parquet directory
+    swapped atomically (read-current, anti-join updated keys, union,
+    write-tmp, rename) — the state/merge split is identical either way.
+    Returns the StreamingQuery."""
     import os
     import shutil
 
@@ -280,6 +282,14 @@ def windowed_agg_stream(spark, source_path: str, target_path: str,
             return
         sess = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
+        if target_table is not None:
+            from wvlet_spark import acid
+
+            if acid.supports_merge(sess, target_table):
+                batch_df.createOrReplaceTempView("__wv_merge_src")
+                sess.sql(acid.merge_upsert_sql(
+                    target_table, "__wv_merge_src", keys))
+                return
         if os.path.isdir(target_path):
             cur = sess.read.parquet(target_path)
             merged = (cur.join(batch_df.select(*keys).distinct(),
