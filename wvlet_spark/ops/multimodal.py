@@ -192,6 +192,67 @@ def with_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("payload", mk(F.col(id_col)))
 
 
+_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Nearest-neighbor image resize over Arrow batches: real PNG decode
+    (zlib inflate + filter reconstruction), index-sampled numpy resize,
+    real PNG re-encode.  Non-PNG payloads pass through as null (same
+    magic-byte dispatch as decode_image_features).  Map-only — at 100 TB
+    this is a pure scan-transform stage with no shuffle; output rows
+    carry the re-encoded payload so downstream stages stream it."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, pays, ws_, hs = [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(did)
+                data = bytes(p) if p is not None else None
+                if data is not None and data.startswith(PNG_SIG):
+                    px, _meta = png_decode(data)
+                    yi = np.arange(target_h) * px.shape[0] // target_h
+                    xi = np.arange(target_w) * px.shape[1] // target_w
+                    pays.append(png_encode(px[yi][:, xi].astype(np.uint8)))
+                    ws_.append(target_w)
+                    hs.append(target_h)
+                else:
+                    pays.append(None)
+                    ws_.append(None)
+                    hs.append(None)
+            yield pd.DataFrame({"doc_id": ids, "payload": pays,
+                                "width": ws_, "height": hs})
+
+    return df.select(id_col, payload_col).mapInPandas(batches,
+                                                      _RESIZE_SCHEMA)
+
+
+def with_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake video payload per id: (1000 + id % 977) bytes,
+    every byte = id % 251.  Stands in for a real container (mp4/webm)
+    the same way with_png_payload/with_wav_payload do for image/audio —
+    every derived quantity (length, byte values, frame slices) is a pure
+    function of the id, so a DuckDB oracle can predict the whole
+    frame-sampling output."""
+    import pandas as pd
+
+    @F.pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            bytes([int(i) % 251]) * (1000 + int(i) % 977) for i in ids])
+
+    return df.withColumn("payload", mk(F.col(id_col)))
+
+
 _FRAME_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("frame_idx", LongType()),

@@ -554,6 +554,64 @@ ORDER BY doc_id
 """
 
 
+def q_image_resize(spark, sf_dir):
+    """Full image pipeline round trip: synthesize PNG -> nearest-neighbor
+    resize to 8x5 (real decode, numpy index resize, real re-encode) ->
+    decode the RESIZED payload with the real decoder.  Constant-valued
+    source images make every output column a pure function of doc_id, so
+    the oracle independently verifies both codec passes and the resize."""
+    from wvlet_spark.ops.multimodal import (decode_image_features,
+                                            resize_images, with_png_payload)
+
+    df = with_png_payload(_docs(spark, sf_dir).select("doc_id"))
+    resized = resize_images(df, target_w=8, target_h=5)
+    out = decode_image_features(resized)
+    return (out.select("doc_id", "width", "height",
+                       F.round("px_mean", 4).alias("px_mean"))
+            .orderBy("doc_id"))
+
+
+O_IMAGE_RESIZE = """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       round(CAST(doc_id % 256 AS DOUBLE), 4) AS px_mean
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (decode stubbed, Spark-side fan-out
+    real): deterministic fake container per doc -> mapInPandas explodes
+    each row into 4 (frame_idx, offset_ms, frame_payload) rows.  The
+    oracle predicts frame count, offsets, slice length, and the actual
+    first payload byte from doc_id alone, so the row-amplification shape
+    and the byte plumbing are both independently verified."""
+    from wvlet_spark.ops.multimodal import (sample_video_frames,
+                                            with_video_payload)
+
+    df = with_video_payload(_docs(spark, sf_dir).select("doc_id"))
+    frames = sample_video_frames(df, n_frames=4)
+    return (frames.select(
+        "doc_id", "frame_idx", "offset_ms",
+        F.length("frame_payload").cast("long").alias("frame_len"),
+        F.conv(F.hex(F.expr("substring(frame_payload, 1, 1)")), 16, 10)
+         .cast("long").alias("first_byte"))
+        .orderBy("doc_id", "frame_idx"))
+
+
+O_VIDEO_FRAMES = """
+SELECT doc_id,
+       r.range AS frame_idx,
+       r.range * 2500 AS offset_ms,
+       CAST((1000 + doc_id % 977) // 4 AS BIGINT) AS frame_len,
+       CAST(doc_id % 251 AS BIGINT) AS first_byte
+FROM documents, range(4) r
+ORDER BY doc_id, frame_idx
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """Real WAV round trip: synthesize deterministic constant PCM16 clips,
     decode with the pure-Python RIFF/PCM16 decoder, emit per-clip stats;
@@ -1061,6 +1119,8 @@ def entry_queries() -> dict:
         "ext_sessionize": q_sessionize,
         "ext_multimodal_decode": q_multimodal_decode,
         "ext_audio_decode": q_audio_decode,
+        "ext_video_frames": q_video_frames,
+        "ext_image_resize": q_image_resize,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
         "ext_sequence_pack": q_sequence_pack,
@@ -1101,6 +1161,8 @@ def entry_oracles() -> dict:
         "ext_quantize": O_QUANTIZE,
         "ext_multimodal_decode": O_MULTIMODAL,
         "ext_audio_decode": O_AUDIO_DECODE,
+        "ext_video_frames": O_VIDEO_FRAMES,
+        "ext_image_resize": O_IMAGE_RESIZE,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),
         "ext_lsh_topk": _lsh_topk_oracle(),
