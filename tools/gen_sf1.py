@@ -17,7 +17,10 @@ anchor is sf1 (~6M lineitem rows).  This script makes that reproducible:
   reason (exact duplicate vectors make every cosine pair 1.0).
 
 Pure DuckDB + numpy/pyarrow: runs in seconds, writes standard
-micros-precision parquet.  Usage:
+micros-precision parquet with BOUNDED ROW GROUPS (128k/64k rows): row
+groups are the real scan-split unit, and a single-row-group file makes
+every byte-range split but one EMPTY — a '32-partition' scan that
+actually runs serial (round-5 minhash postmortem).  Usage:
 
     python tools/gen_sf1.py [--out /tmp/wv/sf1] [--replicas 10]
 """
@@ -72,7 +75,7 @@ def main() -> None:
     # fixed dimensions
     for t in ("region", "nation"):
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
-                    f"TO '{args.out}/{t}.parquet' (FORMAT parquet)")
+                    f"TO '{args.out}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 131072)")
 
     # key-shifted replicas, one COPY per table (replica id from range())
     for t, shifts in SHIFTS.items():
@@ -84,7 +87,7 @@ def main() -> None:
         con.execute(
             f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
             f"range({args.replicas}) r) "
-            f"TO '{args.out}/{t}.parquet' (FORMAT parquet)")
+            f"TO '{args.out}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 131072)")
 
     # documents: word-permute per replica (replica 0 verbatim)
     rows = con.execute(
@@ -103,7 +106,8 @@ def main() -> None:
             out["lang"].append(lang)
             out["source"].append(source)
             out["n_chars"].append(len(text))
-    pq.write_table(pa.table(out), f"{args.out}/documents.parquet")
+    pq.write_table(pa.table(out), f"{args.out}/documents.parquet",
+                   row_group_size=65536)
 
     # embeddings: deterministic per-replica noise
     vecs = con.execute(
@@ -125,7 +129,7 @@ def main() -> None:
         pa.table({"vec_id": pa.array(ids, pa.int64()),
                   "embedding": pa.array(embs, pa.list_(pa.float32())),
                   "label": pa.array(labels, pa.int32())}),
-        f"{args.out}/embeddings.parquet")
+        f"{args.out}/embeddings.parquet", row_group_size=65536)
 
     for f in sorted(os.listdir(args.out)):
         n = con.execute(

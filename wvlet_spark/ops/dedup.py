@@ -228,30 +228,48 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     # signature array through the self-join would move ~8x more bytes than
     # the ids; signatures are re-attached to the surviving candidate pairs
     # afterwards from the (much smaller) sigs table
+    # bands are unrolled statically so the bucket hash is a pure numeric
+    # xxhash64 over the band's signature slots — the earlier
+    # concat_ws-over-longs form built a string per (row, band), which was
+    # the dominant allocation cost of this stage (8M strings at sf10)
     banded = sigs.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("minhash", b * r + 1, r)))
-                    .alias("bucket"),
-                ),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("minhash", b * r + j + 1)
+                             for j in range(r)]).alias("bucket"),
             )
-        ).alias("bb"),
+            for b in range(bands)
+        ])).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    if max_bucket_size is not None:
-        # anti-join against the HOT bucket list: hot buckets are few by
-        # definition, so the list broadcasts; the keep-list would not
-        hot = (banded.groupBy("band", "bucket").count()
-               .filter(F.col("count") > max_bucket_size)
-               .select("band", "bucket"))
-        banded = banded.join(F.broadcast(hot), on=["band", "bucket"], how="left_anti")
+    # materialize the banded table: it feeds the hot-bucket aggregate AND
+    # both sides of the self-join — without this the explode + per-band
+    # xxhash64 over (docs x bands) rows is recomputed 3x (measured 12 s
+    # per evaluation at sf10).  (id, band, bucket) is 24 B/row, far
+    # smaller than the inputs; at cluster scale this is "write the banded
+    # table, then join", the same staging as the signature table above.
+    banded = banded.localCheckpoint()
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # ELIGIBLE buckets in one aggregation: a bucket feeds the candidate
+    # join only when it actually collides (count >= 2) and is not
+    # degenerate (count <= max_bucket_size — the 100 TB hot-bucket guard:
+    # a boilerplate/empty-doc shingle can put millions of docs in one
+    # bucket = quadratic blowup; dropping it loses only pairs that
+    # collide NOWHERE else, the standard LSH trade).  In organic corpora
+    # almost every banded row is a singleton, so this filter shrinks the
+    # self-join inputs from |docs x bands| to ~|colliding docs| — AQE
+    # sees the post-join size at runtime and picks broadcast when small.
+    counts = banded.groupBy("band", "bucket").count()
+    eligible = counts.filter(F.col("count") >= 2)
+    if max_bucket_size is not None:
+        eligible = eligible.filter(F.col("count") <= max_bucket_size)
+    kept = banded.join(eligible.select("band", "bucket"),
+                       on=["band", "bucket"])
+
+    left = kept.alias("l")
+    right = kept.alias("r")
     cand = (
         left.join(
             right,

@@ -47,7 +47,7 @@ def probe_vector_dim(df: DataFrame, vec_col: str) -> int:
     return dim
 
 
-def ensure_map_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+def ensure_map_parallelism(df: DataFrame, min_fraction: float = 2.0) -> DataFrame:
     """Repartition iff the input has fewer partitions than
     ``min_fraction * defaultParallelism``.
 
@@ -57,6 +57,16 @@ def ensure_map_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFram
     guard only triggers on under-split inputs: at cluster scale a 100 TB
     input already has thousands of splits and this is a no-op — we never add
     a shuffle in front of well-partitioned data.
+
+    min_fraction=2.0 (round-5): the partition COUNT can lie about data
+    distribution — a single-row-group parquet file splits into 32 byte
+    ranges of which 31 are EMPTY (row groups are the real read unit), so
+    a "32-partition" scan fed the signature UDF one serial 500k-row task
+    (measured 42 s single-core vs 7 s repartitioned at sf10).  Requiring
+    2x headroom means any input that MIGHT be scan-skewed gets one cheap
+    round-robin shuffle of the input columns before the expensive Python
+    stage; at cluster scale a 100 TB input has orders of magnitude more
+    splits than 2x cores and this remains a no-op.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
