@@ -581,6 +581,49 @@ ORDER BY doc_id
 """
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate line removal (RefinedWeb/CCNet hygiene):
+    lines whose normalized form appears in >= 2 distinct docs are dropped
+    from every doc.  The oracle re-derives the repeated-line set and the
+    positional reassembly in DuckDB over the same corpus."""
+    from wvlet_spark.ops.text import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    out = remove_boilerplate_lines(docs, min_docs=2)
+    return (out.select("doc_id", "lang", "text",
+                       F.length("text").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+O_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, chr(10)) AS ls FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM d
+),
+norm AS (
+  SELECT doc_id, i, ls[i] AS ln, lower(trim(ls[i])) AS nl FROM l
+),
+boiler AS (
+  SELECT nl FROM (SELECT DISTINCT nl, doc_id FROM norm WHERE nl <> '')
+  GROUP BY nl HAVING count(*) >= 2
+),
+kept AS (
+  SELECT doc_id, i, ln FROM norm
+  WHERE nl = '' OR nl NOT IN (SELECT nl FROM boiler)
+),
+re AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, coalesce(re.text, '') AS text,
+       CAST(length(coalesce(re.text, '')) AS BIGINT) AS n_chars
+FROM d LEFT JOIN re ON d.doc_id = re.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Video frame-sampling plumbing (decode stubbed, Spark-side fan-out
     real): deterministic fake container per doc -> mapInPandas explodes
@@ -1121,6 +1164,7 @@ def entry_queries() -> dict:
         "ext_audio_decode": q_audio_decode,
         "ext_video_frames": q_video_frames,
         "ext_image_resize": q_image_resize,
+        "ext_boilerplate": q_boilerplate,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
         "ext_sequence_pack": q_sequence_pack,
@@ -1163,6 +1207,7 @@ def entry_oracles() -> dict:
         "ext_audio_decode": O_AUDIO_DECODE,
         "ext_video_frames": O_VIDEO_FRAMES,
         "ext_image_resize": O_IMAGE_RESIZE,
+        "ext_boilerplate": O_BOILERPLATE,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),
         "ext_lsh_topk": _lsh_topk_oracle(),

@@ -559,6 +559,34 @@ ORDER BY m
 """,
 )
 
+# TIME type (round-5: Spark 4.1 spark.sql.timeType.enabled, set by
+# WvletSession) — literal, cast, part extraction, comparison; results
+# projected through ::string so the two engines' TIME renderings compare
+q(
+    "time_type",
+    """
+from nation
+where n_nationkey <= 5
+select
+  n_nationkey,
+  t = '10:30:45'::time::string,
+  h = hour('10:30:45'::time)::long,
+  m = minute('23:59:07'::time)::long,
+  later = ('11:00:00'::time > '10:30:45'::time)
+order by n_nationkey
+""",
+    """
+SELECT n_nationkey,
+       CAST(CAST('10:30:45' AS TIME) AS VARCHAR) AS t,
+       CAST(hour(CAST('10:30:45' AS TIME)) AS BIGINT) AS h,
+       CAST(minute(CAST('23:59:07' AS TIME)) AS BIGINT) AS m,
+       CAST('11:00:00' AS TIME) > CAST('10:30:45' AS TIME) AS later
+FROM nation
+WHERE n_nationkey <= 5
+ORDER BY n_nationkey
+""",
+)
+
 # CTE / with
 q(
     "with_cte",
