@@ -362,3 +362,37 @@ def test_each_top_k_semantics(spark):
         dialect="hive").orderBy("gid", "rank").collect()]
     assert rows == [(1, 30.0, 1, "b"), (2, 20.0, 1, "c"),
                     (1, 7.0, 2, "e"), (2, 5.0, 2, "d")]
+
+
+def test_split_statements_keyword_separated():
+    """No-semicolon files (spec/sql/basic/at-alias.sql style) split before
+    depth-0 SELECTs; UNION/CTE/subquery SELECTs stay attached."""
+    from wvlet_spark.sql_dialect import split_statements
+
+    sql = (
+        "-- first\n"
+        "SELECT * FROM VALUES (1, 'a') t(id, name)\n\n"
+        "-- second\n"
+        "SELECT 1 AS x\n"
+        "UNION ALL SELECT 2 AS x\n\n"
+        "WITH c AS (SELECT 3 AS y)\n"
+        "SELECT * FROM c\n\n"
+        "SELECT (SELECT max(4)) AS z"
+    )
+    parts = split_statements(sql)
+    assert len(parts) == 4, parts
+    assert parts[1].lower().count("select") == 2  # union kept together
+    assert parts[2].lower().startswith("with")    # CTE main select kept
+
+
+def test_split_statements_semicolons_disable_keyword_split():
+    """Files that use `;` never keyword-split (INSERT..SELECT and
+    PREPARE..FROM SELECT must stay whole)."""
+    from wvlet_spark.sql_dialect import split_statements
+
+    sql = ("INSERT INTO t\nSELECT * FROM s;\n"
+           "PREPARE p FROM\nSELECT * FROM s;")
+    parts = split_statements(sql)
+    assert len(parts) == 2
+    assert parts[0].lower().startswith("insert")
+    assert "select" in parts[0].lower()
