@@ -180,3 +180,31 @@ def test_new_pipeline_ops_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "Python" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join: same rows as the plain join on a skewed key, salt
+    column dropped, both inner and left."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.util import salted_join
+
+    big = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(1)).otherwise(F.col("id"))
+        .alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(1, "hot"), (9500, "cold")], ["k", "name"])
+
+    plain = big.join(small, on=["k"], how="inner")
+    salted = salted_join(big, small, on=["k"], how="inner", buckets=4)
+    assert salted.columns == plain.columns
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+    plain_l = big.join(small, on=["k"], how="left")
+    salted_l = salted_join(big, small, on=["k"], how="left", buckets=4)
+    assert salted_l.count() == plain_l.count() == 10000
+
+    # the join really is on (key, salt): the analyzed plan carries the
+    # salt column in the join condition before the drop
+    assert "__wv_salt" in salted_l._jdf.queryExecution().analyzed().toString()
