@@ -814,3 +814,25 @@ def test_builtin_pipeline_tools(spark):
     samp = ws.run("call deterministic_sample(table='tool_docs', "
                   "fraction=1.0)")
     assert samp.count() == 3
+
+
+def test_agg_in_subquery_cte_shadowing(ws):
+    """The aggregate-IN-subquery staging (q18 single-aggregation path)
+    must NOT fire when the subquery references a CTE that shadows a real
+    table — compiled standalone it would resolve to the TABLE."""
+    rows = ws.run("""
+with orders as {
+  from nation
+  select o_orderkey = n_nationkey
+}
+from region
+where r_regionkey in {
+  from orders
+  group by o_orderkey
+  where o_orderkey.count >= 1
+  select o_orderkey
+}
+select r_regionkey
+order by r_regionkey
+""").collect()
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]

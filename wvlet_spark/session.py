@@ -732,14 +732,57 @@ class WvletSession:
 
         Correlated subqueries reference outer columns and fail analysis
         when compiled standalone — the except leaves them inline, where
-        Catalyst's decorrelation handles them."""
+        Catalyst's decorrelation handles them.  Subqueries that reference
+        a CTE declared by the statement are also left inline: compiled
+        standalone, a CTE name that shadows a real table would silently
+        resolve to the TABLE (wrong relation), so any name collision
+        disqualifies staging."""
+        import dataclasses
+
         from wvlet_spark.analyzer import transform as ast_transform
+
+        cte_names: set[str] = set()
+
+        def collect_ctes(x):
+            if isinstance(x, N.WithQuery):
+                for name, _q in x.defs:
+                    cte_names.add(name.lower())
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                for f in dataclasses.fields(x):
+                    collect_ctes(getattr(x, f.name))
+            elif isinstance(x, (list, tuple)):
+                for i in x:
+                    collect_ctes(i)
+
+        collect_ctes(rel)
+
+        def refs_cte(sub: N.Relation) -> bool:
+            hit = False
+
+            def walk(x):
+                nonlocal hit
+                if hit:
+                    return
+                if isinstance(x, N.TableRef) and x.name.lower() in cte_names:
+                    hit = True
+                    return
+                if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                    for f in dataclasses.fields(x):
+                        walk(getattr(x, f.name))
+                elif isinstance(x, (list, tuple)):
+                    for i in x:
+                        walk(i)
+
+            walk(sub)
+            return hit
 
         def expr_fn(e: N.Expr) -> N.Expr:
             if not isinstance(e, N.InSubquery):
                 return e
             if not _tree_contains(e.query, (N.GroupBy, N.Agg, N.Dedup,
                                             N.CountRel)):
+                return e
+            if cte_names and refs_cte(e.query):
                 return e
             try:
                 sub_sql = self._gen_sql(e.query, SPARK, params=params)
