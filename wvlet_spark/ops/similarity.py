@@ -179,10 +179,15 @@ def kmeans_np(X: np.ndarray, n_clusters: int, iters: int = 8,
         d = (np.einsum("ij,ij->i", X, X)[:, None]
              - 2 * X @ C.T + np.einsum("ij,ij->i", C, C)[None, :])
         assign = d.argmin(axis=1)
-        for j in range(k):
-            m = X[assign == j]
-            if len(m):
-                C[j] = m.mean(axis=0)
+        # vectorized centroid update (scatter-add + bincount): the
+        # per-cluster boolean-mask loop this replaces is O(k*n) in
+        # PYTHON iterations — at the SemDeDup paper's k~50k it is the
+        # difference between seconds and minutes of driver time
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     return C
 
 
