@@ -573,3 +573,41 @@ def test_training_pipeline_end_to_end(spark):
     assert featured.filter(F.col("n_tokens") <= 0).count() == 0
     sampled = deterministic_sample(featured, 1.0)
     assert sampled.count() == 8             # fraction=1.0 keeps all
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """Mergeability is the rollup contract: merging per-slice HLL
+    partials must estimate the same as sketching the whole input, and
+    the estimate must sit within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.sketches import hll_merge, hll_partials
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{SF_DIR}/events.parquet")
+    merged = hll_merge(hll_partials(ev, "event_type", "user_id")) \
+        .collect()[0][0]
+    direct = ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id"))).collect()[0][0]
+    exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    assert merged == direct
+    assert abs(merged - exact) <= max(1, exact * 0.05)
+
+
+def test_frequent_terms_matches_exact_topk(spark):
+    """approx_top_k heavy hitters vs the exact top-k: on a corpus with
+    clear frequency separation the sets agree."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.sketches import frequent_terms
+    from wvlet_spark.session import read_parquet_robust
+
+    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet")
+    approx = {r["term"] for r in frequent_terms(docs, k=5).collect()}
+    words = docs.select(F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("w")) \
+        .filter(F.col("w") != "")
+    exact = {r["w"] for r in
+             words.groupBy("w").count()
+             .orderBy(F.col("count").desc(), "w").limit(5).collect()}
+    assert len(approx & exact) >= 4

@@ -581,6 +581,32 @@ ORDER BY doc_id
 """
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct per group with an exact-tolerance
+    verdict.  The raw estimates are estimator-specific, so the graded
+    columns are the EXACT count and the boolean |approx-exact| <= 5% —
+    a contract both engines' HLLs meet, making the approximate operator
+    hash-gradeable without pretending the estimates match."""
+    from wvlet_spark.ops.sketches import approx_distinct_by
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    out = approx_distinct_by(ev, ["event_type"], "user_id")
+    return (out.select("event_type", "n_exact", "within_tol")
+            .orderBy("event_type"))
+
+
+O_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= count(DISTINCT user_id) * 0.05 AS within_tol
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate line removal (RefinedWeb/CCNet hygiene):
     lines whose normalized form appears in >= 2 distinct docs are dropped
@@ -1165,6 +1191,7 @@ def entry_queries() -> dict:
         "ext_video_frames": q_video_frames,
         "ext_image_resize": q_image_resize,
         "ext_boilerplate": q_boilerplate,
+        "ext_approx_distinct": q_approx_distinct,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
         "ext_sequence_pack": q_sequence_pack,
@@ -1208,6 +1235,7 @@ def entry_oracles() -> dict:
         "ext_video_frames": O_VIDEO_FRAMES,
         "ext_image_resize": O_IMAGE_RESIZE,
         "ext_boilerplate": O_BOILERPLATE,
+        "ext_approx_distinct": O_APPROX_DISTINCT,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),
         "ext_lsh_topk": _lsh_topk_oracle(),
