@@ -814,6 +814,12 @@ def test_builtin_pipeline_tools(spark):
     samp = ws.run("call deterministic_sample(table='tool_docs', "
                   "fraction=1.0)")
     assert samp.count() == 3
+    # round-5 additions: sketches + similarity reachable the same way
+    ft = ws.run("call frequent_terms(table='tool_docs', k=2)").collect()
+    assert [r.term for r in ft][0] in ("the", "cat")
+    ad = ws.run("call approx_distinct(table='tool_docs', "
+                "group='text', column='doc_id')").collect()
+    assert all(r.within_tol for r in ad)
 
 
 def test_agg_in_subquery_cte_shadowing(ws):

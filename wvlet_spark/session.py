@@ -290,6 +290,21 @@ class WvletSession:
             "remove_boilerplate": _one_table(text.remove_boilerplate_lines),
         })
 
+        from wvlet_spark.ops import sketches, similarity
+
+        def tool_approx_distinct(spark, table, group, column, **kw):
+            groups = [g.strip() for g in str(group).split(",")]
+            return sketches.approx_distinct_by(_df(table), groups,
+                                               column, **kw)
+
+        self._tools.update({
+            "frequent_terms": _one_table(sketches.frequent_terms),
+            "approx_distinct": tool_approx_distinct,
+            "semantic_dedup": _one_table(similarity.semantic_dedup),
+            "quantize_embeddings": _one_table(
+                similarity.quantize_embeddings),
+        })
+
         def tool_sample(spark, table, fraction, **kw):
             return sampling.deterministic_sample(
                 _df(table), float(fraction), **kw)
