@@ -39,3 +39,29 @@ def test_ext_entry(name, spark, duck):
     df = entry_queries()[name](spark, SF_DIR)
     good, msg = compare(df, duck, entry_oracles()[name])
     assert good, f"{name}: {msg}"
+
+
+def test_graded_entries_have_atomic_schemas(spark):
+    """Driver-canonicalizability guard: the external harness hashes rows
+    with pandas and CRASHES on list/dict cells (round-4 postmortem:
+    agg_order_by / ext_quantize).  Every graded entry must therefore
+    project array/map/struct results through to_json (or equivalent)
+    before returning.  Schema-only — no query executes beyond the small
+    driver-side probes some ops run at build time."""
+    import importlib
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entry
+    importlib.reload(entry)
+    offenders = []
+    for name, fn in entry.queries().items():
+        try:
+            schema = fn(spark, "/root/testdata/sf0.01").schema
+        except Exception as ex:  # entry itself broken — surface that too
+            offenders.append(f"{name}: build failed: {ex}")
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, "\n".join(offenders)
