@@ -247,3 +247,35 @@ def test_exact_dedup_stream_parity(spark, tmp_path):
     exp = exact_dedup(docs).count()
     assert got == exp
     assert got < docs.count()  # the corpus contains planted duplicates
+
+
+def test_enriched_agg_stream_batch_parity(spark, tmp_path):
+    """Stream-static enrichment: the streaming pipeline (stream events
+    broadcast-joined to the customer dim, stateful windowed agg, upsert
+    sink) must equal the batch twin over the same data."""
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import enriched_agg_batch, enriched_agg_stream
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "agg")
+    ckp = str(tmp_path / "ckp")
+    ev = (read_parquet_robust(spark, f"{SF_SMALL}/events.parquet")
+          .select("user_id", "ts", "value"))
+    cust = read_parquet_robust(spark, f"{SF_SMALL}/customer.parquet")
+    ev.write.parquet(src)
+
+    q = enriched_agg_stream(spark, src, cust, tgt, ckp,
+                            watermark_delay="365 days")
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.c_mktsegment):
+            (r.n_events, round(r.total_value, 2))
+        for r in spark.read.parquet(tgt).collect()
+    }
+    exp = {
+        (r.window_start, r.c_mktsegment):
+            (r.n_events, round(r.total_value, 2))
+        for r in enriched_agg_batch(ev, cust).collect()
+    }
+    assert got == exp and len(got) > 0

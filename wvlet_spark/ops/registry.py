@@ -737,6 +737,34 @@ ORDER BY window_start, event_type
 """
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment aggregate, graded via its batch twin
+    (streaming.enriched_agg_batch — identical window keys and join; the
+    stream-vs-batch parity is pytest-asserted in tests/test_streaming.py,
+    same pattern as ext_windowed_agg): events broadcast-joined to the
+    customer dimension, tumbling 1-day windows per market segment."""
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import enriched_agg_batch
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    cust = read_parquet_robust(spark, f"{sf_dir}/customer.parquet")
+    out = enriched_agg_batch(ev.select("user_id", "ts", "value"), cust)
+    return (out.withColumn("total_value", F.round("total_value", 2))
+            .orderBy("window_start", "c_mktsegment"))
+
+
+O_STREAM_ENRICH = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+       c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
+ORDER BY window_start, c_mktsegment
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters (dup-word / top-word / dup-2gram
     fractions) — map-only column expressions; the oracle mirrors the same
@@ -1192,6 +1220,7 @@ def entry_queries() -> dict:
         "ext_image_resize": q_image_resize,
         "ext_boilerplate": q_boilerplate,
         "ext_approx_distinct": q_approx_distinct,
+        "ext_stream_enrich": q_stream_enrich,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
         "ext_sequence_pack": q_sequence_pack,
@@ -1236,6 +1265,7 @@ def entry_oracles() -> dict:
         "ext_image_resize": O_IMAGE_RESIZE,
         "ext_boilerplate": O_BOILERPLATE,
         "ext_approx_distinct": O_APPROX_DISTINCT,
+        "ext_stream_enrich": O_STREAM_ENRICH,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),
         "ext_lsh_topk": _lsh_topk_oracle(),

@@ -363,3 +363,84 @@ def exact_dedup_stream(stream, key_cols: list[str] | None = None,
         stream = stream.withWatermark(ts_col, watermark_delay)
         return stream.dropDuplicatesWithinWatermark(key_cols)
     return stream.dropDuplicates(key_cols)
+
+
+def enriched_agg_batch(events_df, dim_df, stream_key: str = "user_id",
+                       dim_key: str = "c_custkey",
+                       enrich_col: str = "c_mktsegment",
+                       ts_col: str = "ts", window: str = "1 day",
+                       value_col: str = "value"):
+    """Batch twin of enriched_agg_stream: broadcast-enrich the fact rows
+    with one dimension attribute, then tumbling-window aggregate on
+    (window, attribute).  Window keys via Spark's window() so the
+    streaming twin produces byte-identical keys."""
+    from pyspark.sql import functions as F
+
+    dim = dim_df.select(F.col(dim_key).alias(stream_key), enrich_col)
+    joined = events_df.join(F.broadcast(dim), on=stream_key, how="inner")
+    return windowed_agg_batch(joined, ts_col=ts_col, window=window,
+                              group_cols=[enrich_col], value_col=value_col)
+
+
+def enriched_agg_stream(spark, source_path: str, dim_df, target_path: str,
+                        checkpoint_path: str, stream_key: str = "user_id",
+                        dim_key: str = "c_custkey",
+                        enrich_col: str = "c_mktsegment",
+                        ts_col: str = "ts", window: str = "1 day",
+                        value_col: str = "value",
+                        watermark_delay: str = "1 hour",
+                        available_now: bool = True):
+    """STREAM-STATIC enrichment pipeline: Structured Streaming fact
+    source joined to a static dimension (Spark plans this as a per-batch
+    broadcast join — the dimension is re-resolved each micro-batch, so a
+    slowly-changing dim is picked up without restarts), then the same
+    stateful windowed aggregate + upsert sink as windowed_agg_stream.
+
+    100 TB story: the enrichment join never shuffles the stream (static
+    side broadcasts); state is bounded by (windows x attribute values);
+    the sink merge is upsert-by-key exactly as the plain windowed agg."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stream = read_stream(spark, source_path, watermark_column=ts_col,
+                         delay=watermark_delay)
+    dim = dim_df.select(F.col(dim_key).alias(stream_key), enrich_col)
+    joined = stream.join(F.broadcast(dim), on=stream_key, how="inner")
+    w = F.window(F.col(ts_col).cast("timestamp"), window)
+    agg = (joined.groupBy(w.alias("win"), enrich_col)
+           .agg(F.count("*").alias("n_events"),
+                F.sum(value_col).alias("total_value"))
+           .select(F.col("win.start").alias("window_start"),
+                   F.col("win.end").alias("window_end"),
+                   enrich_col, "n_events", "total_value"))
+
+    keys = ["window_start", enrich_col]
+
+    def merge(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        if os.path.isdir(target_path):
+            cur = sess.read.parquet(target_path)
+            merged = (cur.join(batch_df.select(*keys).distinct(),
+                               on=keys, how="left_anti")
+                      .unionByName(batch_df))
+        else:
+            merged = batch_df
+        tmp = target_path.rstrip("/") + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path.rstrip("/") + ".__old__"
+        if os.path.isdir(target_path):
+            os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (agg.writeStream.outputMode("update")
+              .option("checkpointLocation", checkpoint_path)
+              .foreachBatch(merge))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
