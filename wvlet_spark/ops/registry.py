@@ -434,6 +434,78 @@ ORDER BY doc_id
 """
 
 
+def q_mixture(spark, sf_dir):
+    """Target-mixture sampling: keep the largest subsample matching
+    {src0: 0.5, src1: 0.3, src2: 0.2}.  The oracle re-derives the whole
+    computation in SQL — per-source counts, T = min(n/w), per-source
+    fractions (including the fraction=1.0 edge), md5 thresholds, and
+    membership — not just the final row set."""
+    from wvlet_spark.ops.sampling import mixture_sample
+
+    out = mixture_sample(_docs(spark, sf_dir),
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+O_MIXTURE = """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT min(n / wt) AS t FROM c JOIN w USING (source)),
+fr AS (
+  SELECT c.source, least(1.0, (SELECT t FROM t) * wt / n) AS frac
+  FROM c JOIN w USING (source)
+),
+thr AS (
+  SELECT source,
+         CASE WHEN CAST(round(frac * 4294967296) AS BIGINT) >= 4294967296
+              THEN 'gggggggg'
+              ELSE printf('%08x', CAST(round(frac * 4294967296) AS BIGINT))
+         END AS th
+  FROM fr
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE substring(md5('wv' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+ORDER BY d.doc_id
+"""
+
+
+def q_chunking(spark, sf_dir):
+    """Sliding-window chunking of the documents table (120-token chunks,
+    24-token overlap); the oracle mirrors the identical window starts and
+    list slicing in DuckDB."""
+    from wvlet_spark.ops.text import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), chunk_tokens=120,
+                          overlap=24)
+    return (out.select("doc_id", "chunk_idx",
+                       F.md5("chunk_text").alias("chunk_md5"), "n_tokens")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+O_CHUNKING = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w), 1), 96)) AS start
+  FROM d
+),
+ch AS (
+  SELECT doc_id, CAST(start // 96 AS INT) AS chunk_idx,
+         list_slice(w, start + 1, start + 120) AS cw
+  FROM s
+)
+SELECT doc_id, chunk_idx,
+       md5(array_to_string(cw, ' ')) AS chunk_md5,
+       CAST(len(cw) AS BIGINT) AS n_tokens
+FROM ch
+WHERE len(cw) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_pii_scan(spark, sf_dir):
     """PII scrub pass: deterministic PII is planted per doc_id (the corpus
     has none naturally), then counted and redacted with shared RE2-safe
@@ -1221,6 +1293,8 @@ def entry_queries() -> dict:
         "ext_boilerplate": q_boilerplate,
         "ext_approx_distinct": q_approx_distinct,
         "ext_stream_enrich": q_stream_enrich,
+        "ext_mixture": q_mixture,
+        "ext_chunking": q_chunking,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
         "ext_sequence_pack": q_sequence_pack,
@@ -1266,6 +1340,8 @@ def entry_oracles() -> dict:
         "ext_boilerplate": O_BOILERPLATE,
         "ext_approx_distinct": O_APPROX_DISTINCT,
         "ext_stream_enrich": O_STREAM_ENRICH,
+        "ext_mixture": O_MIXTURE,
+        "ext_chunking": O_CHUNKING,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),
         "ext_lsh_topk": _lsh_topk_oracle(),

@@ -63,3 +63,28 @@ def stratified_deterministic_sample(df: DataFrame, fractions: dict[str, float],
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_threshold_hex(frac))).otherwise(thr)
     return df.filter(_bucket_col(key_col, salt) < thr)
+
+
+def mixture_sample(df: DataFrame, target_weights: dict[str, float],
+                   source_col: str = "source", key_col: str = "doc_id",
+                   salt: str = "wv") -> DataFrame:
+    """Target-mixture sampling (training-data mixing, Pile-style): given
+    target proportions per source, keep the LARGEST deterministic
+    subsample whose composition matches them —
+        T = min_s(n_s / w_s) total rows, fraction_s = T * w_s / n_s.
+    Sources absent from the map are dropped.  Counting is one small
+    aggregate (|sources| rows to the driver — bounded by the source
+    vocabulary, not the data); membership uses the same engine-portable
+    md5 rule as deterministic_sample, so the drawn subsample is
+    reproducible across engines/partitionings and a DuckDB oracle can
+    re-derive BOTH the fraction computation and the membership."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(source_col).count().collect()}
+    live = {s: w for s, w in target_weights.items()
+            if w > 0 and counts.get(s)}
+    if not live:
+        return df.filter(F.lit(False))
+    t = min(counts[s] / w for s, w in live.items())
+    fractions = {s: min(1.0, t * w / counts[s]) for s, w in live.items()}
+    return stratified_deterministic_sample(
+        df, fractions, source_col, key_col, 0.0, salt)

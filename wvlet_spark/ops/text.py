@@ -283,3 +283,29 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     return (weighted.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select(id_col, "word", "tf", "weight", "rn"))
+
+
+def chunk_documents(df: "DataFrame", chunk_tokens: int = 100,
+                    overlap: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id") -> "DataFrame":
+    """Sliding-window document chunking (pretraining / RAG prep): split
+    each doc's whitespace tokens into windows of `chunk_tokens` that
+    advance by `chunk_tokens - overlap`.  Pure JVM array expressions —
+    split once, explode the window starts, slice per chunk; map-only with
+    a bounded xK row amplification (K = ceil(tokens / step)), so the
+    oracle can mirror the exact same list algebra."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    words = F.split(F.col(text_col), r"\s+")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(words) - 1, F.lit(0)),
+                        F.lit(step))
+    exploded = (df.select(F.col(id_col), words.alias("__w"),
+                          F.posexplode(starts).alias("chunk_idx", "__s")))
+    chunk_words = F.slice(F.col("__w"), F.col("__s") + 1, chunk_tokens)
+    return (exploded.select(
+        id_col, "chunk_idx",
+        F.array_join(chunk_words, " ").alias("chunk_text"),
+        F.size(chunk_words).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0))
