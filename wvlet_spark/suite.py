@@ -21,6 +21,9 @@ SUITE: dict[str, tuple[str, str | None]] = {}
 
 
 def q(name: str, wv: str, oracle: str | None):
+    # a silent overwrite once clobbered four multi-round-green entries
+    # (round-5 postmortem: duplicate tpch_q*_like registrations) — fail loud
+    assert name not in SUITE, f"duplicate suite entry: {name}"
     SUITE[name] = (wv, oracle)
 
 
@@ -1646,13 +1649,13 @@ ORDER BY p_partkey
 """,
 )
 
-# ---- round-5: remaining TPC-H shapes expressible on the driver schema
-# (testdata lacks partsupp / l_commitdate / l_shipmode / c_phone, so q4,
-# q12, q22 use the nearest column with identical operator shape)
+# ---- round-5: TPC-H shapes NOT yet in the suite (q14's promo share) and
+# a correlated NON-EQUI EXISTS (the q4 shape with an inequality on the
+# outer row — exercises Catalyst's non-equality decorrelation, which no
+# other suite entry covers)
 
-# Q4: date-windowed orders + correlated non-equi EXISTS, grouped count
 q(
-    "tpch_q4_like",
+    "exists_non_equi",
     """
 from orders
 where o_orderdate::date >= '1996-01-01'::date
@@ -1674,72 +1677,6 @@ WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
-""",
-)
-
-# Q8: national market share — 8-table join, two nation roles, yearly
-# conditional-revenue ratio
-q(
-    "tpch_q8_like",
-    """
-from part, supplier, lineitem, orders, customer, nation as n1, nation as n2, region
-where p_partkey = l_partkey
-  and s_suppkey = l_suppkey
-  and l_orderkey = o_orderkey
-  and o_custkey = c_custkey
-  and c_nationkey = n1.n_nationkey
-  and n1.n_regionkey = r_regionkey
-  and r_name = 'ASIA'
-  and s_nationkey = n2.n_nationkey
-  and p_type = 'PROMO'
-group by o_year = extract(year from o_orderdate)::long
-agg mkt_share = round((sum(if n2.n_name = 'NATION_3'
-        then l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))
-        else 0.00::decimal(18,2))
-      / sum(l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))))::double, 6)
-order by o_year
-""",
-    """
-SELECT CAST(extract(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
-                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                 ELSE CAST(0.00 AS DECIMAL(18,2)) END)
-           / sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share
-FROM part, supplier, lineitem, orders, customer, nation AS n1, nation AS n2, region
-WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO'
-GROUP BY 1
-ORDER BY o_year
-""",
-)
-
-# Q12: date-windowed join, dual conditional counts per group
-q(
-    "tpch_q12_like",
-    """
-from orders, lineitem
-where o_orderkey = l_orderkey
-  and l_shipdate::date >= '1997-01-01'::date
-  and l_shipdate::date < '1998-01-01'::date
-group by l_linestatus
-agg high_count = sum(if o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
-                     then 1 else 0)::long,
-    low_count = sum(if o_orderpriority != '1-URGENT' and o_orderpriority != '2-HIGH'
-                    then 1 else 0)::long
-order by l_linestatus
-""",
-    """
-SELECT l_linestatus,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
-       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
-FROM orders, lineitem
-WHERE o_orderkey = l_orderkey
-  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
-  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
-GROUP BY l_linestatus
-ORDER BY l_linestatus
 """,
 )
 
@@ -1765,35 +1702,5 @@ FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
   AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
-""",
-)
-
-# Q22: above-average balance + NOT EXISTS anti join, grouped totals
-q(
-    "tpch_q22_like",
-    """
-from customer
-where c_acctbal > {
-    from customer
-    where c_acctbal > 0.0
-    select c_acctbal.avg
-  }
-  and not exists {
-    from orders
-    where o_custkey = c_custkey
-  }
-group by c_mktsegment
-agg numcust = _.count,
-    totacctbal = round(c_acctbal::decimal(18,2).sum::double, 2)
-order by c_mktsegment
-""",
-    """
-SELECT c_mktsegment, count(*) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
-FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
 """,
 )
