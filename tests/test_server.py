@@ -93,3 +93,43 @@ def test_unknown_query_id(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/v1/query/q_999999")
     assert ei.value.code == 404
+
+
+def test_playground_page(server):
+    """GET / serves the playground (reference wvlet-ui editor parity:
+    editor posting to /v1/query with cursor line + selection mode)."""
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode("utf-8")
+    # the page drives the public endpoints, nothing else
+    assert "wvlet-spark playground" in html
+    assert "/v1/query" in html and "/v1/status" in html
+    assert "querySelection" in html  # cursor-selection modes exposed
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/ui", timeout=30) as r:
+        assert r.status == 200
+
+
+def test_playground_script_parses():
+    """The embedded playground JS must at least be syntactically valid
+    (no browser in the test environment; node --check when available)."""
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    from wvlet_spark.ui import PLAYGROUND_HTML
+
+    node = shutil.which("node")
+    if node is None:
+        pytest.skip("node not available")
+    script = re.search(r"<script>(.*)</script>", PLAYGROUND_HTML,
+                       re.S).group(1)
+    with tempfile.NamedTemporaryFile("w", suffix=".js") as f:
+        f.write(script)
+        f.flush()
+        proc = subprocess.run([node, "--check", f.name],
+                              capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr

@@ -7,6 +7,9 @@ WvletScriptRunner.runStatement with QuerySelector statement selection).
 Endpoints (JSON in/out, stdlib http.server — the environment is
 dependency-frozen):
 
+  GET  /  (also /ui)
+      -> the playground page (wvlet_spark.ui.PLAYGROUND_HTML) — a
+         dependency-free editor + result grid over these endpoints
   GET  /v1/status
       -> {"version", "upTimeSec"}
   POST /v1/query
@@ -68,6 +71,16 @@ class WvletServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path in ("/", "/ui", "/index.html"):
+                    from wvlet_spark.ui import PLAYGROUND_HTML
+                    body = PLAYGROUND_HTML.encode("utf-8")
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path == "/v1/status":
                     self._send(200, {
                         "version": outer.version,
