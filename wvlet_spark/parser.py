@@ -2039,6 +2039,7 @@ class Parser:
         if self.at_op("("):
             # function style if(cond, a, b) — unless a lone parenthesized
             # condition is followed by `then`: `if (a and b) then x else y`
+            mark = self.pos
             args = self.parse_call_args()
             vals = [a.expr if isinstance(a, N.NamedExpr) else a for a in args]
             if len(vals) == 1 and self.at_kw("then"):
@@ -2049,10 +2050,16 @@ class Parser:
                     self.next()
                     otherwise = self.parse_expr()
                 return N.IfExpr(vals[0], then, otherwise)
-            cond = vals[0]
-            then = vals[1] if len(vals) > 1 else N.Literal(None, "null")
-            other = vals[2] if len(vals) > 2 else None
-            return N.IfExpr(cond, then, other)
+            if len(vals) == 1:
+                # a lone parenthesized group NOT followed by `then` is the
+                # START of a larger condition (`if (a + b) > c then ...`) —
+                # rewind and let parse_expr consume the whole condition
+                self.pos = mark
+            else:
+                cond = vals[0]
+                then = vals[1] if len(vals) > 1 else N.Literal(None, "null")
+                other = vals[2] if len(vals) > 2 else None
+                return N.IfExpr(cond, then, other)
         cond = self.parse_expr()
         self.expect_kw("then")
         then = self.parse_expr()
