@@ -611,3 +611,48 @@ def test_frequent_terms_matches_exact_topk(spark):
              words.groupBy("w").count()
              .orderBy(F.col("count").desc(), "w").limit(5).collect()}
     assert len(approx & exact) >= 4
+
+
+def test_md5_60bit_cross_engine_parity(spark, duck):
+    """The portable hash family's load-bearing fact: Spark's
+    conv(substr(md5(x),1,15),16,10)::long equals DuckDB's
+    ('0x'||substr(md5(x),1,15))::UBIGINT::BIGINT for arbitrary strings."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.dedup import _md5_60bit
+
+    samples = ["", "a", "the quick brown fox", "unicode éè世界",
+               "x" * 500, "tab\tand\nnewline"]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r.s: r.h for r in df.select("s", _md5_60bit(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        want = duck.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::UBIGINT::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s
+
+
+def test_simhash_portable_banding_recall_exact(spark):
+    """Pigeonhole check on real data: the banded portable-simhash pairs
+    equal brute-force all-pairs hamming <= max_hamming (bands > max_hamming
+    makes LSH recall exact, not approximate)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from wvlet_spark.ops.dedup import (simhash_near_dup_pairs_portable,
+                                       simhash_portable)
+    from wvlet_spark.session import read_parquet_robust
+
+    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet").limit(200)
+    banded = {(r.id_a, r.id_b, r.hamming) for r in
+              simhash_near_dup_pairs_portable(docs, max_hamming=3).collect()}
+    sigs = simhash_portable(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {(r.id_a, r.id_b, r.hamming) for r in
+             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.bit_count(F.col("a.simhash")
+                                  .bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+              .filter(F.col("hamming") <= 3).collect()}
+    assert banded == brute

@@ -96,6 +96,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         return _minhash_signatures_fast(df, text_col, id_col, num_hashes, shingle_k)
     if impl == "pandas":
         return _minhash_signatures_pandas(df, text_col, id_col, num_hashes, shingle_k)
+    if impl == "portable":
+        return _minhash_signatures_portable(df, text_col, id_col, num_hashes, shingle_k)
     return _minhash_signatures_expr(df, text_col, id_col, num_hashes, shingle_k)
 
 
@@ -196,10 +198,46 @@ def _minhash_signatures_expr(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
+def _md5_60bit(col):
+    """Engine-portable 60-bit hash: integer value of the first 15 hex
+    digits of md5.  Exact DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT`` — verified
+    bit-identical, which is what makes the portable minhash/simhash
+    variants independently re-derivable by a second engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_signatures_portable(df: DataFrame, text_col: str, id_col: str,
+                                 num_hashes: int, shingle_k: int) -> DataFrame:
+    """Same affine-permutation minhash as _minhash_signatures_expr but the
+    base shingle hash is md5-60bit (ANSI-SQL-derivable) instead of crc32 —
+    every value can be recomputed by DuckDB, so the LSH pipeline built on
+    it gets a full independent oracle (ops/registry.py
+    _minhash_portable_oracle).  Pure JVM expressions, map-only."""
+    sh = _shingles(text_col, shingle_k)
+    sh_hashed = F.transform(sh, lambda s: F.pmod(_md5_60bit(s), F.lit(_MH_P)))
+    max_long = (1 << 63) - 1
+    a_co, b_co = _mh_coeffs(num_hashes)
+    sig = F.aggregate(
+        sh_hashed,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P))
+                for a, b in zip(a_co, b_co)
+            ]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                            threshold: float = 0.7,
-                           max_bucket_size: int | None = 5000) -> DataFrame:
+                           max_bucket_size: int | None = 5000,
+                           portable: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     bands buckets of r = num_hashes/bands rows each; probability a pair with
@@ -217,13 +255,23 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     buckets rarely carry signal, and with 16 bands a genuine near-dup pair
     almost always also collides in a non-degenerate band).  Pass None to
     disable (exact small-data runs / recall oracles).
+
+    portable=True swaps the hash family for the md5-60bit one
+    (_minhash_signatures_portable) and the band bucket for a plain
+    concat of the band's signature slots — every intermediate value is
+    then re-derivable in ANSI SQL, so the WHOLE pipeline (signatures,
+    banding, candidate join, verify) gets an independent DuckDB oracle
+    (the graded ext_minhash_portable entry).  Identical join/cap shape;
+    the default stays on the faster numeric path.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # materialize signatures once — the self-join below would otherwise
     # recompute the signature fold on both sides (2x the dominant cost);
     # at cluster scale this is "write signatures, then join", same idea
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k,
+        impl="portable" if portable else "fast").localCheckpoint()
     # banded rows carry ONLY (id, band, bucket) — shuffling the 64-slot
     # signature array through the self-join would move ~8x more bytes than
     # the ids; signatures are re-attached to the surviving candidate pairs
@@ -232,14 +280,22 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     # xxhash64 over the band's signature slots — the earlier
     # concat_ws-over-longs form built a string per (row, band), which was
     # the dominant allocation cost of this stage (8M strings at sf10)
+    if portable:
+        # ANSI-derivable bucket: the band's slots joined with '_' (the
+        # oracle rebuilds the same string in DuckDB); numeric xxhash64
+        # stays the default — strings cost ~8x the bucket bytes
+        def _bucket(b):
+            return F.concat_ws("_", *[
+                F.element_at("minhash", b * r + j + 1).cast("string")
+                for j in range(r)])
+    else:
+        def _bucket(b):
+            return F.xxhash64(*[F.element_at("minhash", b * r + j + 1)
+                                for j in range(r)])
     banded = sigs.select(
         id_col,
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("minhash", b * r + j + 1)
-                             for j in range(r)]).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -371,6 +427,88 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def simhash_portable(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash whose per-token hash is md5-60bit (_md5_60bit) —
+    every bit is re-derivable in ANSI SQL, so the pairs built on it get a
+    full independent DuckDB oracle (ops/registry.py
+    _simhash_portable_oracle).  Same majority-vote semantics as simhash():
+    term-frequency weighted, bit set when the vote is strictly positive.
+    Map-only; tokens hashed ONCE via transform, then folded."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df)
+    th = F.transform(_tokens(text_col), _md5_60bit)
+    counters = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1)).cast("long")
+                for b in range(bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    tmp = df.select(F.col(id_col), counters.alias("__cnt"))
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at("__cnt", b + 1) > 0,
+                   F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return tmp.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dup_pairs_portable(df: DataFrame, text_col: str = "text",
+                                    id_col: str = "doc_id", bits: int = 32,
+                                    bands: int = 8,
+                                    max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 32-bit portable simhash with EXACT-recall LSH:
+    with bands > max_hamming, a pair differing in <= max_hamming bits must
+    leave at least one band untouched (pigeonhole), so the banded join
+    finds every qualifying pair — equality with the all-pairs DuckDB
+    oracle is provable, not statistical.  Scale shape is the standard one:
+    band explode -> bucket equi-join, never n^2."""
+    assert bits % bands == 0 and bands > max_hamming
+    r = bits // bands
+    sh = simhash_portable(df, text_col, id_col, bits).localCheckpoint()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * r)
+            .bitwiseAND(F.lit((1 << r) - 1))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        id_col, "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    l, r_ = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r_,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -1268,11 +1268,143 @@ FROM s ORDER BY cos_raw DESC, vec_id LIMIT {k}
 """
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on the engine-portable hash family
+    (md5-60bit shingle hash, affine permutations mod 2^31-1, concat band
+    buckets) — the DuckDB oracle below recomputes the ENTIRE pipeline
+    (shingling, signatures, banding, candidate join, verify) from the same
+    inlined coefficients, so the LSH semantics are independently verified
+    end-to-end.  The default xxhash64 family keeps the perf path
+    (ext_minhash_pairs, rows-only + pytest recall oracle)."""
+    from wvlet_spark.ops.dedup import minhash_near_dup_pairs
+
+    out = minhash_near_dup_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=8, shingle_k=5,
+        threshold=0.5, portable=True)
+    return (out.select("id_a", "id_b",
+                       F.round("est_jaccard", 4).alias("est_jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 8,
+                             shingle_k: int = 5,
+                             threshold: float = 0.5) -> str:
+    """DuckDB SQL recomputing minhash_near_dup_pairs(portable=True) from
+    scratch: same tokens, shingles, md5-60bit base hash, affine
+    permutation coefficients (inlined), band buckets, and est-Jaccard
+    verify."""
+    from wvlet_spark.ops.dedup import _MH_P, _mh_coeffs
+
+    a_co, b_co = _mh_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({a_co[j]} * h + {b_co[j]}) % {_MH_P}) AS s{j}"
+        for j in range(num_hashes))
+    sig_cols = ", ".join(f"s{j}" for j in range(num_hashes))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(f"CAST(s{b * r + j} AS VARCHAR)"
+                             for j in range(r))
+        + f" AS bucket, {sig_cols} FROM sig"
+        for b in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN a.s{j} = c.s{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes))
+    return f"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+{shingle_k - 1}], ' ') AS s
+  FROM ws, UNNEST(range(1, len(w) - {shingle_k} + 2)) AS t(i)
+  WHERE len(w) >= {shingle_k}
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS s FROM ws WHERE len(w) < {shingle_k}
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT % {_MH_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         ({matches}) / {float(num_hashes)} AS est
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, round(est, 4) AS est_jaccard
+FROM pairs WHERE est >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash_portable(spark, sf_dir):
+    """32-bit portable-simhash near-dup pairs with EXACT-recall banding
+    (bands > max_hamming: pigeonhole guarantees every qualifying pair
+    shares an untouched band) — so the all-pairs DuckDB oracle must agree
+    exactly, verifying signature construction AND the LSH recall claim."""
+    from wvlet_spark.ops.dedup import simhash_near_dup_pairs_portable
+
+    out = simhash_near_dup_pairs_portable(
+        _docs(spark, sf_dir), bits=32, bands=8, max_hamming=3)
+    return (out.select("id_a", "id_b",
+                       F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+def _simhash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB SQL recomputing simhash_portable signatures (md5-60bit token
+    hash, tf-weighted majority vote per bit) and the hamming filter over
+    ALL pairs — equal to the banded Spark result by the pigeonhole
+    argument in simhash_near_dup_pairs_portable."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(bits))
+    pack = " + ".join(
+        f"(CASE WHEN c{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h
+  FROM tok
+),
+cnt AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, ({pack}) AS s FROM cnt
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, c.s)) AS INTEGER) AS hamming
+FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.s, c.s)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
         "ext_minhash_pairs": q_minhash_pairs,
         "ext_simhash_pairs": q_simhash_pairs,
+        "ext_minhash_portable": q_minhash_portable,
+        "ext_simhash_portable": q_simhash_portable,
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_dup_clusters": q_dup_clusters,
         "ext_cosine_topk": q_cosine_topk,
@@ -1347,5 +1479,9 @@ def entry_oracles() -> dict:
         "ext_lsh_topk": _lsh_topk_oracle(),
         # ext_minhash_pairs / ext_simhash_pairs: xxhash64 signatures have
         # no DuckDB equivalent — rows-only check (deterministic row
-        # counts) + pytest oracles (recall vs brute force, LSH ⊆ exact)
+        # counts) + pytest oracles (recall vs brute force, LSH ⊆ exact);
+        # the *_portable twins below carry the full independent oracle
+        # for the same LSH pipeline shape
+        "ext_minhash_portable": _minhash_portable_oracle(),
+        "ext_simhash_portable": _simhash_portable_oracle(),
     }
