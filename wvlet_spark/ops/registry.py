@@ -1268,6 +1268,40 @@ FROM s ORDER BY cos_raw DESC, vec_id LIMIT {k}
 """
 
 
+def q_unigram_lm(spark, sf_dir):
+    """Corpus-trained unigram-LM scoring (perplexity-style quality
+    filter).  Fully relational, exact DuckDB oracle."""
+    from wvlet_spark.ops.text import unigram_lm_logprob
+
+    out = unigram_lm_logprob(_docs(spark, sf_dir))
+    return (out.select("doc_id", F.col("n_tokens").cast("long"),
+                       F.round("avg_logp", 4).alias("avg_logp"))
+            .orderBy("doc_id"))
+
+
+O_UNIGRAM_LM = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w
+),
+vocab AS (
+  SELECT w, sum(tf) AS cnt FROM tf GROUP BY w
+),
+tot AS (
+  SELECT sum(cnt) AS total FROM vocab
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * (log10(cnt) - log10(total))) / sum(tf), 4) AS avg_logp
+FROM tf JOIN vocab USING (w), tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_minhash_portable(spark, sf_dir):
     """MinHash+LSH near-dup pairs on the engine-portable hash family
     (md5-60bit shingle hash, affine permutations mod 2^31-1, concat band
@@ -1405,6 +1439,7 @@ def entry_queries() -> dict:
         "ext_simhash_pairs": q_simhash_pairs,
         "ext_minhash_portable": q_minhash_portable,
         "ext_simhash_portable": q_simhash_portable,
+        "ext_unigram_lm": q_unigram_lm,
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_dup_clusters": q_dup_clusters,
         "ext_cosine_topk": q_cosine_topk,
@@ -1484,4 +1519,5 @@ def entry_oracles() -> dict:
         # for the same LSH pipeline shape
         "ext_minhash_portable": _minhash_portable_oracle(),
         "ext_simhash_portable": _simhash_portable_oracle(),
+        "ext_unigram_lm": O_UNIGRAM_LM,
     }

@@ -309,3 +309,37 @@ def chunk_documents(df: "DataFrame", chunk_tokens: int = 100,
         F.array_join(chunk_words, " ").alias("chunk_text"),
         F.size(chunk_words).cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0))
+
+
+def unigram_lm_logprob(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document average unigram log-probability under a language model
+    trained on the corpus itself — the classic cheap perplexity-style
+    quality filter for training-data pipelines (docs full of rare/garbled
+    tokens score low; boilerplate scores high).  KenLM-style n-gram LMs
+    add context but the unigram form is fully relational, which keeps the
+    whole op inside codegen and gives it an exact SQL oracle.
+
+    Returns (doc_id, n_tokens, avg_logp) where
+    avg_logp = sum_w tf(w) * log10 p(w) / n_tokens and
+    p(w) = corpus_count(w) / corpus_total.
+
+    100 TB shape: one explode -> (doc, word) tf aggregate (map-side
+    combine absorbs stopword skew), vocab = word-keyed re-aggregate of tf
+    (never re-reads the corpus), tf-vocab join is word-keyed; the corpus
+    total joins in as a broadcast single-row aggregate — no driver
+    collect, no second scan of the documents."""
+    tf = (df.select(F.col(id_col),
+                    F.explode(_tokens(F.col(text_col))).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf")))
+    tf = tf.localCheckpoint()  # feeds vocab AND the scoring join below
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (tf.join(vocab, on="w")
+              .crossJoin(F.broadcast(total))
+              .groupBy(id_col)
+              .agg(F.sum("tf").alias("n_tokens"),
+                   (F.sum(F.col("tf") * (F.log10("cnt") - F.log10("total")))
+                    / F.sum("tf")).alias("avg_logp")))
+    return scored
