@@ -656,3 +656,22 @@ def test_simhash_portable_banding_recall_exact(spark):
                                   .bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
               .filter(F.col("hamming") <= 3).collect()}
     assert banded == brute
+
+
+def test_random_projection_preserves_norms_on_average(spark):
+    """JL sanity: E[|Rx|^2] = |x|^2 for the 1/sqrt(out_dim)-scaled Gaussian
+    matrix — the corpus-averaged ratio must be near 1 (per-row variance is
+    ~sqrt(2/out_dim); averaging over 500 rows shrinks it ~22x)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from wvlet_spark.ops.similarity import random_projection
+    from wvlet_spark.session import read_parquet_robust
+
+    emb = read_parquet_robust(spark, f"{SF_DIR}/embeddings.parquet")
+    out = random_projection(emb, out_dim=8, seed=7)
+    sq = lambda c: F.aggregate(c, F.lit(0.0),
+                               lambda a, x: a + x.cast("double") * x)
+    row = (out.select(F.avg(sq(F.col("proj")) / sq(F.col("embedding")))
+                      .alias("ratio")).collect()[0])
+    assert 0.85 < row.ratio < 1.15, row.ratio

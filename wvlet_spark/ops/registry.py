@@ -1268,6 +1268,37 @@ FROM s ORDER BY cos_raw DESC, vec_id LIMIT {k}
 """
 
 
+def q_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (64-d -> 8-d), exploded to
+    atomic (vec_id, dim, value) rows for the driver canonicalizer.  The
+    oracle re-derives the projection from the inlined seeded matrix."""
+    from wvlet_spark.ops.similarity import random_projection
+
+    out = random_projection(_embs(spark, sf_dir), out_dim=8, seed=7)
+    return (out.select("vec_id", F.posexplode("proj").alias("dim", "value"))
+            .select("vec_id", "dim", F.round("value", 5).alias("value"))
+            .orderBy("vec_id", "dim"))
+
+
+def _rp_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
+    """DuckDB SQL recomputing random_projection from the same seeded JL
+    matrix inlined as literals (pattern of _ivf_topk_oracle)."""
+    from wvlet_spark.ops.similarity import projection_matrix
+
+    R = projection_matrix(dim, out_dim, seed)
+    rows = ",\n    ".join(
+        f"({i}, {_vec_literal(R[i])})" for i in range(out_dim))
+    return f"""
+WITH m(dim, r) AS (VALUES
+    {rows}
+)
+SELECT vec_id, m.dim AS dim,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), m.r), 5) AS value
+FROM embeddings, m
+ORDER BY vec_id, dim
+"""
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram-LM scoring (perplexity-style quality
     filter).  Fully relational, exact DuckDB oracle."""
@@ -1440,6 +1471,7 @@ def entry_queries() -> dict:
         "ext_minhash_portable": q_minhash_portable,
         "ext_simhash_portable": q_simhash_portable,
         "ext_unigram_lm": q_unigram_lm,
+        "ext_rp_project": q_rp_project,
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_dup_clusters": q_dup_clusters,
         "ext_cosine_topk": q_cosine_topk,
@@ -1520,4 +1552,5 @@ def entry_oracles() -> dict:
         "ext_minhash_portable": _minhash_portable_oracle(),
         "ext_simhash_portable": _simhash_portable_oracle(),
         "ext_unigram_lm": O_UNIGRAM_LM,
+        "ext_rp_project": _rp_project_oracle(),
     }
