@@ -133,3 +133,24 @@ def test_playground_script_parses():
         proc = subprocess.run([node, "--check", f.name],
                               capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
+
+
+def test_flows_endpoint(server):
+    """GET /v1/flows lists declared flows and recorded runs (reference
+    FlowRunsPage data over the run store)."""
+    empty = _get(server, "/v1/flows")
+    assert empty == {"flows": [], "runs": []}
+    flow = ("flow nightly = {\n"
+            "  stage s1 = { from region select r_regionkey limit 1 }\n"
+            "}\n")
+    code, info = _post(server, "/v1/query",
+                       {"query": flow, "querySelection": "all"})
+    assert code == 200, info
+    code, info = _post(server, "/v1/query",
+                       {"query": "run flow nightly", "querySelection": "all"})
+    assert code == 200, info
+    got = _get(server, "/v1/flows")
+    assert [f["name"] for f in got["flows"]] == ["nightly"]
+    assert got["runs"] and got["runs"][0]["flow"] == "nightly"
+    states = {s["stage"]: s["state"] for s in got["runs"][0]["stages"]}
+    assert states.get("s1") in ("succeeded", "success", "done", "finished")

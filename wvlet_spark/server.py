@@ -88,6 +88,9 @@ class WvletServer:
                             time.monotonic() - outer._started, 3),
                     })
                     return
+                if self.path == "/v1/flows":
+                    self._send(200, outer.flows_info())
+                    return
                 if self.path.startswith("/v1/query/"):
                     qid = self.path.rsplit("/", 1)[-1]
                     with outer._hist_lock:
@@ -127,6 +130,26 @@ class WvletServer:
     def stop(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+
+    # ------------------------------------------------------------- flows
+
+    def flows_info(self) -> dict:
+        """Declared flows + recorded runs (reference FlowRunsPage data:
+        wvlet-ui/src/main/scala/wvlet/lang/ui/component/flow/
+        FlowRunsPage.scala over the SQLiteFlowRunStore)."""
+        flows = [
+            {"name": name, "stages": [s.name for s in fd.stages]}
+            for name, fd in getattr(self.session, "_flows", {}).items()
+        ]
+        runs: dict[str, dict] = {}
+        if self.session._flow_executor is not None:
+            for (run_id, flow, stage, state, attempts, error) in \
+                    self.session.flow_executor.store.runs():
+                r = runs.setdefault(run_id, {"runId": run_id, "flow": flow,
+                                             "stages": []})
+                r["stages"].append({"stage": stage, "state": state,
+                                    "attempts": attempts, "error": error})
+        return {"flows": flows, "runs": list(runs.values())}
 
     # ------------------------------------------------------------- execute
 

@@ -102,6 +102,11 @@ order by total desc"></textarea>
 <aside class="history">
   <div class="muted">history</div>
   <ul id="hist"></ul>
+  <div class="muted" style="margin-top:12px">
+    flow runs <button id="flowsRefresh"
+      style="padding:2px 8px;font-size:11px">refresh</button>
+  </div>
+  <div id="flows" class="tests"></div>
 </aside>
 </main>
 <script>
@@ -187,6 +192,26 @@ async function run() {
   render(info);
   if (info.queryId) pushHistory(info, ta.value);
 }
+async function refreshFlows() {
+  try {
+    const info = await (await fetch('/v1/flows')).json();
+    const box = $('flows');
+    if (!info.flows.length && !info.runs.length) {
+      box.innerHTML = '<div class="muted">none</div>'; return;
+    }
+    let h = info.flows.map(f => '<div>' + esc(f.name) + ' (' +
+      f.stages.length + ' stages)</div>').join('');
+    for (const r of info.runs)
+      h += '<div>' + esc(r.runId) + ' \\u00b7 ' + esc(r.flow) + ': ' +
+        r.stages.map(s => '<span class="' +
+          (s.state === 'failed' ? 'fail' : 'ok') + '">' + esc(s.stage) +
+          '=' + esc(s.state) + '</span>').join(' ') + '</div>';
+    box.innerHTML = h;
+  } catch (ex) { $('flows').textContent = String(ex); }
+}
+$('flowsRefresh').addEventListener('click', refreshFlows);
+refreshFlows();
+
 $('run').addEventListener('click', run);
 $('q').addEventListener('keydown', ev => {
   if ((ev.ctrlKey || ev.metaKey) && ev.key === 'Enter') {
