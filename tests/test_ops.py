@@ -675,3 +675,23 @@ def test_random_projection_preserves_norms_on_average(spark):
     row = (out.select(F.avg(sq(F.col("proj")) / sq(F.col("embedding")))
                       .alias("ratio")).collect()[0])
     assert 0.85 < row.ratio < 1.15, row.ratio
+
+
+def test_pca_project_variance_ordering(spark):
+    """PCA sanity: per-dimension variance of the projection is
+    non-increasing (components are sorted by singular value), and dim-0
+    variance >= the average input-coordinate variance (it maximizes)."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from wvlet_spark.ops.similarity import pca_project
+    from wvlet_spark.session import read_parquet_robust
+
+    emb = read_parquet_robust(spark, f"{SF_DIR}/embeddings.parquet")
+    rows = pca_project(emb, out_dim=4).select("pca").collect()
+    P = np.array([r.pca for r in rows])
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(3)), var
+    X = np.array([r.embedding for r in emb.select("embedding").collect()],
+                 dtype=float)
+    assert var[0] >= X.var(axis=0).mean() - 1e-9

@@ -1299,6 +1299,42 @@ ORDER BY vec_id, dim
 """
 
 
+def q_pca_project(spark, sf_dir):
+    """PCA projection (trained on the deterministic bounded sample),
+    exploded to atomic (vec_id, dim, value) rows.  The oracle re-derives
+    the projection from the inlined trained mean + components via
+    (x - m) . w = x . w - m . w."""
+    from wvlet_spark.ops.similarity import pca_project
+
+    out = pca_project(_embs(spark, sf_dir), out_dim=4)
+    return (out.select("vec_id", F.posexplode("pca").alias("dim", "value"))
+            .select("vec_id", "dim", F.round("value", 5).alias("value"))
+            .orderBy("vec_id", "dim"))
+
+
+def _pca_project_oracle(out_dim: int = 4) -> str:
+    """DuckDB SQL recomputing pca_project from the model trained on the
+    same deterministic sample (inlined-constants pattern: pca_np over the
+    vec_id-sorted oracle embeddings = pca_train's Spark-side sample)."""
+    from wvlet_spark.ops.similarity import pca_np
+
+    _ids, X = _oracle_embeddings_np()
+    mean, W = pca_np(X, out_dim)
+    rows = ",\n    ".join(
+        f"({i}, {_vec_literal(W[i])}, {float(mean @ W[i])!r})"
+        for i in range(out_dim))
+    return f"""
+WITH m(dim, w, mdotw) AS (VALUES
+    {rows}
+)
+SELECT vec_id, m.dim AS dim,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), m.w) - m.mdotw,
+             5) AS value
+FROM embeddings, m
+ORDER BY vec_id, dim
+"""
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram-LM scoring (perplexity-style quality
     filter).  Fully relational, exact DuckDB oracle."""
@@ -1472,6 +1508,7 @@ def entry_queries() -> dict:
         "ext_simhash_portable": q_simhash_portable,
         "ext_unigram_lm": q_unigram_lm,
         "ext_rp_project": q_rp_project,
+        "ext_pca_project": q_pca_project,
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_dup_clusters": q_dup_clusters,
         "ext_cosine_topk": q_cosine_topk,
@@ -1553,4 +1590,5 @@ def entry_oracles() -> dict:
         "ext_simhash_portable": _simhash_portable_oracle(),
         "ext_unigram_lm": O_UNIGRAM_LM,
         "ext_rp_project": _rp_project_oracle(),
+        "ext_pca_project": _pca_project_oracle(),
     }

@@ -475,3 +475,66 @@ def projection_matrix(dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
     """The (out_dim x dim) JL matrix: seeded standard normal / sqrt(out_dim)."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+
+
+def pca_train(df: DataFrame, out_dim: int = 8, sample_limit: int = 20_000,
+              vec_col: str = "embedding",
+              order_col: str | None = "vec_id") -> tuple[np.ndarray, np.ndarray]:
+    """(mean, components) of a PCA trained on a bounded deterministic
+    sample (same sampling contract as ivf_train_centroids: first
+    sample_limit rows by order_col, so the model is independent of
+    partition order and re-derivable by oracles).  Components are the top
+    out_dim right singular vectors of the centered sample, sign-normalized
+    (largest-|coefficient| entry positive) so the decomposition is unique.
+    Training is driver-side numpy on <= sample_limit rows; only the
+    projection pass below scales with the data."""
+    sel = df.select(*(([F.col(order_col).alias("__o")]
+                       if order_col and order_col in df.columns else [])
+                      + [F.col(vec_col).cast("array<double>").alias("__v")]))
+    if order_col and order_col in df.columns:
+        rows = sel.orderBy("__o").limit(sample_limit).collect()
+    else:
+        rows = sel.limit(sample_limit).collect()
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    return pca_np(X, out_dim)
+
+
+def pca_np(X: np.ndarray, out_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, sign-normalized top-out_dim components) of an in-memory
+    sample.  Shared by pca_train and the DuckDB oracle builder
+    (registry._pca_project_oracle) — same sample in, same model out, which
+    is what lets the oracle inline the trained matrix as SQL literals
+    (the kmeans_np contract)."""
+    mean = X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(X - mean, full_matrices=False)
+    W = Vt[:out_dim]
+    # sign normalization: svd signs are implementation-arbitrary
+    flip = np.sign(W[np.arange(W.shape[0]), np.abs(W).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return mean, W * flip[:, None]
+
+
+def pca_project(df: DataFrame, out_dim: int = 8, sample_limit: int = 20_000,
+                vec_col: str = "embedding",
+                order_col: str | None = "vec_id",
+                model: tuple[np.ndarray, np.ndarray] | None = None) -> DataFrame:
+    """Append `pca` = components @ (x - mean): variance-optimal linear
+    compression before ANN / clustering (the trained counterpart of
+    random_projection — same map-only Arrow matmul shape at scale, the
+    model is a driver-side constant broadcast with the closure)."""
+    from pyspark.sql.types import ArrayType
+
+    from wvlet_spark.ops.util import ensure_map_parallelism
+
+    mean, W = model if model is not None else pca_train(
+        df, out_dim, sample_limit, vec_col, order_col)
+    df = ensure_map_parallelism(df)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _proj(v: pd.Series) -> pd.Series:
+        M = _mat(v)
+        if M.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list((M - mean) @ W.T))
+
+    return df.withColumn("pca", _proj(F.col(vec_col)))
