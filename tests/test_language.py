@@ -842,3 +842,18 @@ select r_regionkey
 order by r_regionkey
 """).collect()
     assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_file_formats_round_trip(ws, tmp_path):
+    """orc / tsv / jsonl / ndjson file scans and saves (Spark-native
+    formats beyond the reference's parquet/csv/json triple; .jsonl is the
+    training-data interchange shape).  Key order of jsonl reads follows
+    the authored record, matching the json behavior."""
+    for ext in ("orc", "tsv", "jsonl", "ndjson"):
+        p = str(tmp_path / f"n.{ext}")
+        ws.run("from nation select n_nationkey, n_name "
+               f"order by n_nationkey save to '{p}'")
+        back = ws.run(f"from '{p}' order by n_nationkey limit 2")
+        assert back.columns == ["n_nationkey", "n_name"], ext
+        assert [tuple(r) for r in back.collect()] == \
+            [(0, "NATION_0"), (1, "NATION_1")], ext

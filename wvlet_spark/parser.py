@@ -2149,6 +2149,13 @@ def _infer_format(path: str) -> str:
         return "csv"
     if p.endswith(".json") or p.endswith(".json.gz"):
         return "json"
+    if p.endswith(".jsonl") or p.endswith(".jsonl.gz") \
+            or p.endswith(".ndjson") or p.endswith(".ndjson.gz"):
+        return "jsonl"
+    if p.endswith(".tsv") or p.endswith(".tsv.gz"):
+        return "tsv"
+    if p.endswith(".orc"):
+        return "orc"
     return "parquet"
 
 

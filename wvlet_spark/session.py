@@ -432,7 +432,21 @@ class WvletSession:
                 cols = [c for c in order if c in df.columns]
                 cols += [c for c in df.columns if c not in cols]
                 df = df.select(*cols)
-        elif node.fmt == "csv":
+        elif node.fmt == "jsonl":
+            # newline-delimited JSON: Spark's native line-per-record mode
+            # (the multiLine array form above is the reference's person.json
+            # shape; .jsonl/.ndjson is the training-data interchange shape)
+            df = reader.json(path)
+            order = _json_key_order(path)
+            if order:
+                cols = [c for c in order if c in df.columns]
+                cols += [c for c in df.columns if c not in cols]
+                df = df.select(*cols)
+        elif node.fmt == "orc":
+            df = reader.orc(path)
+        elif node.fmt in ("csv", "tsv"):
+            if node.fmt == "tsv":
+                reader = reader.option("sep", "\t")
             df = reader.option("header", "true").option("inferSchema", "true").csv(path)
             # integer CSV columns infer as int; the reference infers 64-bit
             # (spec/basic/select-csv.wv expects `long`)
@@ -988,8 +1002,12 @@ class WvletSession:
         w = self._apply_write_options(df.write.mode(mode), options)
         if fmt == "csv":
             w.option("header", "true").csv(path)
-        elif fmt == "json":
+        elif fmt == "tsv":
+            w.option("header", "true").option("sep", "\t").csv(path)
+        elif fmt in ("json", "jsonl"):
             w.json(path)
+        elif fmt == "orc":
+            w.orc(path)
         else:
             w.parquet(path)
 
@@ -1107,6 +1125,13 @@ def _json_key_order(path: str) -> list[str] | None:
     import gzip
     import json
 
+    if os.path.isdir(path):
+        # Spark writes json as a directory of part files — peek at one
+        parts = sorted(f for f in os.listdir(path)
+                       if f.startswith("part-") and not f.endswith(".crc"))
+        if not parts:
+            return None
+        path = os.path.join(path, parts[0])
     if not os.path.isfile(path):
         return None
     try:
@@ -1226,11 +1251,6 @@ def read_parquet_robust(spark, path: str):
 
 
 def _infer_format(path: str) -> str:
-    p = path.lower()
-    if p.endswith(".csv") or p.endswith(".csv.gz"):
-        return "csv"
-    if p.endswith(".json") or p.endswith(".json.gz"):
-        return "json"
-    if p.endswith(".wv"):
-        return "wv"
-    return "parquet"
+    # single source of truth with the scan side (from 'file.X')
+    from wvlet_spark.parser import _infer_format as scan_infer
+    return scan_infer(path)
