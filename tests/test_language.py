@@ -820,6 +820,16 @@ def test_builtin_pipeline_tools(spark):
     ad = ws.run("call approx_distinct(table='tool_docs', "
                 "group='text', column='doc_id')").collect()
     assert all(r.within_tol for r in ad)
+    # round-5 additions: LM scoring, projections, portable near-dup
+    lm = {r.doc_id: r.avg_logp for r in
+          ws.run("call unigram_lm(table='tool_docs')").collect()}
+    assert len(lm) == 3 and all(v < 0 for v in lm.values())
+    mh = ws.run("call minhash_portable(table='tool_docs', "
+                "shingle_k=2, threshold=0.5)").collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(1, 2)}
+    sh = ws.run("call simhash_pairs(table='tool_docs', "
+                "max_hamming=3)").collect()
+    assert any((r.id_a, r.id_b) == (1, 2) for r in sh)
 
 
 def test_agg_in_subquery_cte_shadowing(ws):

@@ -303,6 +303,13 @@ class WvletSession:
             "semantic_dedup": _one_table(similarity.semantic_dedup),
             "quantize_embeddings": _one_table(
                 similarity.quantize_embeddings),
+            "unigram_lm": _one_table(text.unigram_lm_logprob),
+            "random_projection": _one_table(similarity.random_projection),
+            "pca_project": _one_table(similarity.pca_project),
+            "minhash_portable": _one_table(
+                dedup.minhash_near_dup_pairs, portable=True),
+            "simhash_pairs": _one_table(
+                dedup.simhash_near_dup_pairs_portable),
         })
 
         def tool_sample(spark, table, fraction, **kw):
