@@ -1335,6 +1335,47 @@ ORDER BY vec_id, dim
 """
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus statistics (the data-card builder): doc/token
+    counts, median length, duplicate rate, alpha ratio.  Exact DuckDB
+    oracle."""
+    from wvlet_spark.ops.text import corpus_profile
+
+    out = corpus_profile(_docs(spark, sf_dir))
+    return (out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("median_tokens", 1).alias("median_tokens"),
+        F.col("distinct_texts").cast("long").alias("distinct_texts"),
+        F.round("dup_rate", 5).alias("dup_rate"),
+        F.round("mean_alpha_ratio", 5).alias("mean_alpha_ratio"),
+    ).orderBy("source"))
+
+
+O_CORPUS_PROFILE = r"""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         w -> w <> '')) AS ntok,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       round(quantile_cont(ntok, 0.5), 1) AS median_tokens,
+       count(DISTINCT h)::BIGINT AS distinct_texts,
+       round(1.0 - count(DISTINCT h) / count(*), 5) AS dup_rate,
+       round(avg(alpha), 5) AS mean_alpha_ratio
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram-LM scoring (perplexity-style quality
     filter).  Fully relational, exact DuckDB oracle."""
@@ -1507,6 +1548,7 @@ def entry_queries() -> dict:
         "ext_minhash_portable": q_minhash_portable,
         "ext_simhash_portable": q_simhash_portable,
         "ext_unigram_lm": q_unigram_lm,
+        "ext_corpus_profile": q_corpus_profile,
         "ext_rp_project": q_rp_project,
         "ext_pca_project": q_pca_project,
         "ext_ngram_jaccard": q_ngram_jaccard,
@@ -1589,6 +1631,7 @@ def entry_oracles() -> dict:
         "ext_minhash_portable": _minhash_portable_oracle(),
         "ext_simhash_portable": _simhash_portable_oracle(),
         "ext_unigram_lm": O_UNIGRAM_LM,
+        "ext_corpus_profile": O_CORPUS_PROFILE,
         "ext_rp_project": _rp_project_oracle(),
         "ext_pca_project": _pca_project_oracle(),
     }

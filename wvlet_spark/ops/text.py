@@ -343,3 +343,41 @@ def unigram_lm_logprob(df: DataFrame, text_col: str = "text",
                    (F.sum(F.col("tf") * (F.log10("cnt") - F.log10("total")))
                     / F.sum("tf")).alias("avg_logp")))
     return scored
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Per-source corpus statistics — the "data card" builder run before
+    mixing a training corpus: document and token counts, length
+    distribution (median via exact percentile), duplicate-text rate and
+    mean quality proxies per group.
+
+    Returns one row per group:
+      (group, n_docs, n_tokens, median_tokens, distinct_texts, dup_rate,
+       mean_alpha_ratio)
+
+    100 TB shape: one pass computing per-doc features map-side, then a
+    single groupBy(source) aggregate — percentile over doc-level token
+    counts shuffles only (group, n_tok) pairs; duplicate detection reuses
+    the md5-of-normalized-text trick from exact_dedup, counted with
+    count(DISTINCT hash) inside the same aggregate (no second scan)."""
+    toks = _tokens(F.col(text_col))
+    norm_hash = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    alpha_ratio = (F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+                   / F.greatest(F.length(F.col(text_col)), F.lit(1)))
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(F.filter(toks, lambda w: w != "")).alias("__ntok"),
+        norm_hash.alias("__h"),
+        alpha_ratio.alias("__alpha"),
+    )
+    return (per_doc.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__ntok").alias("n_tokens"),
+                 F.expr("percentile(__ntok, 0.5)").alias("median_tokens"),
+                 F.countDistinct("__h").alias("distinct_texts"),
+                 (1.0 - F.countDistinct("__h") / F.count(F.lit(1)))
+                 .alias("dup_rate"),
+                 F.avg("__alpha").alias("mean_alpha_ratio"))
+            .withColumnRenamed("grp", group_col))
