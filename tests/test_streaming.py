@@ -279,3 +279,34 @@ def test_enriched_agg_stream_batch_parity(spark, tmp_path):
         for r in enriched_agg_batch(ev, cust).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_near_dup_filter_stream_matches_batch(spark, tmp_path):
+    """Dedup-on-ingest parity: the micro-batched stream (band store of all
+    seen docs + in-batch smaller-id check) admits EXACTLY the docs the
+    order-independent batch rule admits, collision chains included."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from wvlet_spark.session import read_parquet_robust
+    from wvlet_spark.streaming import (near_dup_filter_batch,
+                                       near_dup_filter_stream)
+
+    docs = (read_parquet_robust(spark, f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id").limit(200))
+    b_ids = sorted(r.doc_id for r in
+                   near_dup_filter_batch(docs).select("doc_id").collect())
+    src = str(tmp_path / "src")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    half = len(ids) // 2
+    for i, chunk in enumerate((ids[:half], ids[half:])):
+        (docs.filter(F.col("doc_id").isin(chunk)).coalesce(1)
+         .write.mode("append" if i else "overwrite").parquet(src))
+    q = near_dup_filter_stream(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "store"),
+        str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(120)
+    s_ids = sorted(r.doc_id for r in
+                   spark.read.parquet(str(tmp_path / "tgt"))
+                   .select("doc_id").collect())
+    assert s_ids == b_ids and len(s_ids) > 0

@@ -714,3 +714,29 @@ def duplicate_substring_spans(df: DataFrame, k: int = 5,
                  (F.max("pos") + k - F.min("pos")).alias("span_words"))
             .drop("grp")
             .orderBy(id_col, "span_start"))
+
+
+def minhash_bands_portable(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 8, shingle_k: int = 5) -> DataFrame:
+    """(id, band, bucket) LSH band table on the portable hash family —
+    the persisted form used by the dedup-on-ingest stream (the "band
+    store"): 24 B + a short string per row, appendable, and re-derivable
+    in ANSI SQL (registry._minhash_banded_cte)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = _minhash_signatures_portable(df, text_col, id_col,
+                                        num_hashes, shingle_k)
+    return sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[
+                    F.element_at("minhash", b * r + j + 1).cast("string")
+                    for j in range(r)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))

@@ -1428,13 +1428,12 @@ def q_minhash_portable(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 8,
-                             shingle_k: int = 5,
-                             threshold: float = 0.5) -> str:
-    """DuckDB SQL recomputing minhash_near_dup_pairs(portable=True) from
-    scratch: same tokens, shingles, md5-60bit base hash, affine
-    permutation coefficients (inlined), band buckets, and est-Jaccard
-    verify."""
+def _minhash_banded_with(num_hashes: int, bands: int,
+                         shingle_k: int) -> str:
+    """Shared WITH-clause prefix re-deriving the portable MinHash band
+    table in DuckDB (tokens -> shingles -> md5-60bit -> inlined affine
+    permutations -> concat band buckets).  Used by both the pair oracle
+    and the dedup-on-ingest oracle."""
     from wvlet_spark.ops.dedup import _MH_P, _mh_coeffs
 
     a_co, b_co = _mh_coeffs(num_hashes)
@@ -1449,9 +1448,6 @@ def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 8,
                              for j in range(r))
         + f" AS bucket, {sig_cols} FROM sig"
         for b in range(bands))
-    matches = " + ".join(
-        f"(CASE WHEN a.s{j} = c.s{j} THEN 1 ELSE 0 END)"
-        for j in range(num_hashes))
     return f"""
 WITH ws AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
@@ -1476,7 +1472,20 @@ sig AS (
 ),
 banded AS (
 {band_selects}
-),
+)"""
+
+
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 8,
+                             shingle_k: int = 5,
+                             threshold: float = 0.5) -> str:
+    """DuckDB SQL recomputing minhash_near_dup_pairs(portable=True) from
+    scratch: same tokens, shingles, md5-60bit base hash, affine
+    permutation coefficients (inlined), band buckets, and est-Jaccard
+    verify."""
+    matches = " + ".join(
+        f"(CASE WHEN a.s{j} = c.s{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes))
+    return _minhash_banded_with(num_hashes, bands, shingle_k) + f""",
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          ({matches}) / {float(num_hashes)} AS est
@@ -1486,6 +1495,35 @@ pairs AS (
 SELECT id_a, id_b, round(est, 4) AS est_jaccard
 FROM pairs WHERE est >= {threshold}
 ORDER BY id_a, id_b
+"""
+
+
+def q_stream_neardup(spark, sf_dir):
+    """Dedup-on-ingest (batch twin): drop any document that shares a
+    portable-MinHash band bucket with a smaller-id document.  The rule is
+    order-independent, so the micro-batched streaming form
+    (streaming.near_dup_filter_stream: band store of all seen docs +
+    in-batch smaller-id check) computes exactly this set — parity-tested
+    in tests/test_streaming.py; the oracle re-derives banding + the
+    NOT-EXISTS drop rule in DuckDB."""
+    from wvlet_spark.streaming import near_dup_filter_batch
+
+    out = near_dup_filter_batch(_docs(spark, sf_dir))
+    return (out.select("doc_id", "lang", "source",
+                       F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
+def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 8,
+                           shingle_k: int = 5) -> str:
+    return _minhash_banded_with(num_hashes, bands, shingle_k) + """
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id < a.doc_id
+  WHERE a.doc_id = d.doc_id)
+ORDER BY doc_id
 """
 
 
@@ -1547,6 +1585,7 @@ def entry_queries() -> dict:
         "ext_simhash_pairs": q_simhash_pairs,
         "ext_minhash_portable": q_minhash_portable,
         "ext_simhash_portable": q_simhash_portable,
+        "ext_stream_neardup": q_stream_neardup,
         "ext_unigram_lm": q_unigram_lm,
         "ext_corpus_profile": q_corpus_profile,
         "ext_rp_project": q_rp_project,
@@ -1630,6 +1669,7 @@ def entry_oracles() -> dict:
         # for the same LSH pipeline shape
         "ext_minhash_portable": _minhash_portable_oracle(),
         "ext_simhash_portable": _simhash_portable_oracle(),
+        "ext_stream_neardup": _stream_neardup_oracle(),
         "ext_unigram_lm": O_UNIGRAM_LM,
         "ext_corpus_profile": O_CORPUS_PROFILE,
         "ext_rp_project": _rp_project_oracle(),

@@ -444,3 +444,109 @@ def enriched_agg_stream(spark, source_path: str, dim_df, target_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def near_dup_filter_batch(df, text_col: str = "text", id_col: str = "doc_id",
+                          num_hashes: int = 16, bands: int = 8,
+                          shingle_k: int = 5):
+    """Batch twin of the dedup-on-ingest stream: keep each document unless
+    some SMALLER-id document shares a MinHash band bucket with it.  The
+    rule is order-independent (x is dropped iff ∃ y < x colliding), so
+    the micro-batched stream below — which checks each batch against the
+    band store of ALL previously seen docs plus smaller ids in-batch —
+    computes exactly this set when batches arrive in id order, chains or
+    not.  Portable hash family -> full DuckDB oracle
+    (registry.ext_stream_neardup)."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.dedup import minhash_bands_portable
+
+    banded = minhash_bands_portable(df, text_col, id_col,
+                                    num_hashes, bands, shingle_k)
+    banded = banded.localCheckpoint()  # feeds both sides of the self-join
+    dup = (banded.alias("a")
+           .join(banded.alias("b"),
+                 on=[F.col("a.band") == F.col("b.band"),
+                     F.col("a.bucket") == F.col("b.bucket"),
+                     F.col(f"b.{id_col}") < F.col(f"a.{id_col}")])
+           .select(F.col(f"a.{id_col}").alias(id_col)).distinct())
+    return df.join(dup, on=id_col, how="left_anti")
+
+
+def near_dup_filter_stream(spark, source_path: str, target_path: str,
+                           band_store_path: str, checkpoint_path: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 16, bands: int = 8,
+                           shingle_k: int = 5, available_now: bool = True,
+                           max_files_per_trigger: int | None = None):
+    """Streaming near-duplicate FILTER on ingest: each micro-batch's docs
+    are LSH-banded (portable MinHash), dropped if they collide with the
+    persisted band store (all previously seen docs) or with a smaller id
+    inside the batch, admitted docs append to `target_path`, and ALL batch
+    bands append to the store.
+
+    Storing bands of every SEEN doc (admitted or not) is what makes the
+    result exactly `near_dup_filter_batch` under id-ordered arrival — the
+    drop rule is "collides with any earlier doc", not "with any admitted
+    doc", so collision chains (A~B, B~C, A≁C) resolve identically in one
+    pass and in micro-batches.
+
+    100 TB shape: per batch, one map pass (signatures), one equi-join
+    against the store keyed (band, bucket) — the store carries ~24 B +
+    a short string per (doc, band), partitionable by bucket prefix; no
+    state-store growth inside Spark itself (the store is an appendable
+    table, compactable offline).  Returns the StreamingQuery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.dedup import minhash_bands_portable
+
+    reader = spark.readStream.schema(
+        read_parquet_robust_schema(spark, source_path))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def step(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        banded = minhash_bands_portable(
+            batch_df, text_col, id_col, num_hashes, bands,
+            shingle_k).localCheckpoint()
+        dup_ids = None
+        if os.path.isdir(band_store_path):
+            # store carries its own id column — keep only the bucket keys
+            # (a semi-join: "does this bucket exist among earlier docs")
+            store = (sess.read.parquet(band_store_path)
+                     .select("band", "bucket"))
+            dup_ids = (banded.join(store, on=["band", "bucket"],
+                                   how="left_semi")
+                       .select(id_col).distinct())
+        within = (banded.alias("a")
+                  .join(banded.alias("b"),
+                        on=[F.col("a.band") == F.col("b.band"),
+                            F.col("a.bucket") == F.col("b.bucket"),
+                            F.col(f"b.{id_col}") < F.col(f"a.{id_col}")])
+                  .select(F.col(f"a.{id_col}").alias(id_col)).distinct())
+        dup = within if dup_ids is None else dup_ids.union(within).distinct()
+        admitted = batch_df.join(dup, on=id_col, how="left_anti")
+        admitted.write.mode("append").parquet(target_path)
+        banded.write.mode("append").parquet(band_store_path)
+
+    writer = (stream.writeStream
+              .option("checkpointLocation", checkpoint_path)
+              .foreachBatch(step))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_parquet_robust_schema(spark, path: str):
+    """Schema for a streaming parquet source (readStream needs it up
+    front), via the same nanos-tolerant reader used everywhere else."""
+    from wvlet_spark.session import read_parquet_robust
+
+    return read_parquet_robust(spark, path).schema
