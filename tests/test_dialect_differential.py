@@ -78,3 +78,19 @@ def test_dialects_agree(name, spark, duck):
     got = _norm(tuple(r) for r in ws.run(wv).collect())
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     assert got == exp, f"{name}: dialect divergence\nduckdb sql: {dsql}"
+
+
+def test_int_cast_of_division_truncates_like_spark(ws, duck):
+    """Spark CAST(double AS BIGINT) truncates toward zero; DuckDB's CAST
+    rounds half away — the DuckDB dialect must emit CAST(trunc(x) ...)
+    for provably-numeric sources (property-differential find, round 5)."""
+    q = ("from nation\n"
+         "select n_nationkey, q = ((0 - n_nationkey - 5) / 2)::long,\n"
+         "  p = ((n_nationkey + 3) / 2)::int\n"
+         "order by n_nationkey")
+    got = [(r.n_nationkey, r.q, r.p) for r in ws.run(q).collect()]
+    exp = duck.execute(ws.oracle_sql(q)).fetchall()
+    assert got == [tuple(r) for r in exp]
+    # string sources must NOT be trunc()-wrapped (trunc on VARCHAR errors)
+    q2 = "from nation\nselect v = '41'::long + 1\norder by v limit 1"
+    assert duck.execute(ws.oracle_sql(q2)).fetchall()[0][0] == 42

@@ -90,6 +90,66 @@ SCALAR_METHOD_CASTS = {
 
 _SAFE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+_INT_CAST_TARGETS = {"long", "bigint", "int", "integer", "smallint",
+                     "tinyint", "short", "byte"}
+
+# functions whose result is numeric and can carry a fractional part
+_FRACTIONAL_FNS = {
+    "sqrt", "cbrt", "ln", "log", "log2", "log10", "exp", "power", "pow",
+    "avg", "mean", "stddev", "stddev_pop", "stddev_samp", "variance",
+    "var_pop", "var_samp", "corr", "covar_pop", "covar_samp", "median",
+    "percentile", "percentile_approx", "quantile", "radians", "degrees",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh",
+    "tanh", "rand", "random",
+}
+
+# numeric pass-throughs: fractional iff an argument is
+_NUMERIC_THROUGH_FNS = {"coalesce", "nullif", "least", "greatest", "abs",
+                        "round", "floor", "ceil", "ceiling", "trunc",
+                        "truncate", "sign", "pmod", "mod"}
+
+
+def _maybe_fractional_numeric(e) -> bool:
+    """True only for expressions that are PROVABLY numeric and may carry a
+    fractional part — the precondition for the DuckDB-side trunc() wrap in
+    integer casts (trunc of a VARCHAR would error, so this must never
+    fire on possibly-string expressions)."""
+    if isinstance(e, N.ArithmeticOp):
+        if e.op == "/":
+            return True
+        return (_maybe_fractional_numeric(e.left)
+                or _maybe_fractional_numeric(e.right))
+    if isinstance(e, N.UnaryOp):
+        return _maybe_fractional_numeric(e.expr)
+    if isinstance(e, N.Literal):
+        return e.kind == "float"
+    if isinstance(e, N.Cast):
+        t = e.to_type.strip().lower()
+        return t.startswith(("double", "float", "real", "decimal", "numeric"))
+    if isinstance(e, N.FunctionApply):
+        n = e.name.lower()
+        if n in _FRACTIONAL_FNS:
+            return True
+        if n in _NUMERIC_THROUGH_FNS:
+            return any(_maybe_fractional_numeric(a) for a in e.args)
+        return False
+    if isinstance(e, N.MethodCall):
+        if e.method.lower() in ("avg", "mean"):
+            return True
+        if e.method.lower() in ("sum", "min", "max"):
+            return _maybe_fractional_numeric(e.target)
+        return False
+    if isinstance(e, N.IfExpr):
+        return (_maybe_fractional_numeric(e.then)
+                or (e.otherwise is not None
+                    and _maybe_fractional_numeric(e.otherwise)))
+    if isinstance(e, N.CaseExpr):
+        branches = [v for _c, v in e.whens]
+        if e.otherwise is not None:
+            branches.append(e.otherwise)
+        return any(_maybe_fractional_numeric(b) for b in branches)
+    return False
+
 
 def type_sql(t: str, dialect: str) -> str:
     base = t.strip()
@@ -1141,6 +1201,18 @@ class SqlGenerator:
         if isinstance(e, N.Cast):
             fn = "TRY_CAST" if e.try_cast else "CAST"
             low_t = e.to_type.strip().lower()
+            if self.dialect != SPARK and low_t in _INT_CAST_TARGETS \
+                    and _maybe_fractional_numeric(e.expr):
+                # double->int CAST semantics differ: Spark truncates
+                # toward zero, DuckDB rounds half away from zero
+                # (CAST(-3.5 AS BIGINT) = -3 vs -4).  The engine defines
+                # ::long as Spark's truncation, so the oracle dialect
+                # trunc()s first — only for provably-numeric sources
+                # (trunc on a VARCHAR would error), where it is exactly
+                # Spark's semantics and a no-op on integral values.
+                # Found by the property differential: ((x)/2)::long.
+                return (f"{fn}(trunc({self.expr(e.expr)}) "
+                        f"AS {type_sql(e.to_type, self.dialect)})")
             if self.dialect == SPARK \
                     and isinstance(e.expr, N.Literal) \
                     and e.expr.kind == "string" \
