@@ -94,3 +94,40 @@ def test_int_cast_of_division_truncates_like_spark(ws, duck):
     # string sources must NOT be trunc()-wrapped (trunc on VARCHAR errors)
     q2 = "from nation\nselect v = '41'::long + 1\norder by v limit 1"
     assert duck.execute(ws.oracle_sql(q2)).fetchall()[0][0] == 42
+
+
+def test_date_semantics_match_across_dialects(ws, duck):
+    """date_trunc day-grain units and date±day-grain-interval return
+    different TYPES in stock DuckDB vs Spark; the oracle dialect re-casts
+    to the engine's (Spark's) types (property-differential finds)."""
+    for q in (
+        "from orders where o_orderkey % 101 = 0\n"
+        "select o_orderkey, v = date_trunc('month', o_orderdate::date)\n"
+        "order by o_orderkey limit 10",
+        "from orders where o_orderkey % 103 = 0\n"
+        "select o_orderkey, v = o_orderdate::date + interval 9 day\n"
+        "order by o_orderkey limit 10",
+        "from orders where o_orderkey % 103 = 0\n"
+        "select o_orderkey, v = o_orderdate::date - interval 1 year\n"
+        "order by o_orderkey limit 10",
+    ):
+        got = [tuple(str(v) for v in r) for r in ws.run(q).collect()]
+        exp = [tuple(str(v) for v in r)
+               for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+        assert got == exp, q
+
+
+def test_sql_style_window_frames(ws, duck):
+    """`rows between ... and ...` / single-bound `rows N preceding` parse
+    to the same frame as the compact rows[a, b] form."""
+    a = ws.run("from nation\nselect n_nationkey, w = sum(n_nationkey) over "
+               "(order by n_nationkey rows between 2 preceding and "
+               "current row)\norder by n_nationkey").collect()
+    b = ws.run("from nation\nselect n_nationkey, w = sum(n_nationkey) over "
+               "(order by n_nationkey rows[-2, 0])\n"
+               "order by n_nationkey").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = ws.run("from nation\nselect n_nationkey, w = sum(n_nationkey) over "
+               "(order by n_nationkey rows 2 preceding)\n"
+               "order by n_nationkey").collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in a]

@@ -109,6 +109,24 @@ _NUMERIC_THROUGH_FNS = {"coalesce", "nullif", "least", "greatest", "abs",
                         "truncate", "sign", "pmod", "mod"}
 
 
+def _provably_date(e) -> bool:
+    """True only for expressions that are syntactically certain to be a
+    DATE (not timestamp) — precondition for the DuckDB date+interval
+    re-cast."""
+    if isinstance(e, N.Cast):
+        return e.to_type.strip().lower() == "date"
+    if isinstance(e, N.FunctionApply):
+        return e.name.lower() in ("current_date", "to_date", "date",
+                                  "last_day", "date_add", "date_sub",
+                                  "make_date")
+    if isinstance(e, N.MethodCall):
+        return e.method.lower() == "to_date"
+    if isinstance(e, N.ArithmeticOp) and e.op in ("+", "-") \
+            and isinstance(e.right, N.IntervalLiteral):
+        return _provably_date(e.left)
+    return False
+
+
 def _maybe_fractional_numeric(e) -> bool:
     """True only for expressions that are PROVABLY numeric and may carry a
     fractional part — the precondition for the DuckDB-side trunc() wrap in
@@ -1335,6 +1353,15 @@ class SqlGenerator:
             for part in reversed(chain[:-1]):
                 out = f"concat({self.expr(part)}, {out})"
             return out
+        if self.dialect != SPARK and e.op in ("+", "-") \
+                and isinstance(e.right, N.IntervalLiteral) \
+                and e.right.unit.lower().rstrip("s") in (
+                    "day", "week", "month", "quarter", "year") \
+                and _provably_date(e.left):
+            # date +/- day-grain interval: Spark yields DATE, DuckDB
+            # promotes to TIMESTAMP — cast back so the oracle matches the
+            # engine's (Spark's) type (property-differential find)
+            return f"CAST(({l} {e.op} {r}) AS DATE)"
         return f"({l} {e.op} {r})"
 
     _ORDER_SENSITIVE_AGGS = {"array_agg", "collect_list", "to_array",
@@ -1444,6 +1471,15 @@ class SqlGenerator:
         name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
             core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+        elif e.name.lower() == "date_trunc" and self.dialect != SPARK \
+                and len(e.args) == 2 and isinstance(e.args[0], N.Literal) \
+                and str(e.args[0].value).lower() in (
+                    "year", "quarter", "month", "week", "day"):
+            # Spark's date_trunc always returns TIMESTAMP; DuckDB returns
+            # DATE for day-grain units — cast so the oracle matches the
+            # engine's type (property-differential find)
+            core = (f"CAST(date_trunc({self.expr(e.args[0])}, "
+                    f"{self.expr(e.args[1])}) AS TIMESTAMP)")
         elif e.name.lower() == "unnest" and self.dialect == SPARK \
                 and len(e.args) == 1 and isinstance(e.args[0], N.Literal) \
                 and e.args[0].kind == "null":

@@ -1824,6 +1824,22 @@ class Parser:
             spec.order_by = self.parse_sort_items()
         if self.at_kw("rows", "range"):
             spec.frame_type = self.next().text
+            if self.at_kw("between"):
+                # SQL-style frame: `rows between 2 preceding and current
+                # row` — same node as the wvlet compact form rows[-2, 0]
+                self.next()
+                spec.frame_start = self.parse_sql_frame_bound()
+                self.expect_kw("and")
+                spec.frame_end = self.parse_sql_frame_bound()
+                self.expect_op(")")
+                return spec
+            if self.at_kw("unbounded", "current") or self.peek().kind == "INT":
+                # single-bound SQL form: `rows 3 preceding` /
+                # `rows unbounded preceding` (end defaults to current row)
+                spec.frame_start = self.parse_sql_frame_bound()
+                spec.frame_end = N.FrameBound("current")
+                self.expect_op(")")
+                return spec
             self.expect_op("[")
             # rows[-1,0] | rows[,0] | rows[-1,]
             start: N.FrameBound
@@ -1841,6 +1857,28 @@ class Parser:
             spec.frame_end = end
         self.expect_op(")")
         return spec
+
+    def parse_sql_frame_bound(self) -> N.FrameBound:
+        """UNBOUNDED PRECEDING | <n> PRECEDING | CURRENT ROW |
+        <n> FOLLOWING | UNBOUNDED FOLLOWING."""
+        if self.at_kw("unbounded"):
+            self.next()
+            if self.at_kw("preceding"):
+                self.next()
+                return N.FrameBound("unbounded_preceding")
+            self.expect_kw("following")
+            return N.FrameBound("unbounded_following")
+        if self.at_kw("current"):
+            self.next()
+            self.expect_kw("row")
+            return N.FrameBound("current")
+        t = self.next()
+        n = int(t.text)
+        if self.at_kw("preceding"):
+            self.next()
+            return N.FrameBound("preceding", n) if n else N.FrameBound("current")
+        self.expect_kw("following")
+        return N.FrameBound("following", n) if n else N.FrameBound("current")
 
     def parse_frame_bound(self, is_start: bool) -> N.FrameBound:
         neg = False
