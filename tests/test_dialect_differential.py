@@ -131,3 +131,18 @@ def test_sql_style_window_frames(ws, duck):
                "(order by n_nationkey rows 2 preceding)\n"
                "order by n_nationkey").collect()
     assert [tuple(r) for r in c] == [tuple(r) for r in a]
+
+
+def test_dayofweek_weekday_datediff_cross_engine(ws, duck):
+    """Spark's 1-based dayofweek (Sunday=1), 0-based weekday (Monday=0),
+    and 2-arg datediff(end, start) must be re-derived in DuckDB terms
+    (+1 on dayofweek, isodow-1, 3-arg datediff) — property-differential
+    finds, round 5."""
+    q = ("from orders where o_orderkey % 97 = 0\n"
+         "select o_orderkey, a = dayofweek(o_orderdate::date), "
+         "b = weekday(o_orderdate::date), "
+         "c = datediff('1996-06-01'::date, o_orderdate::date)\n"
+         "order by o_orderkey limit 20")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp

@@ -1471,6 +1471,20 @@ class SqlGenerator:
         name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
             core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+        elif e.name.lower() == "dayofweek" and self.dialect != SPARK \
+                and len(e.args) == 1:
+            # Spark: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6
+            core = f"(dayofweek({self.expr(e.args[0])}) + 1)"
+        elif e.name.lower() == "weekday" and self.dialect != SPARK \
+                and len(e.args) == 1:
+            # Spark: 0=Monday..6; DuckDB isodow: 1=Monday..7
+            core = f"(isodow({self.expr(e.args[0])}) - 1)"
+        elif e.name.lower() in ("datediff", "date_diff") \
+                and self.dialect != SPARK and len(e.args) == 2:
+            # Spark's 2-arg datediff(end, start) = days end-start; DuckDB
+            # only has datediff(part, start, end)
+            core = (f"datediff('day', {self.expr(e.args[1])}, "
+                    f"{self.expr(e.args[0])})")
         elif e.name.lower() == "date_trunc" and self.dialect != SPARK \
                 and len(e.args) == 2 and isinstance(e.args[0], N.Literal) \
                 and str(e.args[0].value).lower() in (
