@@ -146,3 +146,20 @@ def test_dayofweek_weekday_datediff_cross_engine(ws, duck):
     got = [tuple(r) for r in ws.run(q).collect()]
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
+
+
+def test_string_function_cross_engine_semantics(ws, duck):
+    """Round-5 property-differential finds: 2-arg ltrim/rtrim arg order
+    (Spark takes (trim_chars, str)), position(sub in str) sugar,
+    char_length on DuckDB, and DuckDB list-subscript semantics for [0] /
+    out-of-range (NULL, not error)."""
+    q = ("from nation\n"
+         "select n_nationkey, a = ltrim(n_name, 'NATIO'), "
+         "b = rtrim(n_name, '0123456789'), c = position('_' in n_name), "
+         "d = char_length(n_name), z = split(n_name, '_')[0], "
+         "o = split(n_name, '_')[9], f = split(n_name, '_')[1]\n"
+         "order by n_nationkey limit 10")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp
+    assert got[0][5] is None and got[0][6] is None  # [0], [9] -> NULL

@@ -1267,9 +1267,15 @@ class SqlGenerator:
             # bracket syntax resolves both on Spark and DuckDB
             if isinstance(e.index, N.Literal) and e.index.kind == "string":
                 return f"{self.expr(e.target)}[{self.str_lit(str(e.index.value))}]"
-            # wvlet arrays are 1-origin
+            # wvlet arrays are 1-origin; [0] / out-of-range yield NULL
+            # (DuckDB list semantics — Spark's element_at THROWS on index
+            # 0 and try_element_at still throws on 0, so guard it)
             if self.dialect == SPARK:
-                return f"element_at({self.expr(e.target)}, {self.expr(e.index)})"
+                t, i = self.expr(e.target), self.expr(e.index)
+                if isinstance(e.index, N.Literal) and e.index.value != 0:
+                    return f"try_element_at({t}, {i})"
+                return (f"(CASE WHEN ({i}) = 0 THEN NULL "
+                        f"ELSE try_element_at({t}, {i}) END)")
             return f"{self.expr(e.target)}[{self.expr(e.index)}]"
         if isinstance(e, N.Lambda):
             params = ", ".join(e.params)
@@ -1471,6 +1477,25 @@ class SqlGenerator:
         name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
             core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+        elif e.name.lower() in ("ltrim", "rtrim") and len(e.args) == 2 \
+                and self.dialect == SPARK:
+            # wvlet/DuckDB/Trino arg order is (string, trim_chars); Spark's
+            # 2-arg ltrim/rtrim is (trim_chars, string) — swap
+            core = (f"{e.name.lower()}({self.expr(e.args[1])}, "
+                    f"{self.expr(e.args[0])})")
+        elif e.name.lower() == "position" and len(e.args) == 1 \
+                and isinstance(e.args[0], N.FunctionApply) \
+                and e.args[0].name.lower() == "contains" \
+                and len(e.args[0].args) == 2:
+            # `position(sub in str)`: the parser sugars `sub in str` to
+            # contains(str, sub) — recover the positional form
+            s = self.expr(e.args[0].args[0])
+            sub = self.expr(e.args[0].args[1])
+            core = f"position({sub}, {s})" if self.dialect == SPARK \
+                else f"position({sub} IN {s})"
+        elif e.name.lower() == "char_length" and self.dialect != SPARK \
+                and len(e.args) == 1:
+            core = f"length({self.expr(e.args[0])})"
         elif e.name.lower() == "dayofweek" and self.dialect != SPARK \
                 and len(e.args) == 1:
             # Spark: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6
