@@ -65,6 +65,12 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "date_diff": {SPARK: "datediff", DUCKDB: "date_diff"},
     "list_value": {SPARK: "array", DUCKDB: "list_value"},
     "collect_list": {SPARK: "collect_list", DUCKDB: "array_agg"},
+    "starts_with": {SPARK: "startswith", DUCKDB: "starts_with"},
+    "startswith": {SPARK: "startswith", DUCKDB: "starts_with"},
+    "ends_with": {SPARK: "endswith", DUCKDB: "ends_with"},
+    "endswith": {SPARK: "endswith", DUCKDB: "ends_with"},
+    "format_string": {SPARK: "format_string", DUCKDB: "printf"},
+    "printf": {SPARK: "format_string", DUCKDB: "printf"},
 }
 
 AGG_FUNCS = {
