@@ -163,3 +163,19 @@ def test_string_function_cross_engine_semantics(ws, duck):
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
     assert got[0][5] is None and got[0][6] is None  # [0], [9] -> NULL
+
+
+def test_statistical_aggregates_cross_engine(ws, duck):
+    """Spark's skewness/kurtosis are population estimators; DuckDB's are
+    sample-corrected — the oracle converts (g1 = G1*(n-2)/sqrt(n(n-1)),
+    kurtosis -> kurtosis_pop).  percentile maps to quantile_cont; the SQL
+    FILTER clause parses and renders on both dialects."""
+    q = ("from customer\ngroup by k = (c_nationkey % 5)::long\n"
+         "agg a = round(skewness(c_acctbal), 3), "
+         "b = round(kurtosis(c_acctbal), 3), "
+         "c = round(percentile(c_acctbal, 0.25), 3), "
+         "d = count(c_acctbal) filter (where c_acctbal > 0)\n"
+         "order by k")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp

@@ -71,6 +71,10 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "endswith": {SPARK: "endswith", DUCKDB: "ends_with"},
     "format_string": {SPARK: "format_string", DUCKDB: "printf"},
     "printf": {SPARK: "format_string", DUCKDB: "printf"},
+    "percentile": {SPARK: "percentile", DUCKDB: "quantile_cont"},
+    "quantile_cont": {SPARK: "percentile", DUCKDB: "quantile_cont"},
+    # Spark's kurtosis is the population excess kurtosis
+    "kurtosis": {SPARK: "kurtosis", DUCKDB: "kurtosis_pop"},
 }
 
 AGG_FUNCS = {
@@ -1502,6 +1506,13 @@ class SqlGenerator:
         elif e.name.lower() == "char_length" and self.dialect != SPARK \
                 and len(e.args) == 1:
             core = f"length({self.expr(e.args[0])})"
+        elif e.name.lower() == "skewness" and self.dialect != SPARK \
+                and len(e.args) == 1 and e.window is None:
+            # Spark's skewness is the population g1; DuckDB's is the
+            # bias-corrected sample G1 — g1 = G1 * (n-2)/sqrt(n(n-1))
+            a = self.expr(e.args[0])
+            core = (f"(skewness({a}) * (count({a}) - 2) "
+                    f"/ sqrt(count({a}) * (count({a}) - 1.0)))")
         elif e.name.lower() == "dayofweek" and self.dialect != SPARK \
                 and len(e.args) == 1:
             # Spark: 1=Sunday..7=Saturday; DuckDB: 0=Sunday..6

@@ -1804,6 +1804,16 @@ class Parser:
                     nm = expr.name if isinstance(expr, N.Ident) else expr.name
                     expr = N.FunctionApply(nm, [], window=window)
                 continue
+            if self.at_kw("filter") and self.at_op("(", offset=1) \
+                    and self.at_kw("where", offset=2) \
+                    and isinstance(expr, N.FunctionApply):
+                # SQL aggregate FILTER clause: agg(x) filter (where pred)
+                self.next()
+                self.next()
+                self.expect_kw("where")
+                expr.filter = self.parse_expr()
+                self.expect_op(")")
+                continue
             break
         return expr
 
