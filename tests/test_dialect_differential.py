@@ -179,3 +179,26 @@ def test_statistical_aggregates_cross_engine(ws, duck):
     got = [tuple(r) for r in ws.run(q).collect()]
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
+
+
+def test_array_json_map_cross_engine_semantics(ws, duck):
+    """Round-5 property-differential finds: json_extract scalar form,
+    variadic map() -> two-list map(), sort_array -> list_sort,
+    order-PRESERVING array_distinct (Spark keeps first occurrence;
+    DuckDB's list_distinct is unordered — re-derived via index filter),
+    aggregate(arr, init, f) -> list_reduce(list_prepend(init, arr), f),
+    array_max/min -> list_max/min."""
+    q = ("from nation\n"
+         "select n_nationkey, "
+         "a = json_extract('{\"a\": {\"b\": 7}}', '$.a.b'), "
+         "b = map_values(map('a', n_nationkey))[1], "
+         "c = to_json(sort_array([n_nationkey % 3, 2, 0])), "
+         "d = to_json(array_distinct([1, 1, n_nationkey % 2, 2])), "
+         "e = aggregate([1, 2, n_nationkey], 0, (x, y) -> x + y), "
+         "f = array_max([1, n_nationkey, 5]), "
+         "g = array_min([9, n_nationkey])\n"
+         "order by n_nationkey limit 10")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp
+    assert got[0][4] == "[1,0,2]"  # first-occurrence order preserved

@@ -75,6 +75,12 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "quantile_cont": {SPARK: "percentile", DUCKDB: "quantile_cont"},
     # Spark's kurtosis is the population excess kurtosis
     "kurtosis": {SPARK: "kurtosis", DUCKDB: "kurtosis_pop"},
+    "sort_array": {SPARK: "sort_array", DUCKDB: "list_sort"},
+    # json_extract returns a JSON value in DuckDB; the string form matches
+    # Spark's get_json_object scalar
+    "json_extract": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
+    "array_max": {SPARK: "array_max", DUCKDB: "list_max"},
+    "array_min": {SPARK: "array_min", DUCKDB: "list_min"},
 }
 
 AGG_FUNCS = {
@@ -1506,6 +1512,28 @@ class SqlGenerator:
         elif e.name.lower() == "char_length" and self.dialect != SPARK \
                 and len(e.args) == 1:
             core = f"length({self.expr(e.args[0])})"
+        elif e.name.lower() == "map" and self.dialect != SPARK \
+                and e.args and len(e.args) % 2 == 0:
+            # Spark's variadic map(k1, v1, k2, v2); DuckDB's map() takes
+            # two lists
+            ks = ", ".join(self.expr(a) for a in e.args[0::2])
+            vs = ", ".join(self.expr(a) for a in e.args[1::2])
+            core = f"map([{ks}], [{vs}])"
+        elif e.name.lower() == "array_distinct" and self.dialect != SPARK \
+                and len(e.args) == 1:
+            # Spark's array_distinct keeps FIRST-occurrence order;
+            # DuckDB's list_distinct gives no order guarantee — re-derive
+            # the order with an index-aware filter
+            a = self.expr(e.args[0])
+            core = (f"list_filter({a}, (__x, __i) -> "
+                    f"list_position({a}, __x) = __i)")
+        elif e.name.lower() == "aggregate" and self.dialect != SPARK \
+                and len(e.args) == 3:
+            # Spark's aggregate(arr, init, merge); DuckDB's list_reduce
+            # has no init — prepend it (empty arr then folds to init)
+            arr, init = self.expr(e.args[0]), self.expr(e.args[1])
+            lam = self.expr(e.args[2])
+            core = f"list_reduce(list_prepend({init}, {arr}), {lam})"
         elif e.name.lower() == "skewness" and self.dialect != SPARK \
                 and len(e.args) == 1 and e.window is None:
             # Spark's skewness is the population g1; DuckDB's is the
