@@ -267,6 +267,12 @@ def _make_spark(sf_dir: str, cpus: int):
         # still SMJ): skips both sort passes — measured sf10 q21 8.7->4.5s,
         # q3 3.6->2.2s, nothing regressed
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Arrow batch sizing for the pandas-UDF ops (minhash signatures,
+        # vector math): 40k rows/batch amortizes per-batch Python+numpy
+        # setup — measured sf10 signature pass 6.3->4.6s cold, 2.6->2.4s
+        # warm vs the 10k default; ~40MB/batch of text, well within
+        # worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
         .appName("wvlet_spark-bench")
         .getOrCreate()
     )
