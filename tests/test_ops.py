@@ -695,3 +695,19 @@ def test_pca_project_variance_ordering(spark):
     X = np.array([r.embedding for r in emb.select("embedding").collect()],
                  dtype=float)
     assert var[0] >= X.var(axis=0).mean() - 1e-9
+
+
+def test_bigram_lm_split_scoring(spark):
+    """Bigram LM with stupid backoff: fluent text composed of trained
+    bigrams scores higher than garbled text that backs off everywhere."""
+    from wvlet_spark.ops.text import bigram_lm_logprob
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on a log")],
+        ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(10, "the cat sat on a log"), (11, "zq xv qq zz pp")],
+        ["doc_id", "text"])
+    r = {row.doc_id: row.avg_logp
+         for row in bigram_lm_logprob(score, train_df=train).collect()}
+    assert r[11] < r[10] < 0

@@ -1268,6 +1268,52 @@ FROM s ORDER BY cos_raw DESC, vec_id LIMIT {k}
 """
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM with stupid backoff: model trained on the even-doc_id
+    half of the corpus, the odd half scored against it — unseen bigrams
+    exercise the backoff branch.  Exact DuckDB oracle."""
+    from wvlet_spark.ops.text import bigram_lm_logprob
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    out = bigram_lm_logprob(score, train_df=train)
+    return (out.select("doc_id", F.col("n_bigrams").cast("long"),
+                       F.round("avg_logp", 4).alias("avg_logp"))
+            .orderBy("doc_id"))
+
+
+O_BIGRAM_LM = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+pr AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+),
+train AS (SELECT * FROM pr WHERE doc_id % 2 = 0),
+score AS (SELECT * FROM pr WHERE doc_id % 2 = 1),
+big AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY w1, w2),
+uni AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+w2t AS (SELECT w2, count(*) AS c2 FROM train GROUP BY w2),
+tot AS (SELECT count(*) AS total FROM train)
+SELECT s.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(CASE WHEN b.c12 IS NOT NULL
+                      THEN log10(b.c12::DOUBLE / u.c1)
+                      ELSE log10(0.4 * coalesce(t2.c2, 0.5) / tot.total)
+                 END), 4) AS avg_logp
+FROM score s
+LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+LEFT JOIN uni u ON s.w1 = u.w1
+LEFT JOIN w2t t2 ON s.w2 = t2.w2, tot
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def q_rp_project(spark, sf_dir):
     """Johnson-Lindenstrauss random projection (64-d -> 8-d), exploded to
     atomic (vec_id, dim, value) rows for the driver canonicalizer.  The
@@ -1587,6 +1633,7 @@ def entry_queries() -> dict:
         "ext_simhash_portable": q_simhash_portable,
         "ext_stream_neardup": q_stream_neardup,
         "ext_unigram_lm": q_unigram_lm,
+        "ext_bigram_lm": q_bigram_lm,
         "ext_corpus_profile": q_corpus_profile,
         "ext_rp_project": q_rp_project,
         "ext_pca_project": q_pca_project,
@@ -1671,6 +1718,7 @@ def entry_oracles() -> dict:
         "ext_simhash_portable": _simhash_portable_oracle(),
         "ext_stream_neardup": _stream_neardup_oracle(),
         "ext_unigram_lm": O_UNIGRAM_LM,
+        "ext_bigram_lm": O_BIGRAM_LM,
         "ext_corpus_profile": O_CORPUS_PROFILE,
         "ext_rp_project": _rp_project_oracle(),
         "ext_pca_project": _pca_project_oracle(),

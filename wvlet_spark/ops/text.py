@@ -381,3 +381,58 @@ def corpus_profile(df: DataFrame, text_col: str = "text",
                  .alias("dup_rate"),
                  F.avg("__alpha").alias("mean_alpha_ratio"))
             .withColumnRenamed("grp", group_col))
+
+
+def bigram_lm_logprob(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      train_df: DataFrame | None = None,
+                      backoff: float = 0.4) -> DataFrame:
+    """Per-document average bigram log-probability with stupid backoff
+    (Brants et al. 2007 — the standard web-scale smoothing: no
+    normalization pass, so the whole model stays relational):
+
+        score(w2|w1) = c(w1 w2)/c(w1 .)          if the bigram was seen
+                       backoff * c(w2)/total     otherwise
+
+    Trained on `train_df` (default: the scored corpus itself) and scored
+    over `df` — with a held-out training split the backoff branch fires
+    on unseen bigrams, which is the production shape (score incoming docs
+    against a trusted-corpus model).  Sharper than unigram_lm_logprob:
+    garbled word ORDER scores low even when the words are common.
+
+    Returns (doc_id, n_bigrams, avg_logp).
+
+    100 TB shape: one explode + a doc-keyed lead() window per side (no
+    global shuffle), (w1,w2)/w1/w2-keyed combines for the model counts,
+    scoring via LEFT joins keyed on the bigram then the unigram —
+    map-side combine absorbs the Zipf head; the corpus total broadcasts."""
+    from pyspark.sql import Window
+
+    def _pairs(d):
+        w = Window.partitionBy(id_col).orderBy("pos")
+        toks = (d.select(F.col(id_col),
+                         F.posexplode(_tokens(F.col(text_col)))
+                         .alias("pos", "w"))
+                .filter(F.col("w") != ""))
+        return (toks.withColumn("w2", F.lead("w").over(w))
+                .filter(F.col("w2").isNotNull())
+                .select(id_col, F.col("w").alias("w1"), "w2"))
+
+    train = _pairs(train_df if train_df is not None else df)
+    train = train.localCheckpoint()  # feeds three model aggregates
+    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    w2tot = train.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = train.agg(F.count(F.lit(1)).alias("total"))
+    score = _pairs(df) if train_df is not None else train
+    scored = (score.join(big, on=["w1", "w2"], how="left")
+              .join(uni, on="w1", how="left")
+              .join(w2tot, on="w2", how="left")
+              .crossJoin(F.broadcast(total)))
+    logp = F.when(F.col("c12").isNotNull(),
+                  F.log10(F.col("c12") / F.col("c1")))         .otherwise(F.log10(F.lit(backoff)
+                           * F.coalesce(F.col("c2"), F.lit(0.5))
+                           / F.col("total")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg(logp).alias("avg_logp")))

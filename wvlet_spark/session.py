@@ -304,6 +304,11 @@ class WvletSession:
             "quantize_embeddings": _one_table(
                 similarity.quantize_embeddings),
             "unigram_lm": _one_table(text.unigram_lm_logprob),
+            "bigram_lm": (lambda spark, table, train=None, **kw:
+                          text.bigram_lm_logprob(
+                              _df(table),
+                              train_df=_df(train) if train else None,
+                              **kw)),
             "random_projection": _one_table(similarity.random_projection),
             "pca_project": _one_table(similarity.pca_project),
             "minhash_portable": _one_table(
