@@ -1512,6 +1512,13 @@ class SqlGenerator:
         elif e.name.lower() == "char_length" and self.dialect != SPARK \
                 and len(e.args) == 1:
             core = f"length({self.expr(e.args[0])})"
+        elif e.name.lower() == "initcap" and self.dialect != SPARK \
+                and len(e.args) == 1:
+            # DuckDB has no initcap — emulate Spark's (upper first letter
+            # of each space-delimited word, lower the rest)
+            a = self.expr(e.args[0])
+            core = (f"array_to_string(list_transform(string_split({a}, ' '),"
+                    f" __w -> upper(__w[1]) || lower(__w[2:])), ' ')")
         elif e.name.lower() == "map" and self.dialect != SPARK \
                 and e.args and len(e.args) % 2 == 0:
             # Spark's variadic map(k1, v1, k2, v2); DuckDB's map() takes
