@@ -867,3 +867,23 @@ def test_file_formats_round_trip(ws, tmp_path):
         assert back.columns == ["n_nationkey", "n_name"], ext
         assert [tuple(r) for r in back.collect()] == \
             [(0, "NATION_0"), (1, "NATION_1")], ext
+
+
+def test_rollup_derived_key_via_add(ws, duck):
+    """Derived rollup keys use the idiomatic `add k = ...` form; aliasing
+    inside rollup() raises a pointed error instead of silently grouping
+    on a boolean comparison."""
+    import pytest as _pytest
+
+    from wvlet_spark.generator import CompileError
+
+    q = ("from customer\nadd k = (c_nationkey % 3)::long\n"
+         "group by rollup(c_mktsegment, k)\nagg n = _.count\n"
+         "order by c_mktsegment nulls last, k nulls last")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = duck.execute(ws.oracle_sql(q)).fetchall()
+    assert got == [tuple(r) for r in exp] and len(got) > 0
+    with _pytest.raises(CompileError, match="alias a key inside rollup"):
+        ws.run("from customer\n"
+               "group by rollup(c_mktsegment, k = c_nationkey % 3)\n"
+               "agg n = _.count")

@@ -736,6 +736,16 @@ class SqlGenerator:
         cube(a,b) -> CUBE(a, b), grouping_sets((a,b),(a)) -> GROUPING SETS
         ((a, b), (a)).  Both Spark and DuckDB accept these forms."""
         if isinstance(e, N.FunctionApply) and e.name.lower() in self._GROUP_MODIFIERS:
+            for a in e.args:
+                # `rollup(seg, k = expr)` parses `k = expr` as a boolean
+                # comparison — silently grouping on a boolean is never
+                # what the user meant; point at the working form
+                if isinstance(a, N.Comparison) and a.op == "=" \
+                        and isinstance(a.left, N.Ident):
+                    raise CompileError(
+                        f"cannot alias a key inside {e.name.lower()}(); "
+                        f"derive it first: `add {a.left.name} = ...` then "
+                        f"`group by {e.name.lower()}(..., {a.left.name})`")
             args = ", ".join(self.expr(a) for a in e.args)
             kw = {"cube": "CUBE", "rollup": "ROLLUP",
                   "grouping_sets": "GROUPING SETS"}[e.name.lower()]
