@@ -202,3 +202,18 @@ def test_array_json_map_cross_engine_semantics(ws, duck):
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
     assert got[0][4] == "[1,0,2]"  # first-occurrence order preserved
+
+
+def test_decimal_scale_reduction_rounds_like_spark(ws, duck):
+    """Casting to a lower decimal scale rounds HALF_UP (away from zero)
+    in Spark but truncates in DuckDB — the oracle pre-rounds at the
+    target scale (property-differential find, round 5)."""
+    q = ("from nation\n"
+         "select n_nationkey, a = (-7.25::decimal(10,1))::double, "
+         "b = (99.999::decimal(10,1))::double, "
+         "c = (0.005::decimal(10,2))::double\n"
+         "order by n_nationkey limit 3")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp
+    assert got[0][1:] == (-7.3, 100.0, 0.01)

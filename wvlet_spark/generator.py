@@ -1246,6 +1246,17 @@ class SqlGenerator:
         if isinstance(e, N.Cast):
             fn = "TRY_CAST" if e.try_cast else "CAST"
             low_t = e.to_type.strip().lower()
+            if self.dialect != SPARK \
+                    and low_t.startswith(("decimal", "numeric")) \
+                    and _maybe_fractional_numeric(e.expr):
+                # decimal scale reduction rounds HALF_UP (away from zero)
+                # in Spark but TRUNCATES in DuckDB (99.999::decimal(10,1)
+                # = 100.0 vs 99.9) — pre-round at the target scale
+                # (property-differential find)
+                m = re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", low_t)
+                scale = int(m.group(1)) if m else 0
+                return (f"{fn}(round({self.expr(e.expr)}, {scale}) "
+                        f"AS {type_sql(e.to_type, self.dialect)})")
             if self.dialect != SPARK and low_t in _INT_CAST_TARGETS \
                     and _maybe_fractional_numeric(e.expr):
                 # double->int CAST semantics differ: Spark truncates
