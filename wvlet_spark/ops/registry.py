@@ -1381,6 +1381,46 @@ ORDER BY vec_id, dim
 """
 
 
+def q_collocations(spark, sf_dir):
+    """Top collocations by PMI over adjacent word pairs.  Exact DuckDB
+    oracle (same pair population, counts, and log ratio)."""
+    from wvlet_spark.ops.text import collocations_pmi
+
+    out = collocations_pmi(_docs(spark, sf_dir), min_count=5, top_k=10_000)
+    # graded boundary must be float-robust: re-rank by the ROUNDED pmi
+    # with lexical tie-breaks so both engines cut the same top 50
+    return (out.select("w1", "w2", F.col("pair_count").cast("long"),
+                       F.round("pmi", 4).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2").limit(50))
+
+
+O_COLLOCATIONS = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+pr AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+),
+big AS (
+  SELECT w1, w2, count(*) AS pair_count FROM pr GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+u1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+u2 AS (SELECT w2, count(*) AS c2 FROM pr GROUP BY w2),
+tot AS (SELECT count(*) AS total FROM pr)
+SELECT b.w1, b.w2, b.pair_count::BIGINT AS pair_count,
+       round(log10((b.pair_count * tot.total)::DOUBLE / (u1.c1 * u2.c2)),
+             4) AS pmi
+FROM big b JOIN u1 ON b.w1 = u1.w1 JOIN u2 ON b.w2 = u2.w2, tot
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-source corpus statistics (the data-card builder): doc/token
     counts, median length, duplicate rate, alpha ratio.  Exact DuckDB
@@ -1634,6 +1674,7 @@ def entry_queries() -> dict:
         "ext_stream_neardup": q_stream_neardup,
         "ext_unigram_lm": q_unigram_lm,
         "ext_bigram_lm": q_bigram_lm,
+        "ext_collocations": q_collocations,
         "ext_corpus_profile": q_corpus_profile,
         "ext_rp_project": q_rp_project,
         "ext_pca_project": q_pca_project,
@@ -1719,6 +1760,7 @@ def entry_oracles() -> dict:
         "ext_stream_neardup": _stream_neardup_oracle(),
         "ext_unigram_lm": O_UNIGRAM_LM,
         "ext_bigram_lm": O_BIGRAM_LM,
+        "ext_collocations": O_COLLOCATIONS,
         "ext_corpus_profile": O_CORPUS_PROFILE,
         "ext_rp_project": _rp_project_oracle(),
         "ext_pca_project": _pca_project_oracle(),

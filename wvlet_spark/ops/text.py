@@ -436,3 +436,48 @@ def bigram_lm_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.avg(logp).alias("avg_logp")))
+
+
+def collocations_pmi(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     top_k: int = 50) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information: PMI(w1,w2) = log10( p(w1,w2) / (p(w1) p(w2)) ) with
+    p from corpus bigram/unigram counts — the classic collocation
+    extractor (Church & Hanks 1990), used in pipelines to find
+    multi-word units worth preserving in tokenization and to spot
+    templated/boilerplate phrases.
+
+    Returns (w1, w2, pair_count, pmi), top_k rows by (pmi, pair) among
+    pairs seen >= min_count times.
+
+    100 TB shape: same explode + doc-keyed lead() as the bigram LM, one
+    (w1,w2) combine and one w combine, two word-keyed hash joins; the
+    min_count filter prunes the long tail BEFORE the joins, and the
+    final top-k is a TakeOrdered, not a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(_tokens(F.col(text_col)))
+                      .alias("pos", "w"))
+            .filter(F.col("w") != ""))
+    pairs = (toks.withColumn("w2", F.lead("w").over(w))
+             .filter(F.col("w2").isNotNull())
+             .select(F.col("w").alias("w1"), "w2"))
+    pairs = pairs.localCheckpoint()  # pair counts AND both unigram sides
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("pair_count"))
+           .filter(F.col("pair_count") >= min_count))
+    # unigram counts over bigram POSITIONS (left words), plus the total —
+    # using the same pair population keeps the probabilities consistent
+    uni1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = pairs.agg(F.count(F.lit(1)).alias("total"))
+    pmi = F.log10((F.col("pair_count") * F.col("total"))
+                  / (F.col("c1") * F.col("c2")))
+    return (big.join(uni1, on="w1").join(uni2, on="w2")
+            .crossJoin(F.broadcast(total))
+            .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(top_k))
