@@ -1594,7 +1594,7 @@ def q_stream_neardup(spark, sf_dir):
     NOT-EXISTS drop rule in DuckDB."""
     from wvlet_spark.streaming import near_dup_filter_batch
 
-    out = near_dup_filter_batch(_docs(spark, sf_dir))
+    out = near_dup_filter_batch(_docs(spark, sf_dir), family="portable")
     return (out.select("doc_id", "lang", "source",
                        F.col("n_chars").cast("long").alias("n_chars"))
             .orderBy("doc_id"))

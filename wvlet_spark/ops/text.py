@@ -383,6 +383,28 @@ def corpus_profile(df: DataFrame, text_col: str = "text",
             .withColumnRenamed("grp", group_col))
 
 
+def _adjacent_pairs(d: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair — derived from the token
+    ARRAY with transform+sequence, entirely map-side.  The earlier
+    posexplode + lead() window form shuffled and SORTED every token by
+    (doc, pos) — measured 33-39 s at sf10 (100 M tokens) vs map-only here;
+    at cluster scale the window version is a full-corpus sort for data
+    that is already in document order inside each row."""
+    w = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    n = F.size(w)
+    # arrays_zip of two slices: every argument evaluates ONCE per row.
+    # The transform(sequence, i -> element_at(w, i)) form re-evaluates
+    # the whole split+filter PER ELEMENT (the repo's documented
+    # higher-order-function trap) — measured 3x SLOWER than even the
+    # window version at sf10; this form is ~8x faster than the window
+    pair_arr = F.when(n >= 2, F.arrays_zip(
+        F.slice(w, 1, n - 1).alias("w1"),
+        F.slice(w, 2, n - 1).alias("w2"))).otherwise(F.array())
+    return (d.select(F.col(id_col), F.explode(pair_arr).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+
+
 def bigram_lm_logprob(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       train_df: DataFrame | None = None,
@@ -402,21 +424,12 @@ def bigram_lm_logprob(df: DataFrame, text_col: str = "text",
 
     Returns (doc_id, n_bigrams, avg_logp).
 
-    100 TB shape: one explode + a doc-keyed lead() window per side (no
+    100 TB shape: map-only pair derivation per side (no
     global shuffle), (w1,w2)/w1/w2-keyed combines for the model counts,
     scoring via LEFT joins keyed on the bigram then the unigram —
     map-side combine absorbs the Zipf head; the corpus total broadcasts."""
-    from pyspark.sql import Window
-
     def _pairs(d):
-        w = Window.partitionBy(id_col).orderBy("pos")
-        toks = (d.select(F.col(id_col),
-                         F.posexplode(_tokens(F.col(text_col)))
-                         .alias("pos", "w"))
-                .filter(F.col("w") != ""))
-        return (toks.withColumn("w2", F.lead("w").over(w))
-                .filter(F.col("w2").isNotNull())
-                .select(id_col, F.col("w").alias("w1"), "w2"))
+        return _adjacent_pairs(d, text_col, id_col)
 
     train = _pairs(train_df if train_df is not None else df)
     train = train.localCheckpoint()  # feeds three model aggregates
@@ -451,20 +464,11 @@ def collocations_pmi(df: DataFrame, text_col: str = "text",
     Returns (w1, w2, pair_count, pmi), top_k rows by (pmi, pair) among
     pairs seen >= min_count times.
 
-    100 TB shape: same explode + doc-keyed lead() as the bigram LM, one
+    100 TB shape: map-only pair derivation (_adjacent_pairs), one
     (w1,w2) combine and one w combine, two word-keyed hash joins; the
     min_count filter prunes the long tail BEFORE the joins, and the
     final top-k is a TakeOrdered, not a global sort."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("pos")
-    toks = (df.select(F.col(id_col),
-                      F.posexplode(_tokens(F.col(text_col)))
-                      .alias("pos", "w"))
-            .filter(F.col("w") != ""))
-    pairs = (toks.withColumn("w2", F.lead("w").over(w))
-             .filter(F.col("w2").isNotNull())
-             .select(F.col("w").alias("w1"), "w2"))
+    pairs = _adjacent_pairs(df, text_col, id_col).select("w1", "w2")
     pairs = pairs.localCheckpoint()  # pair counts AND both unigram sides
     big = (pairs.groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).alias("pair_count"))

@@ -304,6 +304,8 @@ class WvletSession:
             "quantize_embeddings": _one_table(
                 similarity.quantize_embeddings),
             "unigram_lm": _one_table(text.unigram_lm_logprob),
+            "collocations": _one_table(text.collocations_pmi),
+            "corpus_profile": _one_table(text.corpus_profile),
             "bigram_lm": (lambda spark, table, train=None, **kw:
                           text.bigram_lm_logprob(
                               _df(table),

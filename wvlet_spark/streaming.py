@@ -448,7 +448,7 @@ def enriched_agg_stream(spark, source_path: str, dim_df, target_path: str,
 
 def near_dup_filter_batch(df, text_col: str = "text", id_col: str = "doc_id",
                           num_hashes: int = 16, bands: int = 8,
-                          shingle_k: int = 5):
+                          shingle_k: int = 5, family: str = "fast"):
     """Batch twin of the dedup-on-ingest stream: keep each document unless
     some SMALLER-id document shares a MinHash band bucket with it.  The
     rule is order-independent (x is dropped iff ∃ y < x colliding), so
@@ -462,7 +462,7 @@ def near_dup_filter_batch(df, text_col: str = "text", id_col: str = "doc_id",
     from wvlet_spark.ops.dedup import minhash_bands_portable
 
     banded = minhash_bands_portable(df, text_col, id_col,
-                                    num_hashes, bands, shingle_k)
+                                    num_hashes, bands, shingle_k, family)
     banded = banded.localCheckpoint()  # feeds both sides of the self-join
     dup = (banded.alias("a")
            .join(banded.alias("b"),
@@ -478,7 +478,8 @@ def near_dup_filter_stream(spark, source_path: str, target_path: str,
                            text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 16, bands: int = 8,
                            shingle_k: int = 5, available_now: bool = True,
-                           max_files_per_trigger: int | None = None):
+                           max_files_per_trigger: int | None = None,
+                           family: str = "fast"):
     """Streaming near-duplicate FILTER on ingest: each micro-batch's docs
     are LSH-banded (portable MinHash), dropped if they collide with the
     persisted band store (all previously seen docs) or with a smaller id
@@ -515,7 +516,7 @@ def near_dup_filter_stream(spark, source_path: str, target_path: str,
         batch_df = batch_df.localCheckpoint()
         banded = minhash_bands_portable(
             batch_df, text_col, id_col, num_hashes, bands,
-            shingle_k).localCheckpoint()
+            shingle_k, family).localCheckpoint()
         dup_ids = None
         if os.path.isdir(band_store_path):
             # store carries its own id column — keep only the bucket keys
