@@ -334,6 +334,13 @@ class WvletSession:
         self._tools["decontaminate"] = tool_decontaminate
         self._tools["dedup_against_reference"] = tool_dedup_against
 
+        def tool_near_dup_filter(spark, table, **kw):
+            from wvlet_spark.streaming import near_dup_filter_batch
+
+            return near_dup_filter_batch(_df(table), **kw)
+
+        self._tools["near_dup_filter"] = tool_near_dup_filter
+
     def register_duckdb_profile(self, prefix: str, db_path: str) -> None:
         """A real second-engine profile (the reference's `-profile duckdb`
         catalog connectors): `from <prefix>.<table>` reads <table> from a
