@@ -217,3 +217,15 @@ def test_decimal_scale_reduction_rounds_like_spark(ws, duck):
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
     assert got[0][1:] == (-7.3, 100.0, 0.01)
+
+
+def test_frame_on_ranking_function_dropped_for_spark(ws, duck):
+    """DuckDB accepts (and ignores) frames on ranking/offset window
+    functions; Spark errors — the Spark dialect drops the frame for the
+    rank family (SQL-import fuzz find, round 5)."""
+    sql = ("SELECT n_nationkey, row_number() OVER (PARTITION BY n_regionkey "
+           "ORDER BY n_nationkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) "
+           "AS w FROM nation ORDER BY n_nationkey")
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp

@@ -1674,7 +1674,7 @@ class SqlGenerator:
         if e.filter is not None:
             core += f" FILTER (WHERE {self.expr(e.filter)})"
         if e.window is not None:
-            core += f" OVER ({self.window(e.window)})"
+            core += f" OVER ({self.window(e.window, fn=e.name)})"
         return core
 
     def _method(self, e: N.MethodCall) -> str:
@@ -1795,12 +1795,20 @@ class SqlGenerator:
             core += f" OVER ({self.window(e.window)})"
         return core
 
-    def window(self, w: N.WindowSpec) -> str:
+    # ranking/offset window functions take no frame in Spark (error),
+    # while DuckDB accepts-and-ignores one — drop it on the Spark side
+    _NO_FRAME_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
+                     "ntile", "cume_dist", "lag", "lead"}
+
+    def window(self, w: N.WindowSpec, fn: str | None = None) -> str:
         parts = []
         if w.partition_by:
             parts.append("PARTITION BY " + ", ".join(self.expr(p) for p in w.partition_by))
         if w.order_by:
             parts.append("ORDER BY " + ", ".join(self.sort_item(s) for s in w.order_by))
+        if w.frame_type and self.dialect == SPARK and fn \
+                and fn.lower() in self._NO_FRAME_FNS:
+            return " ".join(parts)
         if w.frame_type:
             start = self._frame_bound(w.frame_start)
             end = self._frame_bound(w.frame_end)
