@@ -229,3 +229,48 @@ def test_frame_on_ranking_function_dropped_for_spark(ws, duck):
     got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
     exp = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == exp
+
+
+def test_date_format_strftime_pattern_conversion(ws, duck):
+    """date_format takes Java patterns, strftime takes C patterns — the
+    generator converts the LITERAL format string for the target dialect
+    (a name-only mapping would render wrong dates silently).  Both
+    directions, incl. literal text (quoted for Java) and strpos.
+    Wide-fuzz finds, round 5 (tools/fuzz_differential.py)."""
+    q = ("from orders where o_orderkey <= 40\n"
+         "select o_orderkey,\n"
+         "  f1 = date_format(o_orderdate, 'yyyy-MM'),\n"
+         "  f2 = date_format(o_orderdate, 'dd/MM/yyyy HH:mm:ss'),\n"
+         "  f3 = strftime(o_orderdate, '%Y-%m-%d'),\n"
+         "  f4 = date_format(o_orderdate, 'MMM d, yyyy'),\n"
+         "  f5 = strftime(o_orderdate, '%d of %B'),\n"
+         "  p = strpos(o_orderpriority, '-')\n"
+         "order by o_orderkey")
+    got = [tuple(map(str, r)) for r in ws.run(q).collect()]
+    exp = [tuple(map(str, r))
+           for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp
+
+
+def test_date_format_unknown_directive_rejected(ws):
+    """Unsupported directives fail at compile time with a pointed error —
+    never silently mis-rendered on the other dialect."""
+    import pytest as _pytest
+
+    from wvlet_spark.generator import CompileError
+
+    with _pytest.raises(CompileError, match="unsupported date format"):
+        ws.oracle_sql("from orders select x = date_format(o_orderdate, "
+                      "'yyyy GG')")
+
+
+def test_regexp_replace_replaces_all_matches(ws, duck):
+    """Spark's regexp_replace is replace-ALL; DuckDB defaults to first
+    match only — the DuckDB dialect must add the 'g' flag (wide-fuzz
+    find, round 5)."""
+    q = ("from part where p_partkey <= 30\n"
+         "select p_partkey, x = regexp_replace(p_name, '[aeiou]', '.')\n"
+         "order by p_partkey")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp

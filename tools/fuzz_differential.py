@@ -1,0 +1,321 @@
+"""Wide-shape offline differential fuzzer: random wvlet pipelines executed
+on Spark (Spark dialect) vs DuckDB (DuckDB dialect) must agree.
+
+Broader than the CI property test (tests/test_property_differential.py):
+multi-table joins, date arithmetic on orders, regex/string functions on
+part/customer, multi-key grouped aggregates with HAVING, window frames,
+set operations, IN/EXISTS subqueries, and unnest.  Run offline for as
+many examples as you like; failures are printed with the wvlet text and
+both SQL forms so they can be minimized and promoted into CI.
+
+    python tools/fuzz_differential.py [--n 300] [--seed 7] [--shape all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import os
+import random
+import sys
+import traceback
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation",
+          "region", "events", "documents", "embeddings"]
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, float) or type(v).__name__ == "Decimal":
+                f = float(v)
+                if math.isnan(f):
+                    vals.append("nan")
+                else:
+                    vals.append(0.0 if math.isclose(f, 0, abs_tol=1e-6)
+                                else round(f, 4))
+            elif isinstance(v, datetime.datetime):
+                vals.append(str(v))
+            elif isinstance(v, datetime.date):
+                vals.append(str(datetime.datetime.combine(
+                    v, datetime.time.min)))
+            elif isinstance(v, (list, tuple)):
+                vals.append(str(list(v)))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+# ------------------------------------------------------------ generators
+# Each returns wvlet text.  rng is random.Random.
+
+def _int_expr(rng, cols, depth=2):
+    if depth <= 0 or rng.random() < 0.35:
+        return rng.choice(cols + [str(rng.randint(-3, 9))])
+    a = _int_expr(rng, cols, depth - 1)
+    b = _int_expr(rng, cols, depth - 1)
+    op = rng.choice(["+", "-", "*", "if", "case", "coalesce", "least",
+                     "greatest"])
+    if op == "if":
+        return f"(if {a} > {b} then {a} else {b})"
+    if op == "case":
+        c = _int_expr(rng, cols, 0)
+        return (f"(case when {a} > {b} then {b} when {a} < 0 then {c} "
+                f"else {a} end)")
+    if op == "coalesce":
+        return f"(coalesce(nullif({a}, {b}), -1))"
+    if op in ("least", "greatest"):
+        return f"({op}({a}, {b}))"
+    return f"({a} {op} {b})"
+
+
+def shape_join_agg(rng):
+    """customer x orders multi-key aggregate with HAVING."""
+    k = rng.choice(["c_mktsegment", "o_orderpriority", "o_orderstatus"])
+    aggs = rng.sample([
+        "n = _.count",
+        "s = o_totalprice::decimal(18,2).sum::double",
+        "mx = o_totalprice.max::double",
+        "avg_t = o_totalprice.avg::double",
+        "dc = o_custkey.count_distinct",
+    ], k=rng.randint(1, 3))
+    having = ""
+    if rng.random() < 0.5:
+        nm = aggs[0].split(" = ")[0]
+        having = f"where {nm} >= {rng.randint(0, 3)}\n"
+    jt = rng.choice(["", "left "])
+    lim = rng.randint(3, 500)
+    return (f"from customer\n{jt}join orders on c_custkey = o_custkey\n"
+            f"where c_custkey <= {rng.randint(50, 400)}\n"
+            f"group by {k}\n"
+            f"agg {', '.join(aggs)}\n{having}"
+            f"order by {k}\nlimit {lim}")
+
+
+def shape_dates(rng):
+    """date arithmetic on orders."""
+    parts = rng.sample([
+        "y = year(o_orderdate)",
+        "m = month(o_orderdate)",
+        "d = day(o_orderdate)",
+        "dow = dayofweek(o_orderdate)",
+        "wd = weekday(o_orderdate)",
+        "doy = dayofyear(o_orderdate)",
+        "q = quarter(o_orderdate)",
+        "tr = date_trunc('month', o_orderdate)",
+        "trw = date_trunc('week', o_orderdate)",
+        f"plus = o_orderdate + interval {rng.randint(1, 40)} day",
+        f"minus = o_orderdate - interval {rng.randint(1, 11)} month",
+        "dd = datediff(o_orderdate, '1995-01-01'::date)",
+        "lastd = last_day(o_orderdate)",
+        "fmt = date_format(o_orderdate, 'yyyy-MM')",
+    ], k=rng.randint(2, 5))
+    return (f"from orders\nwhere o_orderkey <= {rng.randint(100, 2000)}\n"
+            f"select o_orderkey, {', '.join(parts)}\norder by o_orderkey")
+
+
+def shape_strings(rng):
+    """string functions on part names."""
+    parts = rng.sample([
+        "u = upper(p_name)", "l2 = lower(p_name)",
+        "s3 = substr(p_name, 2, 5)",
+        "r = replace(p_name, 'o', '0')",
+        "c = concat(p_name, '_', p_brand)",
+        "cw = concat_ws('-', p_brand, p_type)",
+        "lp = lpad(p_brand, 12, '.')",
+        "rp = rpad(p_brand, 12, '.')",
+        "t = trim('  ' || p_brand || ' ')",
+        "ln2 = length(p_name)",
+        "pos = strpos(p_name, 'a')",
+        "rev = reverse(p_brand)",
+        "spl = split_part(p_name, ' ', 1)",
+        "re1 = regexp_extract(p_name, '([a-z]+)', 1)",
+        "re2 = regexp_replace(p_name, '[aeiou]', '.')",
+        "il = if(p_name like '%bolt%', 1, 0)",
+        "lft = left(p_name, 4)", "rgt = right(p_name, 3)",
+        "rpt = repeat(p_brand, 2)",
+        "ini = initcap(p_name)",
+    ], k=rng.randint(2, 5))
+    return (f"from part\nwhere p_partkey <= {rng.randint(100, 1500)}\n"
+            f"select p_partkey, {', '.join(parts)}\norder by p_partkey")
+
+
+def shape_window(rng):
+    """window functions incl. frames over orders."""
+    fn = rng.choice([
+        "rank() ", "dense_rank() ", "row_number() ",
+        "ntile(4) ", "percent_rank() ", "cume_dist() ",
+        "lag(o_totalprice) ", "lead(o_totalprice, 2) ",
+        "sum(o_totalprice::decimal(18,2)) ",
+        "avg(o_totalprice::decimal(18,2)) ",
+        "count(*) ", "min(o_orderdate) ", "max(o_orderdate) ",
+    ])
+    frame = ""
+    if fn.startswith(("sum", "avg", "count", "min", "max")) and \
+            rng.random() < 0.6:
+        frame = rng.choice([
+            " rows between 2 preceding and current row",
+            " rows between unbounded preceding and current row",
+            " rows between 1 preceding and 1 following",
+        ])
+    return (f"from orders\nwhere o_orderkey <= {rng.randint(100, 800)}\n"
+            f"select o_orderkey, o_custkey,\n"
+            f"  w = {fn}over (partition by o_orderpriority "
+            f"order by o_orderkey{frame})\n"
+            f"order by o_orderkey")
+
+
+def shape_setops(rng):
+    """set operations between filtered selects."""
+    op = rng.choice(["concat", "concat", "intersect", "except",
+                     "intersect all", "except all"])
+    lo1, hi1 = sorted((rng.randint(0, 15), rng.randint(0, 25)))
+    lo2, hi2 = sorted((rng.randint(0, 15), rng.randint(0, 25)))
+    dedup = "dedup\n" if rng.random() < 0.4 else ""
+    return (f"from nation\nwhere n_nationkey between {lo1} and {hi1}\n"
+            f"select n_nationkey, n_regionkey\n"
+            f"{op} {{\n  from nation\n"
+            f"  where n_nationkey between {lo2} and {hi2}\n"
+            f"  select n_nationkey, n_regionkey\n}}\n{dedup}"
+            f"order by n_nationkey, n_regionkey")
+
+
+def shape_subquery(rng):
+    """IN / NOT IN / EXISTS subqueries."""
+    neg = rng.choice(["", "not "])
+    if rng.random() < 0.5:
+        return (f"from customer\nwhere c_custkey <= {rng.randint(80, 300)}"
+                f" and c_custkey {neg}in {{\n"
+                f"  from orders\n  where o_totalprice > "
+                f"{rng.randint(1000, 200000)}\n  select o_custkey\n}}\n"
+                f"select c_custkey, c_name\norder by c_custkey")
+    return (f"from supplier\nwhere s_suppkey <= {rng.randint(40, 120)}"
+            f" and {neg}exists {{\n"
+            f"  from lineitem\n  where l_suppkey = s_suppkey and "
+            f"l_quantity > {rng.randint(30, 49)}\n}}\n"
+            f"select s_suppkey, s_name\norder by s_suppkey")
+
+
+def shape_unnest(rng):
+    """split + unnest (lateral) over nation names."""
+    return ("from nation\n"
+            "cross join unnest(split(n_name, '_')) as t(tok)\n"
+            f"where n_nationkey <= {rng.randint(5, 24)}\n"
+            "select n_nationkey, tok\norder by n_nationkey, tok")
+
+
+def shape_exprs(rng):
+    """nested scalar expressions over nation (CI shape, deeper)."""
+    e = _int_expr(rng, ["n_nationkey", "n_regionkey"], 3)
+    d = rng.randint(2, 7)
+    return ("from nation\n"
+            f"select n_nationkey, v = ({e})::long, q = (({e}) / {d})::long, "
+            f"r = ({e}) % {d}\norder by n_nationkey")
+
+
+def shape_groupsets(rng):
+    """rollup / cube / grouping sets over orders."""
+    form = rng.choice([
+        "group by rollup(o_orderstatus, o_orderpriority)",
+        "group by cube(o_orderstatus, o_orderpriority)",
+        "group by grouping_sets((o_orderstatus), (o_orderpriority), ())",
+    ])
+    return (f"from orders\nwhere o_orderkey <= {rng.randint(200, 900)}\n"
+            f"{form}\n"
+            "agg n = _.count, s = o_totalprice::decimal(18,2).sum::double\n"
+            "order by o_orderstatus nulls first, o_orderpriority nulls first")
+
+
+SHAPES = {
+    "join_agg": shape_join_agg,
+    "dates": shape_dates,
+    "strings": shape_strings,
+    "window": shape_window,
+    "setops": shape_setops,
+    "subquery": shape_subquery,
+    "unnest": shape_unnest,
+    "exprs": shape_exprs,
+    "groupsets": shape_groupsets,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--shape", default="all")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from wvlet_spark import WvletSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ws = WvletSession(spark, table_dir=SF_DIR, test_mode=False)
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                     f"'{SF_DIR}/{t}.parquet'")
+
+    rng = random.Random(args.seed)
+    names = list(SHAPES) if args.shape == "all" else [args.shape]
+    fails = errs = 0
+    for i in range(args.n):
+        shape = names[i % len(names)]
+        q = SHAPES[shape](rng)
+        try:
+            osql = ws.oracle_sql(q)
+        except Exception:
+            errs += 1
+            print(f"--- [{i}] {shape}: ORACLE COMPILE ERROR\n{q}\n"
+                  f"{traceback.format_exc(limit=3)}")
+            continue
+        try:
+            got = _norm(tuple(r) for r in ws.run(q).collect())
+        except Exception:
+            errs += 1
+            print(f"--- [{i}] {shape}: SPARK ERROR\n{q}\n"
+                  f"{traceback.format_exc(limit=3)}")
+            continue
+        try:
+            exp = _norm(duck.execute(osql).fetchall())
+        except Exception:
+            errs += 1
+            print(f"--- [{i}] {shape}: DUCKDB ERROR\n{q}\n-- oracle:\n"
+                  f"{osql}\n{traceback.format_exc(limit=3)}")
+            continue
+        if got != exp:
+            fails += 1
+            print(f"--- [{i}] {shape}: VALUE MISMATCH\n{q}\n-- oracle:\n"
+                  f"{osql}")
+            for a, b in list(zip(got, exp))[:8]:
+                if a != b:
+                    print(f"  spark={a}\n  duck ={b}")
+            if len(got) != len(exp):
+                print(f"  rows: spark={len(got)} duck={len(exp)}")
+        if (i + 1) % 25 == 0:
+            print(f"[{i+1}/{args.n}] fails={fails} errs={errs}",
+                  flush=True)
+    print(f"DONE n={args.n} fails={fails} errs={errs}")
+    sys.exit(1 if (fails or errs) else 0)
+
+
+if __name__ == "__main__":
+    main()

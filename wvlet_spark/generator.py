@@ -43,7 +43,9 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "array_agg": {SPARK: "collect_list", DUCKDB: "array_agg"},
     "to_array": {SPARK: "collect_list", DUCKDB: "array_agg"},
     "string_agg": {SPARK: "string_agg", DUCKDB: "string_agg"},
-    "strftime": {SPARK: "date_format", DUCKDB: "strftime"},
+    # strftime/date_format are handled in _function (the format STRING
+    # must be converted between Java and C patterns, not just the name)
+    "strpos": {SPARK: "instr", DUCKDB: "strpos"},
     "regexp_matches": {SPARK: "regexp_like", DUCKDB: "regexp_matches"},
     "regexp_like": {SPARK: "regexp_like", DUCKDB: "regexp_matches"},
     "approx_distinct": {SPARK: "approx_count_distinct", DUCKDB: "approx_count_distinct"},
@@ -142,6 +144,86 @@ def _provably_date(e) -> bool:
             and isinstance(e.right, N.IntervalLiteral):
         return _provably_date(e.left)
     return False
+
+
+# Java DateTimeFormatter <-> C strftime directive table.  Used to convert
+# LITERAL format strings between `date_format` (Spark, Java patterns) and
+# `strftime` (DuckDB, C patterns) so the same wvlet text produces the same
+# rendered dates on both dialects.  (A name-only mapping would silently
+# feed Java patterns to strftime or vice versa — wrong VALUES, no error.)
+_JAVA_TO_C = {
+    "yyyy": "%Y", "yy": "%y", "MMMM": "%B", "MMM": "%b", "MM": "%m",
+    "M": "%-m", "dd": "%d", "d": "%-d", "EEEE": "%A", "EEE": "%a",
+    "E": "%a", "DDD": "%j", "HH": "%H", "H": "%-H", "hh": "%I",
+    "h": "%-I", "mm": "%M", "m": "%-M", "ss": "%S", "s": "%-S",
+    "SSS": "%g", "SSSSSS": "%f", "a": "%p",
+}
+_C_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%B": "MMMM", "%b": "MMM", "%h": "MMM",
+    "%m": "MM", "%-m": "M", "%d": "dd", "%-d": "d", "%A": "EEEE",
+    "%a": "EEE", "%j": "DDD", "%H": "HH", "%-H": "H", "%I": "hh",
+    "%-I": "h", "%M": "mm", "%-M": "m", "%S": "ss", "%-S": "s",
+    "%g": "SSS", "%f": "SSSSSS", "%p": "a", "%%": "%",
+}
+
+
+def _java_fmt_to_c(fmt: str) -> str:
+    """Convert a Java DateTimeFormatter pattern to C strftime."""
+    out, i = [], 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":  # quoted literal section ('' = literal quote)
+            if fmt[i:i + 2] == "''":
+                out.append("'")
+                i += 2
+                continue
+            j = fmt.find("'", i + 1)
+            if j < 0:
+                raise CompileError(f"unterminated quote in date format "
+                                   f"{fmt!r}")
+            out.append(fmt[i + 1:j].replace("%", "%%"))
+            i = j + 1
+        elif ch.isalpha():
+            j = i
+            while j < len(fmt) and fmt[j] == ch:
+                j += 1
+            tok = fmt[i:j]
+            if tok not in _JAVA_TO_C:
+                raise CompileError(
+                    f"unsupported date format directive {tok!r} in {fmt!r} "
+                    f"(cross-dialect date_format/strftime conversion)")
+            out.append(_JAVA_TO_C[tok])
+            i = j
+        else:
+            out.append("%%" if ch == "%" else ch)
+            i += 1
+    return "".join(out)
+
+
+def _c_fmt_to_java(fmt: str) -> str:
+    """Convert a C strftime pattern to Java DateTimeFormatter."""
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            tok = fmt[i:i + 3] if fmt[i + 1:i + 2] == "-" else fmt[i:i + 2]
+            if tok not in _C_TO_JAVA:
+                raise CompileError(
+                    f"unsupported strftime directive {tok!r} in {fmt!r} "
+                    f"(cross-dialect date_format/strftime conversion)")
+            out.append(_C_TO_JAVA[tok])
+            i += len(tok)
+        elif fmt[i].isalpha():
+            # bare letters are literal text in C but pattern letters in
+            # Java — quote them
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 def _maybe_fractional_numeric(e) -> bool:
@@ -1531,6 +1613,39 @@ class SqlGenerator:
             sub = self.expr(e.args[0].args[1])
             core = f"position({sub}, {s})" if self.dialect == SPARK \
                 else f"position({sub} IN {s})"
+        elif e.name.lower() in ("date_format", "strftime") \
+                and len(e.args) == 2:
+            # Same operation, different pattern languages: date_format
+            # takes Java DateTimeFormatter patterns, strftime takes C
+            # patterns.  Convert the literal pattern for the target
+            # dialect; non-literal patterns cannot be converted at
+            # compile time — reject rather than render wrong dates.
+            val, fa = e.args[0], e.args[1]
+            java_in = e.name.lower() == "date_format"
+            if not (isinstance(fa, N.Literal) and fa.kind == "string"):
+                if (java_in) == (self.dialect == SPARK):
+                    core = (f"{e.name.lower()}({self.expr(val)}, "
+                            f"{self.expr(fa)})")
+                else:
+                    raise CompileError(
+                        f"{e.name}: non-literal format strings cannot be "
+                        f"converted between dialects")
+            else:
+                fmt = fa.value
+                if self.dialect == SPARK:
+                    jfmt = fmt if java_in else _c_fmt_to_java(fmt)
+                    core = (f"date_format({self.expr(val)}, "
+                            f"'{jfmt.replace(chr(39), chr(39) * 2)}')")
+                else:
+                    cfmt = _java_fmt_to_c(fmt) if java_in else fmt
+                    core = (f"strftime({self.expr(val)}, "
+                            f"'{cfmt.replace(chr(39), chr(39) * 2)}')")
+        elif e.name.lower() == "regexp_replace" and len(e.args) == 3 \
+                and self.dialect != SPARK:
+            # Spark's regexp_replace is replace-ALL; DuckDB's default is
+            # first-match-only and needs the 'g' flag (wide-fuzz find)
+            a = ", ".join(self.expr(x) for x in e.args)
+            core = f"regexp_replace({a}, 'g')"
         elif e.name.lower() == "char_length" and self.dialect != SPARK \
                 and len(e.args) == 1:
             core = f"length({self.expr(e.args[0])})"
