@@ -544,6 +544,37 @@ ORDER BY ym
 """,
 )
 
+# date-pattern rendering across dialects: date_format takes Java
+# DateTimeFormatter patterns, strftime takes C patterns — the generator
+# converts the literal pattern per target (generator._java_fmt_to_c /
+# _c_fmt_to_java; wide-fuzz find, round 5).  The oracle is hand-written
+# strftime, so it also pins the Java->C table independently.
+q(
+    "date_fmt_patterns",
+    """
+from orders
+where o_orderkey <= 500
+select o_orderkey,
+  ym = date_format(o_orderdate, 'yyyy-MM'),
+  pretty = date_format(o_orderdate, 'MMM d, yyyy'),
+  cfmt = strftime(o_orderdate, '%d of %B'),
+  dow3 = date_format(o_orderdate, 'EEE'),
+  wk = strpos(date_format(o_orderdate, 'EEE'), 'S')::long
+order by o_orderkey
+""",
+    """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m') AS ym,
+  strftime(o_orderdate, '%b %-d, %Y') AS pretty,
+  strftime(o_orderdate, '%d of %B') AS cfmt,
+  strftime(o_orderdate, '%a') AS dow3,
+  CAST(strpos(strftime(o_orderdate, '%a'), 'S') AS BIGINT) AS wk
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+""",
+)
+
 q(
     "extract_parts",
     """
