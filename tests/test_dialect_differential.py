@@ -274,3 +274,16 @@ def test_regexp_replace_replaces_all_matches(ws, duck):
     got = [tuple(r) for r in ws.run(q).collect()]
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
+
+
+def test_int_cast_of_double_column_truncates_like_spark(ws, duck):
+    """`double_col::long`: Spark truncates toward zero, DuckDB CAST
+    rounds — the oracle dialect must trunc() bare fractional COLUMNS
+    too, via the session's parquet-footer type lookup (wide-fuzz find,
+    round 5; the expression-shape guard alone missed plain refs)."""
+    q = ("from lineitem where l_orderkey <= 30\n"
+         "select l_orderkey, l_linenumber, i = l_extendedprice::long\n"
+         "order by l_orderkey, l_linenumber")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp

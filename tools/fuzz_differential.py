@@ -236,6 +236,49 @@ def shape_groupsets(rng):
             "order by o_orderstatus nulls first, o_orderpriority nulls first")
 
 
+def shape_nulls(rng):
+    """NULL propagation through conditionals over events (value has a
+    CASE-made nullable twin) + json props extraction."""
+    nv = f"(case when value > {rng.randint(5, 40)} then value end)"
+    parts = rng.sample([
+        f"c1 = coalesce({nv}, -1.0)",
+        f"c2 = nullif(event_type, 'click')",
+        f"c3 = if({nv} is null, 0, 1)",
+        f"c4 = greatest({nv}, 3.0)",
+        f"c5 = least({nv}, 3.0)",
+        "j = json_extract_string(props, '$.k')",
+        f"c6 = ifnull({nv}, 9.9)",
+        f"c7 = {nv} is distinct from value",
+    ], k=rng.randint(2, 4))
+    return (f"from events\nwhere event_id <= {rng.randint(100, 900)}\n"
+            f"select event_id, {', '.join(parts)}\norder by event_id")
+
+
+def shape_decimal(rng):
+    """decimal cast/arithmetic round-trips on lineitem prices."""
+    p, s = rng.choice([(18, 2), (12, 3), (10, 0), (38, 6)])
+    return (f"from lineitem\nwhere l_orderkey <= {rng.randint(40, 400)}\n"
+            f"select l_orderkey, l_linenumber,\n"
+            f"  d = l_extendedprice::decimal({p},{s}),\n"
+            f"  m = (l_extendedprice::decimal(18,2) * "
+            f"(1 - l_discount::decimal(18,2)))::double,\n"
+            f"  i = l_extendedprice::long, f = l_extendedprice::double\n"
+            f"order by l_orderkey, l_linenumber")
+
+
+def shape_lateral(rng):
+    """lateral correlated subquery: top-N orders per small customer set."""
+    n = rng.randint(1, 3)
+    return (f"from customer\nwhere c_custkey <= {rng.randint(8, 40)}\n"
+            "cross join lateral {\n"
+            "  from orders\n  where o_custkey = c_custkey\n"
+            f"  order by o_totalprice desc\n  limit {n}\n"
+            "  select o_orderkey, o_totalprice\n}\n"
+            "select c_custkey, o_orderkey, "
+            "tp = o_totalprice::decimal(18,2)::double\n"
+            "order by c_custkey, o_orderkey")
+
+
 SHAPES = {
     "join_agg": shape_join_agg,
     "dates": shape_dates,
@@ -246,6 +289,9 @@ SHAPES = {
     "unnest": shape_unnest,
     "exprs": shape_exprs,
     "groupsets": shape_groupsets,
+    "nulls": shape_nulls,
+    "decimal": shape_decimal,
+    "lateral": shape_lateral,
 }
 
 

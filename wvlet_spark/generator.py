@@ -226,18 +226,21 @@ def _c_fmt_to_java(fmt: str) -> str:
     return "".join(out)
 
 
-def _maybe_fractional_numeric(e) -> bool:
+def _maybe_fractional_numeric(e, col_fn=None) -> bool:
     """True only for expressions that are PROVABLY numeric and may carry a
     fractional part — the precondition for the DuckDB-side trunc() wrap in
     integer casts (trunc of a VARCHAR would error, so this must never
-    fire on possibly-string expressions)."""
+    fire on possibly-string expressions).  col_fn, when provided, is the
+    session's bare-column-name -> Spark type lookup (parquet footers), so
+    plain double/decimal COLUMN refs qualify too (wide-fuzz find:
+    l_extendedprice::long truncated on Spark but rounded on DuckDB)."""
     if isinstance(e, N.ArithmeticOp):
         if e.op == "/":
             return True
-        return (_maybe_fractional_numeric(e.left)
-                or _maybe_fractional_numeric(e.right))
+        return (_maybe_fractional_numeric(e.left, col_fn)
+                or _maybe_fractional_numeric(e.right, col_fn))
     if isinstance(e, N.UnaryOp):
-        return _maybe_fractional_numeric(e.expr)
+        return _maybe_fractional_numeric(e.expr, col_fn)
     if isinstance(e, N.Literal):
         return e.kind == "float"
     if isinstance(e, N.Cast):
@@ -248,23 +251,32 @@ def _maybe_fractional_numeric(e) -> bool:
         if n in _FRACTIONAL_FNS:
             return True
         if n in _NUMERIC_THROUGH_FNS:
-            return any(_maybe_fractional_numeric(a) for a in e.args)
+            return any(_maybe_fractional_numeric(a, col_fn) for a in e.args)
         return False
     if isinstance(e, N.MethodCall):
         if e.method.lower() in ("avg", "mean"):
             return True
         if e.method.lower() in ("sum", "min", "max"):
-            return _maybe_fractional_numeric(e.target)
+            return _maybe_fractional_numeric(e.target, col_fn)
         return False
     if isinstance(e, N.IfExpr):
-        return (_maybe_fractional_numeric(e.then)
+        return (_maybe_fractional_numeric(e.then, col_fn)
                 or (e.otherwise is not None
-                    and _maybe_fractional_numeric(e.otherwise)))
+                    and _maybe_fractional_numeric(e.otherwise, col_fn)))
     if isinstance(e, N.CaseExpr):
         branches = [v for _c, v in e.whens]
         if e.otherwise is not None:
             branches.append(e.otherwise)
-        return any(_maybe_fractional_numeric(b) for b in branches)
+        return any(_maybe_fractional_numeric(b, col_fn) for b in branches)
+    if col_fn is not None and isinstance(e, (N.Ident, N.Ref)):
+        name = e.name.split(".")[-1]
+        t = col_fn(name)
+        if t is None:
+            return False
+        if t in ("double", "float"):
+            return True
+        m = re.match(r"decimal\(\d+,(\d+)\)", t)
+        return bool(m) and int(m.group(1)) > 0
     return False
 
 
@@ -1330,7 +1342,7 @@ class SqlGenerator:
             low_t = e.to_type.strip().lower()
             if self.dialect != SPARK \
                     and low_t.startswith(("decimal", "numeric")) \
-                    and _maybe_fractional_numeric(e.expr):
+                    and _maybe_fractional_numeric(e.expr, self.ctx.column_type):
                 # decimal scale reduction rounds HALF_UP (away from zero)
                 # in Spark but TRUNCATES in DuckDB (99.999::decimal(10,1)
                 # = 100.0 vs 99.9) — pre-round at the target scale
@@ -1340,7 +1352,7 @@ class SqlGenerator:
                 return (f"{fn}(round({self.expr(e.expr)}, {scale}) "
                         f"AS {type_sql(e.to_type, self.dialect)})")
             if self.dialect != SPARK and low_t in _INT_CAST_TARGETS \
-                    and _maybe_fractional_numeric(e.expr):
+                    and _maybe_fractional_numeric(e.expr, self.ctx.column_type):
                 # double->int CAST semantics differ: Spark truncates
                 # toward zero, DuckDB rounds half away from zero
                 # (CAST(-3.5 AS BIGINT) = -3 vs -4).  The engine defines
