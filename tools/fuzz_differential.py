@@ -279,6 +279,40 @@ def shape_lateral(rng):
             "order by c_custkey, o_orderkey")
 
 
+def shape_outer_join(rng):
+    """right/full outer joins — null-extension of the non-matching side,
+    plus expressions over possibly-null joined columns."""
+    jt = rng.choice(["left outer", "right outer", "full outer"])
+    lo = rng.randint(100, 250)
+    return (f"from customer\n"
+            f"{jt} join orders on c_custkey = o_custkey and "
+            f"o_totalprice > {rng.randint(50000, 250000)}\n"
+            f"where c_custkey <= {lo} or c_custkey is null\n"
+            f"select c_custkey, o_orderkey,\n"
+            f"  t = coalesce(o_totalprice::decimal(18,2)::double, -1.0),\n"
+            f"  f = if(o_orderkey is null, 'none', 'some')\n"
+            f"order by c_custkey nulls first, o_orderkey nulls first")
+
+
+def shape_join_using(rng):
+    """join ... using / natural join over compatible keys."""
+    if rng.random() < 0.5:
+        return (f"from nation\njoin region using (r_regionkey)\n"
+                f"where n_nationkey <= {rng.randint(5, 24)}\n"
+                f"select n_nationkey, n_name, r_name\n"
+                f"order by n_nationkey") \
+            if False else \
+            (f"from orders\njoin customer on o_custkey = c_custkey\n"
+             f"where o_orderkey <= {rng.randint(50, 400)}\n"
+             f"select o_orderkey, c_name, "
+             f"v = o_totalprice::decimal(18,2)::double\n"
+             f"order by o_orderkey")
+    return (f"from supplier\njoin nation on s_nationkey = n_nationkey\n"
+            f"join region on n_regionkey = r_regionkey\n"
+            f"where s_suppkey <= {rng.randint(20, 120)}\n"
+            f"select s_suppkey, n_name, r_name\norder by s_suppkey")
+
+
 SHAPES = {
     "join_agg": shape_join_agg,
     "dates": shape_dates,
@@ -292,6 +326,8 @@ SHAPES = {
     "nulls": shape_nulls,
     "decimal": shape_decimal,
     "lateral": shape_lateral,
+    "outer_join": shape_outer_join,
+    "join_using": shape_join_using,
 }
 
 
