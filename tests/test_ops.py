@@ -711,3 +711,20 @@ def test_bigram_lm_split_scoring(spark):
     r = {row.doc_id: row.avg_logp
          for row in bigram_lm_logprob(score, train_df=train).collect()}
     assert r[11] < r[10] < 0
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    """Same epoch => identical global order regardless of partitioning;
+    different epochs => different permutations; positions are dense
+    1..n."""
+    from wvlet_spark.ops.sampling import epoch_shuffle
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in epoch_shuffle(df, 1).collect()]
+    b = [r.doc_id for r in epoch_shuffle(df.repartition(13), 1).collect()]
+    c = [r.doc_id for r in epoch_shuffle(df, 2).collect()]
+    assert a == b                      # partition-layout independent
+    assert a != c                      # epochs permute differently
+    assert sorted(a) == sorted(c) == list(range(3000))
+    pos = [r.position for r in epoch_shuffle(df, 1).collect()]
+    assert pos == list(range(1, 3001))  # dense 1-based rank

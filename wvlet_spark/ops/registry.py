@@ -470,6 +470,30 @@ ORDER BY d.doc_id
 """
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle: position derived
+    from an engine-portable md5 of (salt, epoch, doc_id), so the exact
+    permutation — not just the row set — is oracle-checkable.  Epoch 2
+    pinned; a pytest asserts epochs differ and reruns agree."""
+    from wvlet_spark.ops.sampling import epoch_shuffle
+
+    out = epoch_shuffle(_docs(spark, sf_dir).select("doc_id", "source"),
+                        epoch=2)
+    return (out.select("position", "doc_id", "source")
+            .orderBy("position").limit(5000))
+
+
+O_EPOCH_SHUFFLE = """
+SELECT CAST(row_number() OVER (
+         ORDER BY md5('wv:2:' || CAST(doc_id AS VARCHAR)), doc_id)
+       AS INTEGER) AS position,
+       doc_id, source
+FROM documents
+ORDER BY position
+LIMIT 5000
+"""
+
+
 def q_chunking(spark, sf_dir):
     """Sliding-window chunking of the documents table (120-token chunks,
     24-token overlap); the oracle mirrors the identical window starts and
@@ -1699,6 +1723,7 @@ def entry_queries() -> dict:
         "ext_approx_distinct": q_approx_distinct,
         "ext_stream_enrich": q_stream_enrich,
         "ext_mixture": q_mixture,
+        "ext_epoch_shuffle": q_epoch_shuffle,
         "ext_chunking": q_chunking,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
@@ -1746,6 +1771,7 @@ def entry_oracles() -> dict:
         "ext_approx_distinct": O_APPROX_DISTINCT,
         "ext_stream_enrich": O_STREAM_ENRICH,
         "ext_mixture": O_MIXTURE,
+        "ext_epoch_shuffle": O_EPOCH_SHUFFLE,
         "ext_chunking": O_CHUNKING,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),

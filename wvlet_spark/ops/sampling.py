@@ -88,3 +88,33 @@ def mixture_sample(df: DataFrame, target_weights: dict[str, float],
     fractions = {s: min(1.0, t * w / counts[s]) for s, w in live.items()}
     return stratified_deterministic_sample(
         df, fractions, source_col, key_col, 0.0, salt)
+
+
+def epoch_shuffle(df: DataFrame, epoch: int, key_col: str = "doc_id",
+                  salt: str = "wv") -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch.
+
+    Training pipelines need a REPRODUCIBLE document order per epoch
+    (restartable jobs, cross-run comparisons, data-order ablations) that
+    still differs between epochs.  RNG-based orderBy(rand(seed)) depends
+    on partition layout; this derives the position from an engine-portable
+    hash: `order by md5(salt || epoch || ':' || key)` — same order on any
+    engine or partitioning, different permutation each epoch, and a DuckDB
+    oracle can re-derive it exactly.
+
+    Scale: one range-partitioned global sort (Spark samples the hash
+    space to build range bounds) — the same cost as any total ordering;
+    at 100 TB assign `shard = substr(hash, 1, 2)` first and sort within
+    shards instead (the written shard files are consumed sequentially, so
+    within-shard order + shard order = global order without a single
+    global sort).  `position` is the rank within the epoch (dense, 1-based)
+    for downstream curriculum/resume bookkeeping.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:{int(epoch)}:"),
+                       F.col(key_col).cast("string")))
+    out = df.withColumn("shuffle_key", h)
+    w = Window.orderBy("shuffle_key", F.col(key_col))
+    return (out.withColumn("position", F.row_number().over(w))
+            .orderBy("position"))

@@ -323,6 +323,11 @@ class WvletSession:
             return sampling.deterministic_sample(
                 _df(table), float(fraction), **kw)
 
+        def tool_epoch_shuffle(spark, table, epoch, **kw):
+            return sampling.epoch_shuffle(_df(table), int(epoch), **kw)
+
+        self._tools["epoch_shuffle"] = tool_epoch_shuffle
+
         def tool_decontaminate(spark, table, benchmark, **kw):
             return dedup.decontaminate(_df(table), _df(benchmark), **kw)
 
