@@ -51,7 +51,7 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 CANARY_TOLERANCE = 1.5
 
 
-def _knobs(sf_dir: str, cpus: int) -> tuple[int, int, int]:
+def _knobs(sf_dir: str, cpus: int) -> tuple[int, int, int, bool]:
     """Scale-aware Spark knobs (see round-2 measurements in SCALE.md §8).
 
     Toy inputs (< ~16 MB per core, e.g. the 17 MB sf0.1 gate data) are
@@ -73,17 +73,28 @@ def _knobs(sf_dir: str, cpus: int) -> tuple[int, int, int]:
     # broadcast million-row tables and 8 shuffle buckets under-parallelize
     # 32 cores (measured 55s vs ~21s for the sf1 suite).
     if total_bytes < 64 * 1024 * 1024:
+        # AQE buys nothing here (every join already broadcasts under the
+        # 64 MB threshold, nothing to re-plan) and its per-stage
+        # materialization barriers cost ~50-150 ms per exchange on warm
+        # runs (warm-path A/B: suite 11.3 -> 9.8 s; cold min-of-3 through
+        # this harness measures neutral, 8.97 vs 8.91 s).  Off for the
+        # toy branch; the real-scale branch keeps AQE on (skew joins,
+        # runtime re-planning — the 100 TB posture).  SPARK_GRAFT_AQE
+        # overrides either branch.
         max_part, bcast, shuffle = 128, 64, 8
+        aqe = False
     else:
         # clamp low enough that a single ~100 MB parquet file still scans
         # ~cores-wide (splits are maxPartitionBytes byte ranges over row
         # groups); the 1 MB openCost keeps tiny files from over-splitting
         max_part = min(128, max(4, (total_bytes // (cpus * 3)) >> 20))
         bcast, shuffle = 10, max(8, cpus)
+        aqe = True
     max_part = int(os.environ.get("SPARK_GRAFT_MAXPART_MB", max_part))
     bcast = int(os.environ.get("SPARK_GRAFT_BCAST_MB", bcast))
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", shuffle))
-    return max_part, bcast, shuffle
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1" if aqe else "0") == "1"
+    return max_part, bcast, shuffle, aqe
 
 
 def _oracles_for(names: list[str]) -> dict[str, str]:
@@ -247,12 +258,13 @@ def _measure_spark(spark, sf_dir: str, names: list[str],
 def _make_spark(sf_dir: str, cpus: int):
     from pyspark.sql import SparkSession
 
-    max_part, bcast, shuffle = _knobs(sf_dir, cpus)
+    max_part, bcast, shuffle, aqe = _knobs(sf_dir, cpus)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                str(aqe).lower())
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
