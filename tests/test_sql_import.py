@@ -344,3 +344,62 @@ def test_json_object_key_value(spark):
         "ABSENT ON NULL) AS j "
         "FROM (VALUES ('x', NULL)) AS t(a, b)").collect()
     assert rows[0].j == '{"a":"x"}'
+
+
+def test_duckdb_semantic_functions_import(spark, duck):
+    """DuckDB-semantics functions must import as VALUE-converted canonical
+    forms, not name passthroughs (SQL-import wide-fuzz finds, round 5):
+    dayofweek (0-based -> Spark 1-based), isodow, 3-arg datediff('day'),
+    1-arg numeric trunc, string_split_regex, regexp_replace 'g' flag."""
+    from wvlet_spark import WvletSession
+
+    sql = ("SELECT n_nationkey, dayofweek(DATE '2026-08-16' + n_nationkey)"
+           " AS dw, isodow(DATE '2026-08-16' + n_nationkey) AS iso,"
+           " datediff('day', DATE '1995-01-01',"
+           "          DATE '1995-03-01' + n_nationkey) AS dd,"
+           " trunc(CAST(n_nationkey - 2.5 AS DOUBLE)) AS tr,"
+           " string_split_regex(n_name, '_')[1] AS tok,"
+           " regexp_replace(n_name, '[AEIOU]', '.', 'g') AS rr "
+           "FROM nation ORDER BY n_nationkey")
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    wv = ws.to_wvlet(sql)
+    got = _norm(tuple(r) for r in ws.run(wv).collect())
+    exp = _norm(duck.execute(sql).fetchall())
+    assert got == exp
+
+
+def test_select_distinct_star_imports_as_dedup(spark, duck):
+    """`SELECT DISTINCT *` must keep the distinct as a dedup pipe — it was
+    silently dropped when the star select line is elided (wide-fuzz
+    find, round 5)."""
+    from wvlet_spark import WvletSession
+
+    sql = ("SELECT DISTINCT * FROM (SELECT n_regionkey FROM nation) t "
+           "ORDER BY n_regionkey")
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    wv = ws.to_wvlet(sql)
+    assert "dedup" in wv
+    got = [r[0] for r in ws.run(wv).collect()]
+    exp = [r[0] for r in duck.execute(sql).fetchall()]
+    assert got == exp
+
+
+def test_lateral_and_unnest_projection_import(spark, duck):
+    """DuckDB's json serialization erases LATERAL; the importer restores
+    it from the statement text, and converts `(SELECT unnest(e) AS c)`
+    join operands back to unnest relations (wide-fuzz finds, round 5)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql1 = ("SELECT n_nationkey, tok FROM nation CROSS JOIN LATERAL "
+            "(SELECT unnest(string_split_regex(n_name, ' ')) AS tok) AS t "
+            "WHERE n_nationkey <= 5 ORDER BY n_nationkey, tok")
+    got = [tuple(map(str, r)) for r in ws.run(ws.to_wvlet(sql1)).collect()]
+    exp = [tuple(map(str, r)) for r in duck.execute(sql1).fetchall()]
+    assert got == exp
+    sql2 = ("SELECT r_name, top_n FROM region CROSS JOIN LATERAL "
+            "(SELECT max(n_name) AS top_n FROM nation "
+            " WHERE n_regionkey = r_regionkey) AS t ORDER BY r_name")
+    got2 = [tuple(map(str, r)) for r in ws.run(ws.to_wvlet(sql2)).collect()]
+    exp2 = [tuple(map(str, r)) for r in duck.execute(sql2).fetchall()]
+    assert got2 == exp2

@@ -56,6 +56,28 @@ def _norm(rows):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def _rows_close(a, b, rel=1e-6) -> bool:
+    """Fallback for _norm's fixed 4-decimal quantization: two numerically
+    equal streams can straddle a rounding boundary (e.g. x.xxxx5).  Rows
+    count as equal when every cell is string-equal or numerically within
+    `rel` relative tolerance."""
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            try:
+                fa, fb = float(va), float(vb)
+            except (TypeError, ValueError):
+                return False
+            if not math.isclose(fa, fb, rel_tol=rel, abs_tol=1e-9):
+                return False
+    return True
+
+
 # ------------------------------------------------------------ generators
 # Each returns wvlet text.  rng is random.Random.
 
@@ -336,6 +358,10 @@ def main():
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--shape", default="all")
+    ap.add_argument("--import-path", action="store_true",
+                    help="also round-trip each query's DuckDB SQL through "
+                         "to_wvlet and re-execute on Spark (fuzzes the SQL "
+                         "importer with zero extra generators)")
     args = ap.parse_args()
 
     import duckdb
@@ -358,7 +384,7 @@ def main():
 
     rng = random.Random(args.seed)
     names = list(SHAPES) if args.shape == "all" else [args.shape]
-    fails = errs = 0
+    fails = errs = rejects = 0
     for i in range(args.n):
         shape = names[i % len(names)]
         q = SHAPES[shape](rng)
@@ -383,7 +409,7 @@ def main():
             print(f"--- [{i}] {shape}: DUCKDB ERROR\n{q}\n-- oracle:\n"
                   f"{osql}\n{traceback.format_exc(limit=3)}")
             continue
-        if got != exp:
+        if got != exp and not _rows_close(got, exp):
             fails += 1
             print(f"--- [{i}] {shape}: VALUE MISMATCH\n{q}\n-- oracle:\n"
                   f"{osql}")
@@ -392,10 +418,33 @@ def main():
                     print(f"  spark={a}\n  duck ={b}")
             if len(got) != len(exp):
                 print(f"  rows: spark={len(got)} duck={len(exp)}")
+        if args.import_path:
+            # SQL importer round-trip: the oracle SQL is valid DuckDB —
+            # feed it BACK through to_wvlet and the engine; values must
+            # still match DuckDB executing the same SQL.
+            try:
+                wv2 = ws.to_wvlet(osql)
+                got2 = _norm(tuple(r) for r in ws.run(wv2).collect())
+            except Exception as ex:
+                from wvlet_spark.sql_import import SqlImportError
+                if isinstance(ex, SqlImportError):
+                    rejects += 1   # typed reject = documented unsupported
+                    continue
+                errs += 1
+                print(f"--- [{i}] {shape}: IMPORT-PATH ERROR\n-- sql:\n"
+                      f"{osql}\n{traceback.format_exc(limit=3)}")
+                continue
+            if got2 != exp and not _rows_close(got2, exp):
+                fails += 1
+                print(f"--- [{i}] {shape}: IMPORT-PATH MISMATCH\n-- sql:\n"
+                      f"{osql}\n-- wvlet:\n{wv2}")
+                for a, b in list(zip(got2, exp))[:6]:
+                    if a != b:
+                        print(f"  spark={a}\n  duck ={b}")
         if (i + 1) % 25 == 0:
             print(f"[{i+1}/{args.n}] fails={fails} errs={errs}",
                   flush=True)
-    print(f"DONE n={args.n} fails={fails} errs={errs}")
+    print(f"DONE n={args.n} fails={fails} errs={errs} import_rejects={rejects}")
     sys.exit(1 if (fails or errs) else 0)
 
 

@@ -109,9 +109,23 @@ def sql_to_wvlet(sql: str, dialect: str = "duckdb") -> str:
     return ";\n\n".join(out) + "\n"
 
 
+# Conversion-scoped: DuckDB's json serialization ERASES the LATERAL
+# keyword (laterality is resolved by its binder, not recorded in the
+# AST), so a correlated derived table re-emitted as a plain subquery
+# fails analysis downstream.  The original statement text still carries
+# the keyword — when it does, subquery join operands are re-emitted in
+# wvlet's `lateral { ... }` form (lateral over an uncorrelated subquery
+# is semantically identical, so over-application is harmless).
+# (SQL-import wide-fuzz find, round 5.)
+_LATERAL_HINT = False
+
+
 def _convert_query_sql(sql: str) -> str:
     """One SELECT-like statement -> wvlet query text (AST-walk path)."""
-    ast = parse_sql(_normalize_stmt(sql))
+    global _LATERAL_HINT
+    norm = _normalize_stmt(sql)
+    _LATERAL_HINT = bool(re.search(r"\blateral\b", norm, re.IGNORECASE))
+    ast = parse_sql(norm)
     parts = [_query_node(s["node"], top=True) for s in ast["statements"]]
     return ";\n\n".join(parts)
 
@@ -1061,6 +1075,11 @@ def _select_node(node: dict) -> list[str]:
     kw = "select distinct" if distinct else "select"
     if not (len(items) == 1 and items[0] == "*" and has_from):
         lines.append(f"{kw} " + ", ".join(items))
+    elif distinct:
+        # `SELECT DISTINCT *`: the star select line is elided, but the
+        # distinct must survive as the dedup pipe (SQL-import wide-fuzz
+        # find, round 5 — it was silently dropped)
+        lines.append("dedup")
     lines += _modifiers(node)
     return lines
 
@@ -1146,6 +1165,53 @@ def _select_item(e: dict) -> str:
 # ----------------------------------------------------------------- relations
 
 
+def _unnest_operand(rel: dict) -> str | None:
+    """`(SELECT unnest(expr) AS col) AS t` — DuckDB's serialization of a
+    lateral unnest projection — back to `unnest(expr) as t(col)`
+    (SQL-import wide-fuzz find, round 5)."""
+    if rel.get("type") != "SUBQUERY":
+        return None
+    sub = rel["subquery"]["node"]
+    if sub.get("type") != "SELECT_NODE":
+        return None
+    if (sub.get("from_table") or {}).get("type") != "EMPTY":
+        return None
+    if sub.get("where_clause") or sub.get("groups", {}).get(
+            "group_expressions") or sub.get("modifiers"):
+        return None
+    items = sub.get("select_list") or []
+    if len(items) != 1:
+        return None
+    it = items[0]
+    if it.get("class") != "FUNCTION" or it.get("function_name") != "unnest" \
+            or len(it.get("children") or []) != 1:
+        return None
+    alias = rel.get("alias") or "t"
+    col = it.get("alias") or "value"
+    return (f"unnest({_expr(it['children'][0])}) "
+            f"as {_name(alias)}({_name(col)})")
+
+
+def _join_operand(rel: dict) -> str:
+    """A join's right operand: unnest projections and (when the original
+    text used LATERAL) subqueries get their laterality restored."""
+    u = _unnest_operand(rel)
+    if u is not None:
+        return u
+    if _LATERAL_HINT and rel.get("type") == "SUBQUERY" \
+            and _as_values_list(rel["subquery"]["node"]) is None:
+        body = ("lateral {\n"
+                + _indent(_query_node(rel["subquery"]["node"])) + "\n}")
+        alias = rel.get("alias")
+        if alias:
+            cols = rel.get("column_name_alias") or []
+            if cols:
+                return f"{body} as {_name(alias)}(" + ", ".join(cols) + ")"
+            return f"{body} as {_name(alias)}"
+        return body
+    return _rel_ref(rel)
+
+
 def _from_relation(rel: dict) -> list[str]:
     """FROM tree -> wvlet lines: `from a, b` for comma-joins (CROSS), else
     explicit join pipes."""
@@ -1155,7 +1221,11 @@ def _from_relation(rel: dict) -> list[str]:
             and rel.get("join_type") in ("CROSS", "INNER"):
         # `from a, b, c` (comma cross-join; predicates live in WHERE)
         left = _from_relation(rel["left"])
-        right_ref = _rel_ref(rel["right"])
+        right_ref = _join_operand(rel["right"])
+        if right_ref.startswith("unnest("):
+            # unnest is a pipe op, not a comma operand
+            left.append(f"cross join {right_ref}")
+            return left
         # comma-style: extend the leading `from` line
         left[0] = left[0] + ", " + right_ref
         return left
@@ -1169,7 +1239,7 @@ def _from_relation(rel: dict) -> list[str]:
             raise SqlImportError(f"unsupported join type {jt}")
         if rel.get("ref_type") == "ASOF":
             kw = "asof join"
-        line = f"{kw} {_rel_ref(rel['right'])}"
+        line = f"{kw} {_join_operand(rel['right'])}"
         if rel.get("using_columns"):
             line += " using(" + ", ".join(rel["using_columns"]) + ")"
         elif rel.get("condition"):
@@ -1441,6 +1511,43 @@ def _function(e: dict) -> str:
         return f"{_maybe_paren(ch[1])}.extract('{part}')"
     if fn in ("count", "count_star") and not ch:
         return "count(*)"
+    # ---- DuckDB-semantics functions that differ from the engine's
+    # canonical (Spark-flavored) forms: convert VALUES, not just names
+    # (SQL-import wide-fuzz finds, round 5)
+    if fn == "string_split_regex" and len(ch) == 2:
+        return f"split({_expr(ch[0])}, {_expr(ch[1])})"
+    if fn == "trunc" and len(ch) == 1:
+        # numeric truncation toward zero; Spark's trunc is date-only, so
+        # lower to sign-aware floor/ceil (double result, like DuckDB)
+        a = _expr(ch[0])
+        return f"(if ({a}) >= 0 then floor({a}) else ceil({a}))::double"
+    if fn == "dayofweek" and len(ch) == 1:
+        # DuckDB: Sunday=0..Saturday=6; canonical (Spark): Sunday=1..7
+        return f"(dayofweek({_expr(ch[0])}) - 1)"
+    if fn == "isodow" and len(ch) == 1:
+        # DuckDB: Monday=1..Sunday=7; canonical weekday: Monday=0..6
+        return f"(weekday({_expr(ch[0])}) + 1)"
+    if fn == "regexp_replace" and len(ch) == 4 \
+            and ch[3].get("class") == "CONSTANT":
+        flags = str(ch[3]["value"].get("value"))
+        if flags == "g":
+            # canonical regexp_replace is replace-ALL (Spark); DuckDB's
+            # 'g' flag is exactly that — drop it
+            args3 = ", ".join(_expr(c) for c in ch[:3])
+            return f"regexp_replace({args3})"
+        raise SqlImportError(
+            f"unsupported regexp_replace flags {flags!r} (only 'g' "
+            f"converts to the engine's replace-all semantics)")
+    if fn in ("date_diff", "datediff") and len(ch) == 3 \
+            and ch[0].get("class") == "CONSTANT":
+        part = str(ch[0]["value"].get("value")).lower()
+        if part in ("day", "days"):
+            # DuckDB datediff('day', start, end) == end - start;
+            # canonical 2-arg datediff is (end, start)
+            return f"datediff({_expr(ch[2])}, {_expr(ch[1])})"
+        raise SqlImportError(
+            f"unsupported datediff part {part!r} (only 'day' maps onto "
+            f"the engine's 2-arg datediff)")
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
