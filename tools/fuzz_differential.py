@@ -335,6 +335,36 @@ def shape_join_using(rng):
             f"select s_suppkey, n_name, r_name\norder by s_suppkey")
 
 
+def shape_statagg(rng):
+    """statistical aggregates over lineitem groups."""
+    aggs = rng.sample([
+        "sd = round(stddev(l_quantity), 4)",
+        "sp = round(stddev_pop(l_quantity), 4)",
+        "vr = round(var_samp(l_quantity), 4)",
+        "md = median(l_quantity::double)",
+        "avg2 = round(avg(l_quantity), 4)",
+        "cnt = count(l_quantity)",
+        "mn = min(l_quantity)", "mx = max(l_quantity)",
+    ], k=rng.randint(2, 4))
+    return (f"from lineitem\nwhere l_orderkey <= {rng.randint(200, 900)}\n"
+            f"group by l_linestatus\n"
+            f"select l_linestatus, {', '.join(aggs)}\n"
+            f"order by l_linestatus")
+
+
+def shape_cte(rng):
+    """chained CTEs with a join back."""
+    lo = rng.randint(50, 300)
+    return (f"with big as {{\n  from orders\n"
+            f"  where o_totalprice > {rng.randint(50000, 150000)}\n"
+            f"  select o_orderkey, o_custkey, o_totalprice\n}}\n"
+            f"with cnts as {{\n  from big\n  group by o_custkey\n"
+            f"  agg n = _.count\n}}\n"
+            f"from customer\njoin cnts on c_custkey = o_custkey\n"
+            f"where c_custkey <= {lo}\n"
+            f"select c_custkey, c_name, n\norder by c_custkey")
+
+
 SHAPES = {
     "join_agg": shape_join_agg,
     "dates": shape_dates,
@@ -350,6 +380,8 @@ SHAPES = {
     "lateral": shape_lateral,
     "outer_join": shape_outer_join,
     "join_using": shape_join_using,
+    "statagg": shape_statagg,
+    "cte": shape_cte,
 }
 
 
