@@ -365,6 +365,35 @@ def shape_cte(rng):
             f"select c_custkey, c_name, n\norder by c_custkey")
 
 
+
+def shape_asof(rng):
+    """asof join with varying inequality direction and probe filters —
+    stresses the row_number rewrite against DuckDB's native ASOF."""
+    op = rng.choice(["<=", "<", ">=", ">"])
+    probe = rng.choice(["purchase", "click", "error"])
+    ref = rng.choice(["view", "click"])
+    hi = rng.randint(20, 120)
+    return (f"from events\n"
+            f"where event_type = '{probe}' and user_id <= {hi}\n"
+            f"asof join {{\n  from events\n"
+            f"  where event_type = '{ref}'\n"
+            f"  select v_user = user_id, v_ts = ts, v_id = event_id\n}}"
+            f" on v_user = user_id and v_ts {op} ts\n"
+            f"select event_id, user_id, v_id\norder by event_id")
+
+
+def shape_detsample(rng):
+    """deterministic md5-membership sampling — fraction edge cases."""
+    frac = rng.choice([0.05, 0.31, 0.5, 0.77, 0.999, 1.0])
+    salt = rng.choice(["wv", "other", "s3"])
+    thr_n = max(0, min(16**8, int(round(frac * 16**8))))
+    thr = "g" * 8 if thr_n >= 16**8 else format(thr_n, "08x")
+    return (f"from documents\n"
+            f"where substring(md5('{salt}' || doc_id::string), 1, 8)"
+            f" < '{thr}'\n"
+            f"group by lang\nagg n = _.count\norder by lang")
+
+
 SHAPES = {
     "join_agg": shape_join_agg,
     "dates": shape_dates,
@@ -382,6 +411,8 @@ SHAPES = {
     "join_using": shape_join_using,
     "statagg": shape_statagg,
     "cte": shape_cte,
+    "asof": shape_asof,
+    "detsample": shape_detsample,
 }
 
 
