@@ -1445,6 +1445,39 @@ LIMIT 50
 """
 
 
+def q_length_histogram(spark, sf_dir):
+    """Per-language length-distribution histogram (data-card panel) with
+    PINNED bounds so both engines bucket identically; width_bucket has
+    the same underflow/overflow convention (0 / n+1) in Spark and
+    DuckDB, making the oracle an exact re-derivation."""
+    from wvlet_spark.ops.text import length_histogram
+
+    out = length_histogram(_docs(spark, sf_dir), value_col="n_chars",
+                           group_col="lang", n_buckets=12,
+                           lo=0.0, hi=600.0)
+    return (out.select("lang", "bucket", "n",
+                       F.round("bucket_lo", 4).alias("bucket_lo"))
+            .orderBy("lang", "bucket"))
+
+
+O_LENGTH_HISTOGRAM = """
+WITH b AS (
+  SELECT lang,
+         CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+              WHEN CAST(n_chars AS DOUBLE) >= 600.0 THEN 13
+              ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 600.0 * 12)
+                        AS BIGINT) + 1
+         END AS bucket
+  FROM documents
+)
+SELECT lang, bucket, count(*) AS n,
+       round(0.0 + (bucket - 1) * (600.0 / 12), 4) AS bucket_lo
+FROM b
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-source corpus statistics (the data-card builder): doc/token
     counts, median length, duplicate rate, alpha ratio.  Exact DuckDB
@@ -1724,6 +1757,7 @@ def entry_queries() -> dict:
         "ext_stream_enrich": q_stream_enrich,
         "ext_mixture": q_mixture,
         "ext_epoch_shuffle": q_epoch_shuffle,
+        "ext_length_hist": q_length_histogram,
         "ext_chunking": q_chunking,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
@@ -1772,6 +1806,7 @@ def entry_oracles() -> dict:
         "ext_stream_enrich": O_STREAM_ENRICH,
         "ext_mixture": O_MIXTURE,
         "ext_epoch_shuffle": O_EPOCH_SHUFFLE,
+        "ext_length_hist": O_LENGTH_HISTOGRAM,
         "ext_chunking": O_CHUNKING,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),

@@ -485,3 +485,39 @@ def collocations_pmi(df: DataFrame, text_col: str = "text",
             .select("w1", "w2", "pair_count", pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "w1", "w2")
             .limit(top_k))
+
+
+def length_histogram(df: DataFrame, value_col: str = "n_chars",
+                     group_col: str | None = "lang",
+                     n_buckets: int = 16,
+                     lo: float | None = None,
+                     hi: float | None = None) -> DataFrame:
+    """Fixed-width histogram of a numeric column, optionally per group —
+    the length-distribution panel of a data card (spotting truncation
+    spikes, boilerplate walls, or length filters that bit too hard).
+
+    Bucketing uses `width_bucket(v, lo, hi, n)` (identical in Spark and
+    DuckDB: bucket 0 = underflow, n+1 = overflow), so a DuckDB oracle can
+    re-derive the exact counts.  When lo/hi are not given they come from
+    one tiny global min/max aggregate (two scalars to the driver — bounds,
+    not data).  The histogram itself is one map-side-combinable groupBy
+    over at most groups x (n_buckets+2) cells: fully scalable.
+    """
+    from wvlet_spark.ops.util import ensure_map_parallelism
+
+    df = ensure_map_parallelism(df)
+    if lo is None or hi is None:
+        row = df.agg(F.min(value_col).alias("lo"),
+                     F.max(value_col).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    b = F.width_bucket(F.col(value_col).cast("double"),
+                       F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    keys = ([F.col(group_col)] if group_col else []) + [b.alias("bucket")]
+    out = (df.groupBy(*keys).agg(F.count("*").alias("n"))
+           .withColumn("bucket_lo",
+                       F.lit(lo) + (F.col("bucket") - 1)
+                       * ((F.lit(hi) - F.lit(lo)) / n_buckets)))
+    return out

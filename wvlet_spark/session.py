@@ -328,6 +328,13 @@ class WvletSession:
 
         self._tools["epoch_shuffle"] = tool_epoch_shuffle
 
+        def tool_length_histogram(spark, table, **kw):
+            if "n_buckets" in kw:
+                kw["n_buckets"] = int(kw["n_buckets"])
+            return text.length_histogram(_df(table), **kw)
+
+        self._tools["length_histogram"] = tool_length_histogram
+
         def tool_decontaminate(spark, table, benchmark, **kw):
             return dedup.decontaminate(_df(table), _df(benchmark), **kw)
 
