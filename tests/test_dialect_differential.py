@@ -287,3 +287,58 @@ def test_int_cast_of_double_column_truncates_like_spark(ws, duck):
     got = [tuple(r) for r in ws.run(q).collect()]
     exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
     assert got == exp
+
+
+def test_indexed_lambda_base_and_polymorphic_len(ws, duck):
+    """Wide-fuzz finds (round-5 arrayfns family): DuckDB's
+    (element, index) lambda index is 1-based while wvlet's — like
+    Spark's — is 0-based, so the DuckDB dialect shifts index references
+    inside transform/filter lambda bodies (reduce lambdas untouched);
+    list_sort/list_max/list_position needed Spark mappings; and
+    array_position's absent-element result is aligned on Spark's 0
+    (DuckDB returns NULL)."""
+    q = ("from nation\n"
+         "select n_nationkey, "
+         "a = to_json(filter(['a', 'b', 'c'], (x, i) -> i >= 1)), "
+         "b = to_json(transform([10, 20], (x, i) -> x + i)), "
+         "r = aggregate([1, 2, n_nationkey], 0, (x, y) -> x + y), "
+         "p = array_position(['x', 'y'], n_name), "
+         "s = to_json(list_sort([3, n_nationkey % 3, 1])), "
+         "m = list_max([n_nationkey, 4])\n"
+         "order by n_nationkey limit 5")
+    got = [tuple(r) for r in ws.run(q).collect()]
+    exp = [tuple(r) for r in duck.execute(ws.oracle_sql(q)).fetchall()]
+    assert got == exp
+    assert got[0][1] == '["b","c"]'   # 0-based: i >= 1 keeps positions 1,2
+    assert got[0][2] == "[10,21]"     # index adds 0 then 1
+    assert got[0][4] == 0             # absent element -> 0 on both engines
+
+
+def test_len_of_array_maps_to_size_on_spark(ws, duck):
+    """DuckDB's len/length are polymorphic over strings and lists;
+    Spark's length is string-only — the Spark dialect routes
+    provably-array arguments through size() (import-path fuzz find,
+    round 5)."""
+    sql = ("SELECT n_nationkey, len(string_split(n_name, '_')) AS n, "
+           "len(n_name) AS c FROM nation ORDER BY n_nationkey")
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp
+
+
+def test_imported_index_lambda_shifts_to_zero_base(ws, duck):
+    """SQL-importer round-trip of an index lambda: DuckDB SQL written
+    against the 1-based index must still produce DuckDB's values after
+    conversion to wvlet and execution on Spark (round-5 find via the
+    order-preserving array_distinct oracle lowering)."""
+    sql = ("SELECT n_nationkey, "
+           "list_filter(['a', 'b', 'c'], (x, i) -> i % 2 = 1) AS odd1, "
+           "list_transform(['p', 'q'], (x, i) -> concat(x, i)) AS tagged "
+           "FROM nation ORDER BY n_nationkey LIMIT 3")
+    got = [(r[0], list(r[1]), list(r[2]))
+           for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [(r[0], list(r[1]), list(r[2]))
+           for r in duck.execute(sql).fetchall()]
+    assert got == exp
+    assert got[0][1] == ["a", "c"]          # DuckDB 1-based: i%2=1 -> 1st, 3rd
+    assert got[0][2] == ["p1", "q2"]

@@ -394,6 +394,59 @@ def shape_detsample(rng):
             f"group by lang\nagg n = _.count\norder by lang")
 
 
+def shape_scalar_sub(rng):
+    """correlated scalar subquery in WHERE — per-group extremum filters."""
+    agg = rng.choice(["min", "max"])
+    cmp_op = rng.choice(["=", ">=", "<="])
+    key = rng.choice(["p_brand", "p_type", "p_size"])
+    hi = rng.randint(200, 1200)
+    return (f"from part\nwhere p_partkey <= {hi} and p_retailprice {cmp_op} "
+            f"{{\n  from part as p2\n"
+            f"  where p2.{key} = part.{key} and p2.p_partkey <= {hi}\n"
+            f"  select p2.p_retailprice.{agg}\n}}\n"
+            f"select p_partkey, {key}, "
+            f"rp = p_retailprice::decimal(18,2)::double\n"
+            f"order by p_partkey")
+
+
+def shape_condagg(rng):
+    """conditional aggregation: count_if, sum-of-case, count distinct."""
+    thr = rng.randint(10, 45)
+    aggs = rng.sample([
+        f"ci = _.count_if(l_quantity > {thr})",
+        f"sc = sum(if(l_discount > 0.05, l_quantity, 0))::long",
+        "dc = l_suppkey.count_distinct",
+        f"cc = sum(case when l_returnflag = 'R' then 1 else 0 end)",
+        f"mb = max_by(l_partkey, l_extendedprice)",
+        f"av = round(avg(if(l_tax > 0.04, l_quantity, null)), 4)",
+        "n = _.count",
+    ], k=rng.randint(2, 4))
+    return (f"from lineitem\nwhere l_orderkey <= {rng.randint(150, 900)}\n"
+            f"group by l_linestatus\n"
+            f"select l_linestatus, {', '.join(aggs)}\n"
+            f"order by l_linestatus")
+
+
+def shape_arrayfns(rng):
+    """array construction + functions over split tokens (JSON-projected)."""
+    arr = "split(p_name, ' ')"
+    parts = rng.sample([
+        f"a1 = to_json({arr})",
+        f"ln2 = size({arr})",
+        f"el = {arr}[1]",
+        f"el2 = {arr}[{rng.randint(2, 9)}]",
+        f"ct = array_contains({arr}, 'bolt')",
+        f"srt = to_json(array_sort({arr}))",
+        f"dis = to_json(array_distinct({arr}))",
+        f"tx = to_json(transform({arr}, x -> upper(x)))",
+        f"fl = to_json(filter({arr}, x -> length(x) > 4))",
+        f"mx = array_max(transform({arr}, x -> length(x)))",
+    ], k=rng.randint(2, 4))
+    return (f"from part\nwhere p_partkey <= {rng.randint(100, 900)}\n"
+            f"select p_partkey, {', '.join(parts)}\n"
+            f"order by p_partkey")
+
+
 SHAPES = {
     "join_agg": shape_join_agg,
     "dates": shape_dates,
@@ -413,6 +466,9 @@ SHAPES = {
     "cte": shape_cte,
     "asof": shape_asof,
     "detsample": shape_detsample,
+    "scalar_sub": shape_scalar_sub,
+    "condagg": shape_condagg,
+    "arrayfns": shape_arrayfns,
 }
 
 

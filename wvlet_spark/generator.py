@@ -83,7 +83,33 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "json_extract": {SPARK: "get_json_object", DUCKDB: "json_extract_string"},
     "array_max": {SPARK: "array_max", DUCKDB: "list_max"},
     "array_min": {SPARK: "array_min", DUCKDB: "list_min"},
+    "list_max": {SPARK: "array_max", DUCKDB: "list_max"},
+    "list_min": {SPARK: "array_min", DUCKDB: "list_min"},
+    "list_sort": {SPARK: "array_sort", DUCKDB: "list_sort"},
+    "list_distinct": {SPARK: "array_distinct", DUCKDB: "list_distinct"},
+    "list_position": {SPARK: "array_position", DUCKDB: "list_position"},
+    "array_position": {SPARK: "array_position", DUCKDB: "list_position"},
     "size": {SPARK: "size", DUCKDB: "len"},
+    "array_length": {SPARK: "size", DUCKDB: "len"},
+}
+
+# Higher-order functions whose 2-param lambda takes (element, index) —
+# the index base differs across engines (Spark 0-based, DuckDB 1-based).
+_IX_LAMBDA_FNS = {"transform", "list_transform", "filter", "list_filter",
+                  "array_transform", "array_filter", "list_apply"}
+
+# Functions that always produce ARRAY values — used by the generator's
+# _is_array_expr to discriminate DuckDB's polymorphic len/length.
+_ARRAY_RETURNING_FNS = {
+    "split", "string_split", "string_split_regex", "str_split",
+    "string_to_array", "regexp_extract_all", "regexp_split_to_array",
+    "sequence", "transform", "list_transform", "filter", "list_filter",
+    "array_sort", "sort_array", "list_sort", "array_distinct",
+    "list_distinct", "flatten", "array_concat", "list_concat",
+    "array_union", "array_intersect", "array_except", "array_remove",
+    "array_compact", "arrays_zip", "collect_list", "array_agg",
+    "list_append", "list_prepend", "array_append", "array_prepend",
+    "array_repeat", "map_keys", "map_values", "array", "list_value",
 }
 
 AGG_FUNCS = {
@@ -1271,6 +1297,9 @@ class SqlGenerator:
         if isinstance(e, N.Literal):
             return self._literal(e)
         if isinstance(e, N.Ident):
+            sub = getattr(self, "_lambda_ix_subst", None)
+            if sub and e.name in sub:
+                return sub[e.name]
             return self.q(e.name)
         if isinstance(e, N.Ref):
             return f"{self.expr(e.qualifier)}.{self.q(e.name)}"
@@ -1605,10 +1634,59 @@ class SqlGenerator:
             return m[self.dialect]
         return name
 
+    def _shifted_ix_lambda(self, e) -> str:
+        """Emit a 2-param index lambda for DuckDB: wvlet's element-index
+        (second param) is 0-based, matching Spark's higher-order
+        functions; DuckDB's lambda index is 1-based — shift index
+        references inside the body (wide-fuzz find, round 5).  Applied
+        ONLY for the index-HOFs (transform/filter), never for reduce
+        lambdas whose second param is an element."""
+        x, i = e.params
+        prev = getattr(self, "_lambda_ix_subst", None)
+        self._lambda_ix_subst = dict(prev or {})
+        self._lambda_ix_subst[i] = f"({self.q(i)} - 1)"
+        try:
+            body = self.expr(e.body)
+        finally:
+            self._lambda_ix_subst = prev
+        return f"({x}, {i}) -> {body}"
+
+    def _is_array_expr(self, e) -> bool:
+        """Syntactic best-effort: does this expression produce an ARRAY?
+        Needed where DuckDB is polymorphic but Spark splits the surface
+        (len/length work on both strings and lists in DuckDB; Spark's
+        length is string-only and size is collection-only)."""
+        if isinstance(e, N.ArrayCtor):
+            return True
+        if isinstance(e, N.Cast):
+            t = e.to_type.strip().lower()
+            return t.startswith(("array", "list")) or t.endswith("[]")
+        if isinstance(e, N.FunctionApply):
+            n = e.name.lower()
+            if n in _ARRAY_RETURNING_FNS:
+                return True
+            if n in ("reverse", "slice", "array_slice", "shuffle"):
+                return self._is_array_expr(e.args[0]) if e.args else False
+            return False
+        if isinstance(e, N.MethodCall):
+            return e.method.lower() in ("array_agg", "collect_list")
+        if isinstance(e, (N.Ident, N.Ref)) \
+                and self.ctx.column_type is not None:
+            t = self.ctx.column_type(e.name.split(".")[-1])
+            return bool(t) and t.strip().lower().startswith(("array", "list"))
+        return False
+
     def _function(self, e: N.FunctionApply) -> str:
         name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
             core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+        elif e.name.lower() in ("len", "length") and len(e.args) == 1 \
+                and self.dialect == SPARK \
+                and self._is_array_expr(e.args[0]):
+            # DuckDB's len/length are polymorphic over strings and lists;
+            # Spark's length is string-only — lists go through size()
+            # (import-path fuzz find: len(split(...)))
+            core = f"size({self.expr(e.args[0])})"
         elif e.name.lower() in ("ltrim", "rtrim") and len(e.args) == 2 \
                 and self.dialect == SPARK:
             # wvlet/DuckDB/Trino arg order is (string, trim_chars); Spark's
@@ -1658,6 +1736,12 @@ class SqlGenerator:
             # first-match-only and needs the 'g' flag (wide-fuzz find)
             a = ", ".join(self.expr(x) for x in e.args)
             core = f"regexp_replace({a}, 'g')"
+        elif e.name.lower() in ("array_position", "list_position") \
+                and self.dialect != SPARK and len(e.args) == 2:
+            # Spark's array_position returns 0 when absent; DuckDB's
+            # list_position returns NULL — align on Spark's 0
+            core = (f"coalesce(list_position({self.expr(e.args[0])}, "
+                    f"{self.expr(e.args[1])}), 0)")
         elif e.name.lower() == "char_length" and self.dialect != SPARK \
                 and len(e.args) == 1:
             core = f"length({self.expr(e.args[0])})"
@@ -1789,7 +1873,14 @@ class SqlGenerator:
         elif e.agg_order:
             core = self._ordered_agg(e, name)
         else:
-            args = ", ".join(self.expr(a) for a in e.args)
+            ix_hof = (self.dialect == DUCKDB
+                      and e.name.lower() in _IX_LAMBDA_FNS)
+            args = ", ".join(
+                self._shifted_ix_lambda(a)
+                if (ix_hof and isinstance(a, N.Lambda)
+                    and len(a.params) == 2)
+                else self.expr(a)
+                for a in e.args)
             dist = "DISTINCT " if e.is_distinct else ""
             if e.ignore_nulls and self.dialect == DUCKDB:
                 # DuckDB wants the modifier inside the parens

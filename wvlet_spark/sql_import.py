@@ -1433,6 +1433,15 @@ def _lambda(e: dict) -> str:
         out_params.append(p)
     head = out_params[0] if len(out_params) == 1 \
         else "(" + ", ".join(out_params) + ")"
+    if len(out_params) == 2 and e.get("__ix_lambda__"):
+        # DuckDB's (element, index) lambda index is 1-based; wvlet's
+        # (like Spark's) is 0-based — re-express body references in
+        # 0-based terms.  Tagged by _function only for the index-HOFs
+        # (list_transform/list_filter), never for reduce lambdas.
+        ix = out_params[1]
+        _rename_col(body, ix, "__lmb_ix__")
+        return (f"{head} -> "
+                + _expr(body).replace("__lmb_ix__", f"({ix} + 1)"))
     return f"{head} -> {_expr(body)}"
 
 
@@ -1489,6 +1498,13 @@ def _operator(e: dict) -> str:
 def _function(e: dict) -> str:
     fn = e["function_name"]
     ch = e.get("children") or []
+    if fn in ("list_transform", "list_filter", "array_transform",
+              "array_filter", "list_apply", "transform", "filter"):
+        # tag (element, index) lambdas so _lambda shifts the 1-based
+        # DuckDB index to wvlet's 0-based convention
+        for c in ch:
+            if isinstance(c, dict) and c.get("class") == "LAMBDA":
+                c["__ix_lambda__"] = True
     if e.get("is_operator"):
         if fn == "~~":
             return f"{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
@@ -1516,6 +1532,20 @@ def _function(e: dict) -> str:
     # (SQL-import wide-fuzz finds, round 5)
     if fn == "string_split_regex" and len(ch) == 2:
         return f"split({_expr(ch[0])}, {_expr(ch[1])})"
+    if fn in ("string_split", "str_split", "string_to_array") \
+            and len(ch) == 2:
+        # DuckDB splits on a LITERAL separator; wvlet's split (like
+        # Spark's) takes a regex — escape metacharacters.  Both Java
+        # regex and RE2 accept backslash-escaped punctuation, so the
+        # escaped literal runs identically on either engine.
+        sep = ch[1]
+        if sep.get("class") == "CONSTANT" \
+                and isinstance(sep.get("value", {}).get("value"), str):
+            lit = re.escape(sep["value"]["value"]).replace("'", "''")
+            return f"split({_expr(ch[0])}, '{lit}')"
+        raise SqlImportError(
+            "string_split with a non-literal separator cannot be "
+            "converted to a regex split at compile time")
     if fn == "trunc" and len(ch) == 1:
         # numeric truncation toward zero; Spark's trunc is date-only, so
         # lower to sign-aware floor/ceil (double result, like DuckDB)
