@@ -830,6 +830,17 @@ def test_builtin_pipeline_tools(spark):
     sh = ws.run("call simhash_pairs(table='tool_docs', "
                 "max_hamming=3)").collect()
     assert any((r.id_a, r.id_b) == (1, 2) for r in sh)
+    # late round-5 additions: bloom filter, diversity, equi-depth bins
+    bl = ws.run("call bloom_build(table='tool_docs', m_bits=1024, "
+                "k=3)").collect()
+    assert bl and all(r.bits != 0 for r in bl)
+    ws.run('from [[1, "a b", "s1", 3], [2, "c d", "s1", 5]] '
+           'as t(doc_id, text, source, n_chars)\nsave to tool_docs2')
+    nd = ws.run("call ngram_diversity(table='tool_docs2')").collect()
+    assert nd[0].n_unigrams == 4
+    lb = ws.run("call length_bins(table='tool_docs2', "
+                "n_bins=2)").collect()
+    assert sum(r.n for r in lb) == 2
 
 
 def test_agg_in_subquery_cte_shadowing(ws):

@@ -728,3 +728,61 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
     assert sorted(a) == sorted(c) == list(range(3000))
     pos = [r.position for r in epoch_shuffle(df, 1).collect()]
     assert pos == list(range(1, 3001))  # dense 1-based rank
+
+
+def test_bloom_build_membership_and_fp_rate(spark):
+    """Every inserted key's positions are set in the built filter
+    (no false negatives — the Bloom guarantee), and the false-positive
+    rate on fresh keys stays near the analytic bound."""
+    import hashlib
+
+    from wvlet_spark.ops.sketches import bloom_build, bloom_positions
+
+    rows = [(i, f"doc body number {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m, k = 1 << 14, 4
+    words = {r.word_idx: r.bits
+             for r in bloom_build(df, m_bits=m, k=k).collect()}
+
+    def contains(text):
+        h = hashlib.md5(text.strip().lower().encode()).hexdigest()
+        return all(words.get(p // 32, 0) & (1 << (p % 32))
+                   for p in bloom_positions(h, m, k))
+
+    assert all(contains(t) for _, t in rows)
+    fresh = [f"unseen document {i}" for i in range(2000)]
+    fp = sum(contains(t) for t in fresh) / len(fresh)
+    # n=300, m=16384, k=4 -> (1 - e^{-kn/m})^k ~ 3e-5; allow slack
+    assert fp < 0.01, fp
+
+
+def test_ngram_diversity_detects_repetition(spark):
+    """A source of identical documents scores a far lower bigram TTR
+    than a source of distinct documents."""
+    from wvlet_spark.ops.text import ngram_diversity
+
+    rows = [(i, "spam spam spam spam spam", "dup") for i in range(20)]
+    rows += [(100 + i, f"unique words here number{i} item{i * 7}", "var")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in ngram_diversity(df).collect()}
+    assert out["dup"].bigram_ttr < 0.05
+    assert out["var"].bigram_ttr > 0.5
+    assert out["var"].d_unigrams > out["dup"].d_unigrams
+
+
+def test_length_ntile_bins_equi_depth(spark):
+    """Bins are equi-depth (sizes differ by <= 1), ordered, and cover
+    every row exactly once."""
+    from wvlet_spark.ops.text import length_ntile_bins
+
+    rows = [(i, "x", "s", (i * 37) % 100) for i in range(103)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    out = sorted(length_ntile_bins(df, n_bins=8).collect(),
+                 key=lambda r: r.bin)
+    sizes = [r.n for r in out]
+    assert sum(sizes) == 103
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo  # non-overlapping value ranges in bin order

@@ -1721,6 +1721,117 @@ ORDER BY id_a, id_b
 """
 
 
+def q_bloom_build(spark, sf_dir):
+    """Engine-portable Bloom filter over document content keys: the
+    ingest-dedup artifact as data (word_idx, bits).  The oracle derives
+    the identical filter in DuckDB from the same md5 position family —
+    a bit-exact check of a probabilistic structure."""
+    from wvlet_spark.ops.sketches import bloom_build
+
+    out = bloom_build(_docs(spark, sf_dir), m_bits=1 << 16, k=4)
+    return (out.select(F.col("word_idx").cast("long").alias("word_idx"),
+                       F.col("bits").cast("long").alias("bits"))
+            .orderBy("word_idx"))
+
+
+O_BLOOM_BUILD = r"""
+WITH keys AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents
+),
+pos AS (
+  SELECT (('0x' || substr(md5(h || ':' || j), 1, 15))::UBIGINT::BIGINT)
+           % 65536 AS pos
+  FROM keys, UNNEST(['0', '1', '2', '3']) AS t(j)
+)
+SELECT (pos // 32)::BIGINT AS word_idx,
+       bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER))::BIGINT AS bits
+FROM pos GROUP BY 1 ORDER BY word_idx
+"""
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source bigram/unigram type-token ratios (corpus diversity
+    panel).  Map-only pair derivation + group-keyed distinct counts;
+    exact DuckDB oracle."""
+    from wvlet_spark.ops.text import ngram_diversity
+
+    out = ngram_diversity(_docs(spark, sf_dir))
+    return (out.select(
+        "source",
+        F.col("n_unigrams").cast("long").alias("n_unigrams"),
+        F.col("d_unigrams").cast("long").alias("d_unigrams"),
+        F.round("unigram_ttr", 5).alias("unigram_ttr"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("d_bigrams").cast("long").alias("d_bigrams"),
+        F.round("bigram_ttr", 5).alias("bigram_ttr"),
+    ).orderBy("source"))
+
+
+O_NGRAM_DIVERSITY = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT source, count(*)::BIGINT AS n_unigrams,
+         count(DISTINCT tok)::BIGINT AS d_unigrams
+  FROM w, UNNEST(w.w) AS t(tok)
+  GROUP BY source
+),
+pr AS (
+  SELECT source, w[i] || ' ' || w[i + 1] AS g
+  FROM w, UNNEST(range(1, len(w))) AS t(i)
+),
+bi AS (
+  SELECT source, count(*)::BIGINT AS n_bigrams,
+         count(DISTINCT g)::BIGINT AS d_bigrams
+  FROM pr GROUP BY source
+)
+SELECT u.source, u.n_unigrams, u.d_unigrams,
+       round(u.d_unigrams / u.n_unigrams::DOUBLE, 5) AS unigram_ttr,
+       coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(b.d_bigrams, 0)::BIGINT AS d_bigrams,
+       round(coalesce(b.d_bigrams, 0)
+             / greatest(coalesce(b.n_bigrams, 0), 1)::DOUBLE, 5)
+         AS bigram_ttr
+FROM uni u LEFT JOIN bi b ON u.source = b.source
+ORDER BY u.source
+"""
+
+
+def q_length_bins(spark, sf_dir):
+    """Equi-depth length bins per source (ntile over the deterministic
+    (value, id) total order — both engines implement SQL ntile
+    identically, so the oracle is exact)."""
+    from wvlet_spark.ops.text import length_ntile_bins
+
+    out = length_ntile_bins(_docs(spark, sf_dir), n_bins=8)
+    return (out.select(
+        "source", F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.round("mean_len", 4).alias("mean_len"),
+    ).orderBy("source", "bin"))
+
+
+O_LENGTH_BINS = """
+WITH b AS (
+  SELECT source, n_chars,
+         ntile(8) OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+)
+SELECT source, bin::BIGINT AS bin, count(*)::BIGINT AS n,
+       min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi,
+       round(avg(n_chars), 4) AS mean_len
+FROM b GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -1770,6 +1881,9 @@ def entry_queries() -> dict:
         "ext_tfidf_terms": q_tfidf_terms,
         "ext_dup_spans": q_dup_spans,
         "ext_semantic_dedup": q_semantic_dedup,
+        "ext_bloom_build": q_bloom_build,
+        "ext_ngram_diversity": q_ngram_diversity,
+        "ext_length_bins": q_length_bins,
     }
 
 
@@ -1825,4 +1939,7 @@ def entry_oracles() -> dict:
         "ext_corpus_profile": O_CORPUS_PROFILE,
         "ext_rp_project": _rp_project_oracle(),
         "ext_pca_project": _pca_project_oracle(),
+        "ext_bloom_build": O_BLOOM_BUILD,
+        "ext_ngram_diversity": O_NGRAM_DIVERSITY,
+        "ext_length_bins": O_LENGTH_BINS,
     }

@@ -58,6 +58,54 @@ def hll_merge(partials: DataFrame) -> DataFrame:
         .alias("n_distinct_est"))
 
 
+def bloom_positions(key_hash_hex: str, m_bits: int, k: int) -> list[int]:
+    """Driver-side twin of the bloom_build position derivation (md5 of
+    `<key_md5>:<j>`, first 15 hex digits, mod m) — used by tests and by
+    clients probing a built filter without Spark."""
+    import hashlib
+
+    return [int(hashlib.md5(f"{key_hash_hex}:{j}".encode())
+                .hexdigest()[:15], 16) % m_bits
+            for j in range(k)]
+
+
+def bloom_build(df: DataFrame, key_col: str = "text", m_bits: int = 1 << 16,
+                k: int = 4, normalize: bool = True) -> DataFrame:
+    """Engine-portable Bloom filter BUILD: the cross-snapshot ingest-dedup
+    artifact (reference parity: the runtime bloom prefilter in
+    ops/dedup.dedup_against_reference is Spark-internal; this one has a
+    documented, engine-independent layout any system can probe).
+
+    Layout: m_bits bit positions packed into 32-bit words carried in
+    BIGINTs — one row per non-zero word, (word_idx, bits).  Positions
+    are md5-derived (`md5(md5(key) || ':' || j)` first 60 bits mod m),
+    so DuckDB, Python, or a Go ingest service derive identical filters
+    from the same keys — exact-oracle-checkable, unlike Spark's opaque
+    BloomFilter sketch.
+
+    100 TB path: keys dedup to md5s (16 B) map-side, k positions explode
+    map-only, and the bit_or aggregate groups on at most m/32 word
+    indexes with map-side combine — output is ~KB and broadcastable into
+    the ingest filter join regardless of input scale."""
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    key = (F.lower(F.trim(F.col(key_col))) if normalize
+           else F.col(key_col).cast("string"))
+    keys = df.select(F.md5(key).alias("h")).distinct()
+    pos = [
+        (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("h"), F.lit(str(j)))), 1, 15),
+            16, 10).cast("long") % F.lit(int(m_bits))).alias(f"p{j}")
+        for j in range(int(k))
+    ]
+    exploded = keys.select(F.explode(F.array(*pos)).alias("pos"))
+    return (exploded
+            .select(F.expr("pos div 32").alias("word_idx"),
+                    F.expr("shiftleft(1L, int(pos % 32))").alias("b"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(b)").alias("bits")))
+
+
 def frequent_terms(df: DataFrame, text_col: str = "text",
                    k: int = 10) -> DataFrame:
     """Approximate corpus-level heavy hitters over whitespace tokens

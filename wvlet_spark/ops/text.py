@@ -521,3 +521,65 @@ def length_histogram(df: DataFrame, value_col: str = "n_chars",
                        F.lit(lo) + (F.col("bucket") - 1)
                        * ((F.lit(hi) - F.lit(lo)) / n_buckets)))
     return out
+
+
+def ngram_diversity(df: DataFrame, text_col: str = "text",
+                    group_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-group n-gram diversity (bigram type/token ratio): distinct
+    adjacent word pairs over total pairs, plus the unigram ratio — the
+    standard corpus-diversity panel for spotting templated or
+    over-duplicated sources before training (low ratio = repetitive).
+
+    100 TB path: pairs derive map-only from each row's token array
+    (_adjacent_pairs — no corpus sort), and both distinct counts are
+    group-keyed aggregates with map-side partial combine; output is one
+    row per source."""
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(F.filter(_tokens(F.col(text_col)),
+                                         lambda x: x != "")).alias("w")))
+    uni = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_unigrams"),
+        F.countDistinct("w").alias("d_unigrams"))
+    pairs = (_adjacent_pairs(df.withColumnRenamed(group_col, "__grp"),
+                             text_col, "__grp")
+             .select(F.col("__grp").alias("grp"),
+                     F.concat_ws(" ", "w1", "w2").alias("g")))
+    bi = pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("d_bigrams"))
+    out = uni.join(bi, "grp", "left")
+    return (out.select(
+        F.col("grp").alias(group_col),
+        "n_unigrams", "d_unigrams",
+        (F.col("d_unigrams") / F.col("n_unigrams")).alias("unigram_ttr"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("d_bigrams", F.lit(0)).alias("d_bigrams"),
+        (F.coalesce("d_bigrams", F.lit(0))
+         / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)))
+        .alias("bigram_ttr")))
+
+
+def length_ntile_bins(df: DataFrame, value_col: str = "n_chars",
+                      group_col: str = "source", id_col: str = "doc_id",
+                      n_bins: int = 8) -> DataFrame:
+    """Equi-depth length binning per group (curriculum / bucketed-batching
+    prep): ntile over a TOTAL order (value, id — deterministic under
+    ties, so every engine derives identical bins), then per-bin count and
+    value bounds.
+
+    100 TB path: one shuffle on group_col with a per-group sort (the
+    operation's semantics); bins then aggregate with map-side combine.
+    For skewed single groups the same panel can run on the width_bucket
+    histogram (length_histogram) instead — documented tradeoff, not a
+    hidden cap."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(value_col).asc(), F.col(id_col).asc()))
+    binned = df.withColumn("bin", F.ntile(int(n_bins)).over(w))
+    return (binned.groupBy(group_col, "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi"),
+                 F.avg(value_col).alias("mean_len")))

@@ -335,6 +335,21 @@ class WvletSession:
 
         self._tools["length_histogram"] = tool_length_histogram
 
+        def tool_bloom_build(spark, table, **kw):
+            for a in ("m_bits", "k"):
+                if a in kw:
+                    kw[a] = int(kw[a])
+            return sketches.bloom_build(_df(table), **kw)
+
+        def tool_length_bins(spark, table, **kw):
+            if "n_bins" in kw:
+                kw["n_bins"] = int(kw["n_bins"])
+            return text.length_ntile_bins(_df(table), **kw)
+
+        self._tools["bloom_build"] = tool_bloom_build
+        self._tools["ngram_diversity"] = _one_table(text.ngram_diversity)
+        self._tools["length_bins"] = tool_length_bins
+
         def tool_decontaminate(spark, table, benchmark, **kw):
             return dedup.decontaminate(_df(table), _df(benchmark), **kw)
 
