@@ -403,3 +403,26 @@ def test_lateral_and_unnest_projection_import(spark, duck):
     got2 = [tuple(map(str, r)) for r in ws.run(ws.to_wvlet(sql2)).collect()]
     exp2 = [tuple(map(str, r)) for r in duck.execute(sql2).fetchall()]
     assert got2 == exp2
+
+
+def test_array_slice_all_sign_combinations(ws, duck):
+    """ARRAY_SLICE (previously the one known typed import reject):
+    DuckDB [lo:hi] slices are 1-based inclusive with negative-from-end
+    bounds; the importer emits the neutral array_slice(arr, lo, hi)
+    and the Spark dialect derives slice()'s LENGTH per sign combination
+    (missing bounds default to 1 / -1).  Step slices stay a typed
+    reject."""
+    sql = ("SELECT n_nationkey, ([1,2,3,4])[2:3] AS s, ([1,2,3])[:2] AS t, "
+           "([10,20,30])[2:] AS u, ([1,2,3,4])[-3:-2] AS v, "
+           "([1,2,3,4,5])[2:-2] AS w, ([1,2,3,4,5])[-4:4] AS x "
+           "FROM nation ORDER BY n_nationkey LIMIT 3")
+    got = [tuple(list(c) if isinstance(c, list) else c for c in r)
+           for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [tuple(list(c) if isinstance(c, list) else c for c in r)
+           for r in duck.execute(sql).fetchall()]
+    assert got == exp
+    # second dialect agrees too
+    osql = ws.oracle_sql(ws.to_wvlet(sql))
+    exp2 = [tuple(list(c) if isinstance(c, list) else c for c in r)
+            for r in duck.execute(osql).fetchall()]
+    assert got == exp2

@@ -1736,6 +1736,47 @@ class SqlGenerator:
             # first-match-only and needs the 'g' flag (wide-fuzz find)
             a = ", ".join(self.expr(x) for x in e.args)
             core = f"regexp_replace({a}, 'g')"
+        elif e.name.lower() in ("array_slice", "list_slice") \
+                and len(e.args) == 3:
+            # wvlet array_slice(arr, lo, hi): DuckDB [lo:hi] semantics —
+            # 1-based INCLUSIVE bounds, negative indexes count from the
+            # end, -1 = last element.  Spark's slice() takes a LENGTH, so
+            # the Spark lowering derives it per sign combination of the
+            # literal bounds; non-literal bounds assume positive indexes.
+            a = self.expr(e.args[0])
+            lo_e, hi_e = e.args[1], e.args[2]
+
+            def _ilit(x):
+                if isinstance(x, N.Literal) and x.kind == "int":
+                    return int(x.value)
+                if isinstance(x, N.UnaryOp) and x.op == "-" \
+                        and isinstance(x.expr, N.Literal) \
+                        and x.expr.kind == "int":
+                    return -int(x.expr.value)
+                return None
+
+            if self.dialect != SPARK:
+                core = (f"list_slice({a}, {self.expr(lo_e)}, "
+                        f"{self.expr(hi_e)})")
+            else:
+                L, H = _ilit(lo_e), _ilit(hi_e)
+                if L is not None and H is not None:
+                    if L >= 0 and H >= 0:
+                        start = max(L, 1)
+                        core = f"slice({a}, {start}, {max(H - start + 1, 0)})"
+                    elif L < 0 and H < 0:
+                        core = f"slice({a}, {L}, {max(H - L + 1, 0)})"
+                    elif L >= 0:            # positive lo, negative hi
+                        start = max(L, 1)
+                        core = (f"slice({a}, {start}, greatest(size({a})"
+                                f" + {H} - {start} + 2, 0))")
+                    else:                   # negative lo, positive hi
+                        core = (f"slice({a}, {L}, greatest({H} - {L}"
+                                f" - size({a}), 0))")
+                else:
+                    lo, hi = self.expr(lo_e), self.expr(hi_e)
+                    core = (f"slice({a}, greatest({lo}, 1), "
+                            f"greatest(({hi}) - greatest({lo}, 1) + 1, 0))")
         elif e.name.lower() in ("array_position", "list_position") \
                 and self.dialect != SPARK and len(e.args) == 2:
             # Spark's array_position returns 0 when absent; DuckDB's

@@ -1487,6 +1487,22 @@ def _operator(e: dict) -> str:
         return "[" + ", ".join(_expr(c) for c in ch) + "]"
     if t == "ARRAY_EXTRACT":
         return f"{_maybe_paren(ch[0])}[{_expr(ch[1])}]"
+    if t == "ARRAY_SLICE":
+        if len(ch) > 3:
+            raise SqlImportError(
+                "ARRAY_SLICE with a step is not supported")
+
+        def _bound(c, default):
+            # a missing bound serializes as an empty-LIST constant
+            if c.get("class") == "CONSTANT" and \
+                    ((c.get("value") or {}).get("type") or {}) \
+                    .get("id") == "LIST":
+                return default
+            return _expr(c)
+
+        lo = _bound(ch[1], "1")
+        hi = _bound(ch[2], "-1")
+        return f"array_slice({_maybe_paren(ch[0])}, {lo}, {hi})"
     if t == "STRUCT_EXTRACT":
         key = ch[1]["value"]["value"]
         return f"{_maybe_paren(ch[0])}.{_name(str(key))}"
