@@ -786,3 +786,24 @@ def test_length_ntile_bins_equi_depth(spark):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(out, out[1:]):
         assert a.hi <= b.lo  # non-overlapping value ranges in bin order
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Hard negatives never share the anchor's label, and the planted
+    near-identical cross-label vector ranks first for its anchor."""
+    from wvlet_spark.ops.similarity import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),     # anchor (id % 5 == 0)
+        (1, [0.99, 0.1, 0.0], 2),    # planted cross-label near-dup
+        (2, [0.95, 0.2, 0.0], 1),    # same label — must be excluded
+        (3, [0.0, 1.0, 0.0], 2),
+        (4, [0.0, 0.0, 1.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negative_mining(df, k=2, anchor_mod=5).collect()
+    mine = [r for r in out if r.anchor_id == 0]
+    assert all(r.neg_label != 1 for r in mine)
+    assert mine[0].neg_id == 1 and mine[0].rank == 1
+    assert len(mine) == 2

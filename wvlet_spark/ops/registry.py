@@ -1832,6 +1832,51 @@ ORDER BY source, bin
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor the top-5 nearest
+    different-label vectors, ranked on the 5-decimal-rounded cosine with
+    id tiebreak (rank stability across engines).  Exact DuckDB oracle —
+    same anchors, same pairs, same rounding, same window."""
+    from wvlet_spark.ops.similarity import hard_negative_mining
+
+    out = hard_negative_mining(_embs(spark, sf_dir), k=5, anchor_mod=25)
+    return (out.select("anchor_id", "neg_id",
+                       F.col("neg_label").cast("long").alias("neg_label"),
+                       "cosine",
+                       F.col("rank").cast("long").alias("rank"))
+            .orderBy("anchor_id", "rank"))
+
+
+O_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS al,
+         CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (
+  SELECT vec_id AS neg_id, label AS neg_label,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+p AS (
+  SELECT anchor_id, neg_id, neg_label,
+         round(list_dot_product(av, cv)
+               / (sqrt(list_dot_product(av, av))
+                  * sqrt(list_dot_product(cv, cv))), 5) AS cosine
+  FROM a JOIN c ON neg_label <> al
+),
+r AS (
+  SELECT anchor_id, neg_id, neg_label::BIGINT AS neg_label, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, neg_id) AS rank
+  FROM p
+)
+SELECT anchor_id, neg_id, neg_label, cosine, rank::BIGINT AS rank
+FROM r WHERE rank <= 5
+ORDER BY anchor_id, rank
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -1884,6 +1929,7 @@ def entry_queries() -> dict:
         "ext_bloom_build": q_bloom_build,
         "ext_ngram_diversity": q_ngram_diversity,
         "ext_length_bins": q_length_bins,
+        "ext_hard_negatives": q_hard_negatives,
     }
 
 
@@ -1942,4 +1988,5 @@ def entry_oracles() -> dict:
         "ext_bloom_build": O_BLOOM_BUILD,
         "ext_ngram_diversity": O_NGRAM_DIVERSITY,
         "ext_length_bins": O_LENGTH_BINS,
+        "ext_hard_negatives": O_HARD_NEGATIVES,
     }

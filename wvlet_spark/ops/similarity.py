@@ -538,3 +538,49 @@ def pca_project(df: DataFrame, out_dim: int = 8, sample_limit: int = 20_000,
         return pd.Series(list((M - mean) @ W.T))
 
     return df.withColumn("pca", _proj(F.col(vec_col)))
+
+
+def hard_negative_mining(df: DataFrame, k: int = 5, anchor_mod: int = 25,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         label_col: str = "label") -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor vector the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    standard mining step for embedding/reranker training data.
+
+    Anchors are the deterministic id-residue subset (vec_id % anchor_mod
+    == 0), small enough to broadcast; the corpus scans ONCE through a
+    broadcast nested-loop join on label inequality, each pair paying a
+    single numpy dot product (norms precomputed map-side).  Ranking uses
+    the 5-decimal-rounded cosine with an id tiebreak so the selected set
+    is stable across engines and float summation orders.
+
+    100 TB path: anchors broadcast (no corpus shuffle for the join); the
+    per-anchor top-k window shuffles only (anchor, id, cosine) triples —
+    24 B/pair, k-bounded output.  For anchor sets too large to broadcast,
+    switch to the IVF/LSH candidate path (lsh_bucket_topk) and mine
+    within buckets."""
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    from pyspark.sql import Window
+
+    df = ensure_map_parallelism(df)
+    base = df.select(
+        F.col(id_col), F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", _norm_udf(F.col("__v")))
+    anchors = (base.filter(F.col(id_col) % int(anchor_mod) == 0)
+               .select(F.col(id_col).alias("anchor_id"),
+                       F.col(label_col).alias("__al"),
+                       F.col("__v").alias("__av"),
+                       F.col("__n").alias("__an")))
+    pairs = base.join(F.broadcast(anchors),
+                      F.col(label_col) != F.col("__al"))
+    cos = (_pair_dot_udf(F.col("__v"), F.col("__av"))
+           / (F.col("__n") * F.col("__an")))
+    scored = pairs.select(
+        "anchor_id", F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.round(cos, 5).alias("cosine"))
+    w = (Window.partitionBy("anchor_id")
+         .orderBy(F.col("cosine").desc(), F.col("neg_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k)))

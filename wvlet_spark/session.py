@@ -350,6 +350,14 @@ class WvletSession:
         self._tools["ngram_diversity"] = _one_table(text.ngram_diversity)
         self._tools["length_bins"] = tool_length_bins
 
+        def tool_hard_negatives(spark, table, **kw):
+            for a in ("k", "anchor_mod"):
+                if a in kw:
+                    kw[a] = int(kw[a])
+            return similarity.hard_negative_mining(_df(table), **kw)
+
+        self._tools["hard_negatives"] = tool_hard_negatives
+
         def tool_decontaminate(spark, table, benchmark, **kw):
             return dedup.decontaminate(_df(table), _df(benchmark), **kw)
 
