@@ -405,13 +405,16 @@ def test_lateral_and_unnest_projection_import(spark, duck):
     assert got2 == exp2
 
 
-def test_array_slice_all_sign_combinations(ws, duck):
+def test_array_slice_all_sign_combinations(spark, duck):
     """ARRAY_SLICE (previously the one known typed import reject):
     DuckDB [lo:hi] slices are 1-based inclusive with negative-from-end
     bounds; the importer emits the neutral array_slice(arr, lo, hi)
     and the Spark dialect derives slice()'s LENGTH per sign combination
     (missing bounds default to 1 / -1).  Step slices stay a typed
     reject."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
     sql = ("SELECT n_nationkey, ([1,2,3,4])[2:3] AS s, ([1,2,3])[:2] AS t, "
            "([10,20,30])[2:] AS u, ([1,2,3,4])[-3:-2] AS v, "
            "([1,2,3,4,5])[2:-2] AS w, ([1,2,3,4,5])[-4:4] AS x "
@@ -426,3 +429,46 @@ def test_array_slice_all_sign_combinations(ws, duck):
     exp2 = [tuple(list(c) if isinstance(c, list) else c for c in r)
             for r in duck.execute(osql).fetchall()]
     assert got == exp2
+
+
+def test_qualify_clause_filters_windows(spark, duck):
+    """QUALIFY was silently DROPPED by the importer (wrong answers —
+    round-5 find): it now stages the predicate as a computed column so
+    the filter runs against window expressions, including select-alias
+    references."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT n_nationkey, n_regionkey FROM nation "
+        "QUALIFY row_number() OVER (PARTITION BY n_regionkey "
+        "ORDER BY n_nationkey) = 1 ORDER BY n_nationkey",
+        "SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY "
+        "o_custkey ORDER BY o_totalprice DESC) AS r FROM orders "
+        "WHERE o_custkey <= 10 QUALIFY r <= 2 "
+        "ORDER BY o_custkey, r, o_orderkey",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
+def test_distinct_on_lowered_to_window(spark, duck):
+    """DISTINCT ON (targets) — previously a typed reject — lowers to a
+    row_number window over the SOURCE relation (targets may be absent
+    from the projection), first row per target set in ORDER BY order."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_nationkey "
+        "FROM nation ORDER BY n_regionkey, n_nationkey",
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, "
+        "o_totalprice FROM orders WHERE o_custkey <= 20 "
+        "ORDER BY o_custkey, o_totalprice DESC",
+        "SELECT DISTINCT ON (n_regionkey) n_nationkey FROM nation "
+        "ORDER BY n_regionkey, n_nationkey DESC",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert sorted(map(str, got)) == sorted(map(str, exp)), sql

@@ -1069,8 +1069,29 @@ def _select_node(node: dict) -> list[str]:
         # aggregates (HAVING)
         lines.append(f"where {_expr(node['having'])}")
 
-    distinct = any(m.get("type") == "DISTINCT_MODIFIER"
-                   for m in node.get("modifiers") or [])
+    mods = node.get("modifiers") or []
+    don = next((m.get("distinct_on_targets") for m in mods
+                if m.get("type") == "DISTINCT_MODIFIER"
+                and m.get("distinct_on_targets")), None)
+    qual = node.get("qualify")
+    if don is not None:
+        # DISTINCT ON (targets) keeps the first row per target set in
+        # ORDER BY order — lower to a row_number window BEFORE the
+        # projection (targets/orders reference the source relation).
+        if qual is not None:
+            raise SqlImportError(
+                "QUALIFY combined with DISTINCT ON is not supported")
+        targets = ", ".join(_expr(t) for t in don)
+        order_m = next((m for m in mods
+                        if m.get("type") == "ORDER_MODIFIER"), None)
+        orders = (", ".join(_order_item(o) for o in order_m["orders"])
+                  if order_m else targets)
+        lines.append(f"add __rn = row_number() over "
+                     f"(partition by {targets} order by {orders})")
+        lines.append("where __rn = 1")
+        lines.append("exclude __rn")
+    distinct = don is None and any(
+        m.get("type") == "DISTINCT_MODIFIER" for m in mods)
     items = [_select_item(e) for e in node.get("select_list") or []]
     kw = "select distinct" if distinct else "select"
     if not (len(items) == 1 and items[0] == "*" and has_from):
@@ -1080,6 +1101,14 @@ def _select_node(node: dict) -> list[str]:
         # distinct must survive as the dedup pipe (SQL-import wide-fuzz
         # find, round 5 — it was silently dropped)
         lines.append("dedup")
+    if qual is not None:
+        # QUALIFY filters on window expressions AFTER the projection and
+        # BEFORE order/limit — stage the predicate as a named column so
+        # the filter runs against computed windows (previously the
+        # clause was silently DROPPED — wrong answers, round-5 find)
+        lines.append(f"add __qualify = {_expr(qual)}")
+        lines.append("where __qualify")
+        lines.append("exclude __qualify")
     lines += _modifiers(node)
     return lines
 
@@ -1123,32 +1152,32 @@ def _subsets(n: int) -> list[tuple]:
     return [tuple(s) for s in out]
 
 
+def _order_item(o: dict) -> str:
+    s = _expr(o["expression"])
+    if o["type"] == "DESCENDING":
+        s += " desc"
+    elif o["type"] == "ASCENDING":
+        s += " asc"
+    if o.get("null_order") == "NULLS_FIRST":
+        s += " nulls first"
+    elif o.get("null_order") == "NULLS_LAST":
+        s += " nulls last"
+    return s
+
+
 def _modifiers(node: dict) -> list[str]:
     lines = []
     for m in node.get("modifiers") or []:
         if m["type"] == "ORDER_MODIFIER":
-            parts = []
-            for o in m["orders"]:
-                s = _expr(o["expression"])
-                if o["type"] == "DESCENDING":
-                    s += " desc"
-                elif o["type"] == "ASCENDING":
-                    s += " asc"
-                if o.get("null_order") == "NULLS_FIRST":
-                    s += " nulls first"
-                elif o.get("null_order") == "NULLS_LAST":
-                    s += " nulls last"
-                parts.append(s)
-            lines.append("order by " + ", ".join(parts))
+            lines.append("order by "
+                         + ", ".join(_order_item(o) for o in m["orders"]))
         elif m["type"] == "LIMIT_MODIFIER":
             if m.get("limit"):
                 lines.append(f"limit {_expr(m['limit'])}")
             if m.get("offset"):
                 lines.append(f"offset {_expr(m['offset'])}")
         elif m["type"] == "DISTINCT_MODIFIER":
-            if m.get("distinct_on_targets"):
-                raise SqlImportError("DISTINCT ON not supported")
-            # handled in _select_node
+            pass  # plain DISTINCT and DISTINCT ON handled in _select_node
         else:
             raise SqlImportError(f"unsupported modifier {m['type']}")
     return lines
