@@ -472,3 +472,37 @@ def test_distinct_on_lowered_to_window(spark, duck):
         got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
         exp = [tuple(r) for r in duck.execute(sql).fetchall()]
         assert sorted(map(str, got)) == sorted(map(str, exp)), sql
+
+
+def test_star_exclude_replace_group_by_all(spark, duck):
+    """DuckDB-isms audit (round 5): star EXCLUDE/REPLACE were silently
+    DROPPED (wrong column sets / stale values) — now lowered to
+    exclude/transform pipes; GROUP BY ALL infers keys from non-aggregate
+    select items; ORDER BY ALL expands positionally; qualified `t.*`
+    keeps its qualifier (it previously widened to every join column);
+    arg_max/arg_min map to max_by/min_by; columns() regex is a typed
+    reject."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey "
+        "LIMIT 3",
+        "SELECT * EXCLUDE (n_comment) REPLACE (n_regionkey * 10 AS "
+        "n_regionkey) FROM nation ORDER BY n_nationkey LIMIT 3",
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY ALL "
+        "ORDER BY ALL",
+        "SELECT n_regionkey % 2 AS p, sum(n_nationkey) AS s FROM nation "
+        "GROUP BY ALL ORDER BY ALL DESC",
+        "SELECT n_regionkey, arg_max(n_name, n_nationkey) AS am, "
+        "arg_min(n_name, n_nationkey) AS an FROM nation GROUP BY 1 "
+        "ORDER BY 1",
+        "SELECT n.* FROM nation n JOIN region r ON n.n_regionkey = "
+        "r.r_regionkey ORDER BY n_nationkey LIMIT 3",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert sorted(map(str, got)) == sorted(map(str, exp)), sql
+    with pytest.raises(SqlImportError):
+        ws.to_wvlet("SELECT columns('n_.*key') FROM nation")

@@ -89,6 +89,8 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "list_distinct": {SPARK: "array_distinct", DUCKDB: "list_distinct"},
     "list_position": {SPARK: "array_position", DUCKDB: "list_position"},
     "array_position": {SPARK: "array_position", DUCKDB: "list_position"},
+    "arg_max": {SPARK: "max_by", DUCKDB: "arg_max"},
+    "arg_min": {SPARK: "min_by", DUCKDB: "arg_min"},
     "size": {SPARK: "size", DUCKDB: "len"},
     "array_length": {SPARK: "size", DUCKDB: "len"},
 }
@@ -120,6 +122,7 @@ AGG_FUNCS = {
     "percentile_approx", "approx_count_distinct", "count_distinct",
     "count_approx_distinct", "approx_distinct", "bool_and", "bool_or",
     "bit_and", "bit_or", "product", "corr", "covar_samp", "covar_pop",
+    "arg_max", "arg_min",
 }
 
 SCALAR_METHOD_CASTS = {

@@ -1058,12 +1058,33 @@ def _select_node(node: dict) -> list[str]:
     if node.get("sample"):
         lines.append(_sample_clause(node["sample"]))
 
+    # star EXCLUDE / REPLACE become pipes after the projection; collect
+    # (and clear) them before any select-item emission so the star
+    # renders plain (they were previously silently DROPPED — wrong
+    # column sets / stale values)
+    star_exclude: list[str] = []
+    star_replace: list[tuple] = []
+    for it in node.get("select_list") or []:
+        if it.get("class") == "STAR" and not it.get("columns"):
+            star_exclude += it.get("exclude_list") or []
+            star_replace += [(rp["key"], rp["value"])
+                             for rp in it.get("replace_list") or []]
+            it["exclude_list"] = []
+            it["replace_list"] = []
+
     groups = node.get("group_expressions") or []
     sets = [s for s in (node.get("group_sets") or []) if s is not None]
     if len(sets) > 1:
         lines.append(_grouping_sets(groups, sets))
     elif groups:
         lines.append("group by " + ", ".join(_expr(g) for g in groups))
+    elif node.get("aggregate_handling") == "FORCE_AGGREGATES":
+        # GROUP BY ALL: every select item that contains no aggregate
+        # (and no window) is a grouping key
+        keys = [_expr(it) for it in node.get("select_list") or []
+                if it.get("class") != "STAR" and not _has_aggregate(it)]
+        if keys:
+            lines.append("group by " + ", ".join(keys))
     if node.get("having"):
         # wvlet: a `where` between group by and select filters on
         # aggregates (HAVING)
@@ -1101,6 +1122,10 @@ def _select_node(node: dict) -> list[str]:
         # distinct must survive as the dedup pipe (SQL-import wide-fuzz
         # find, round 5 — it was silently dropped)
         lines.append("dedup")
+    for k, v in star_replace:
+        lines.append(f"transform {_name(k)} = {_expr(v)}")
+    if star_exclude:
+        lines.append("exclude " + ", ".join(_name(c) for c in star_exclude))
     if qual is not None:
         # QUALIFY filters on window expressions AFTER the projection and
         # BEFORE order/limit — stage the predicate as a named column so
@@ -1152,8 +1177,8 @@ def _subsets(n: int) -> list[tuple]:
     return [tuple(s) for s in out]
 
 
-def _order_item(o: dict) -> str:
-    s = _expr(o["expression"])
+def _order_suffix(o: dict) -> str:
+    s = ""
     if o["type"] == "DESCENDING":
         s += " desc"
     elif o["type"] == "ASCENDING":
@@ -1165,12 +1190,56 @@ def _order_item(o: dict) -> str:
     return s
 
 
+def _order_item(o: dict) -> str:
+    return _expr(o["expression"]) + _order_suffix(o)
+
+
+_AGG_FN_NAMES = None
+
+
+def _has_aggregate(node) -> bool:
+    """Does this serialized expression contain an aggregate function call
+    (window expressions also count — they are never GROUP BY ALL keys)?"""
+    global _AGG_FN_NAMES
+    if _AGG_FN_NAMES is None:
+        from wvlet_spark.generator import AGG_FUNCS
+        _AGG_FN_NAMES = AGG_FUNCS | {
+            "count_star", "arg_max", "arg_min", "quantile_cont",
+            "quantile_disc", "quantile", "list", "histogram",
+            "string_agg", "group_concat", "skewness", "kurtosis",
+            "kurtosis_pop", "entropy", "favg", "fsum", "approx_quantile",
+            "approx_count_distinct", "reservoir_quantile",
+        }
+    if isinstance(node, dict):
+        if node.get("class") == "WINDOW":
+            return True
+        if node.get("class") == "FUNCTION" \
+                and node.get("function_name", "").lower() in _AGG_FN_NAMES:
+            return True
+        return any(_has_aggregate(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_aggregate(v) for v in node)
+    return False
+
+
 def _modifiers(node: dict) -> list[str]:
     lines = []
     for m in node.get("modifiers") or []:
         if m["type"] == "ORDER_MODIFIER":
-            lines.append("order by "
-                         + ", ".join(_order_item(o) for o in m["orders"]))
+            parts = []
+            for o in m["orders"]:
+                if (o.get("expression") or {}).get("class") == "STAR":
+                    # ORDER BY ALL: every select-list item left-to-right
+                    items = node.get("select_list") or []
+                    if any(it.get("class") == "STAR" for it in items):
+                        raise SqlImportError(
+                            "ORDER BY ALL over a star select list is "
+                            "not supported")
+                    sfx = _order_suffix(o)
+                    parts += [f"{i + 1}{sfx}" for i in range(len(items))]
+                else:
+                    parts.append(_order_item(o))
+            lines.append("order by " + ", ".join(parts))
         elif m["type"] == "LIMIT_MODIFIER":
             if m.get("limit"):
                 lines.append(f"limit {_expr(m['limit'])}")
@@ -1368,6 +1437,16 @@ def _expr(e: dict) -> str:
     if cls == "CONSTANT":
         return _constant(e["value"])
     if cls == "STAR":
+        if e.get("columns"):
+            raise SqlImportError(
+                "columns() regex expressions are not supported")
+        if e.get("exclude_list") or e.get("replace_list"):
+            # handled (as pipes) only in select-list position
+            raise SqlImportError(
+                "star EXCLUDE/REPLACE outside a select list "
+                "is not supported")
+        if e.get("relation_name"):
+            return f"{_name(e['relation_name'])}.*"
         return "*"
     if cls == "COMPARISON":
         op = _CMP.get(t)
