@@ -506,3 +506,103 @@ def test_star_exclude_replace_group_by_all(spark, duck):
         assert sorted(map(str, got)) == sorted(map(str, exp)), sql
     with pytest.raises(SqlImportError):
         ws.to_wvlet("SELECT columns('n_.*key') FROM nation")
+
+
+def test_qualify_with_distinct_on(spark, duck):
+    """Combined QUALIFY + DISTINCT ON — previously a typed reject.
+    DuckDB's logical order runs windows, then QUALIFY, then DISTINCT ON:
+    the qualify predicate is staged pre-projection (row-local select
+    aliases inlined), projected window expressions are materialized
+    BEFORE the filter (recomputing them post-filter would renumber the
+    surviving rows), and the DISTINCT ON row_number runs last."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, "
+        "o_totalprice FROM orders WHERE o_custkey <= 40 "
+        "QUALIFY rank() OVER (PARTITION BY o_custkey ORDER BY "
+        "o_totalprice DESC) <= 3 ORDER BY o_custkey, o_orderdate",
+        # projected window alias used in QUALIFY: the kept rn values are
+        # the PRE-filter numbers (2), not a post-filter renumbering (1)
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_nationkey, "
+        "row_number() OVER (PARTITION BY n_regionkey ORDER BY "
+        "n_nationkey) AS rn FROM nation QUALIFY rn >= 2 "
+        "ORDER BY n_regionkey, n_nationkey",
+        # row-local alias referenced by QUALIFY is inlined
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_totalprice * 2 AS "
+        "dbl FROM orders WHERE o_custkey <= 25 QUALIFY row_number() "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1 AND "
+        "dbl > 0 ORDER BY o_custkey, o_orderkey",
+    ]:
+        got = sorted(map(str, (tuple(r) for r in
+                               ws.run(ws.to_wvlet(sql)).collect())))
+        exp = sorted(map(str, duck.execute(sql).fetchall()))
+        assert got == exp, sql
+    # unaliased window expression in the select list stays a typed
+    # reject (it cannot be staged pre-filter without a name)
+    with pytest.raises(SqlImportError):
+        ws.to_wvlet(
+            "SELECT DISTINCT ON (n_regionkey) n_nationkey, row_number() "
+            "OVER (ORDER BY n_nationkey) FROM nation QUALIFY "
+            "n_nationkey > 0 ORDER BY n_regionkey")
+
+
+def test_initcap_oracle_roundtrip(spark, duck):
+    """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
+    emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and
+    `array_to_string`, neither of which survived the import path —
+    brackets read back as ARRAY ops (lambda vars have no schema) and
+    array_to_string had no Spark mapping.  The emulation now emits
+    substr and array_to_string maps to array_join."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    wv = ("from part\nwhere p_partkey <= 20\n"
+          "select p_partkey, ini = initcap(p_name)\norder by p_partkey")
+    got = _norm(tuple(r) for r in ws.run(wv).collect())
+    osql = ws.oracle_sql(wv)
+    exp = _norm(duck.execute(osql).fetchall())
+    assert got == exp
+    # the emitted oracle SQL round-trips through the importer
+    got_rt = _norm(tuple(r) for r in ws.run(ws.to_wvlet(osql)).collect())
+    assert got_rt == exp
+    # and a user-written array_to_string converts to the Spark engine
+    sql = ("SELECT p_partkey, array_to_string(string_split(p_name, ' '),"
+           " '-') AS joined FROM part WHERE p_partkey <= 10 "
+           "ORDER BY p_partkey")
+    got2 = _norm(tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect())
+    exp2 = _norm(duck.execute(sql).fetchall())
+    assert got2 == exp2
+
+
+def test_asof_join_qualified_star(spark):
+    """wide-fuzz find (round 5, seed 20260815): `select l.*` after an
+    asof join failed — the row_number lowering flattens the join, so
+    alias `l` no longer exists in the generated SQL.  The asof Block now
+    carries per-side column lists (qcols) and the select lowering
+    expands the qualified star to explicit columns."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir="/root/testdata/sf0.01",
+                      test_mode=False)
+    wv = """from {
+  from events
+  where event_type = 'click' and user_id <= 50
+} as l
+asof join {
+  from events
+  where event_type = 'click'
+  select v_user = user_id, v_ts = ts, v_id = event_id
+} as r on v_user = user_id and v_ts < ts
+select l.*, r.v_id
+order by event_id"""
+    df = ws.run(wv)
+    assert df.columns == ["event_id", "ts", "user_id", "event_type",
+                          "value", "props", "v_id"]
+    assert df.count() > 0
+    # r.* expands to the right-only columns that survive the merge
+    wv2 = wv.replace("select l.*, r.v_id", "select r.*, l.event_id")
+    df2 = ws.run(wv2)
+    assert df2.columns == ["v_user", "v_ts", "v_id", "event_id"]

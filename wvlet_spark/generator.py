@@ -93,6 +93,8 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "arg_min": {SPARK: "min_by", DUCKDB: "arg_min"},
     "size": {SPARK: "size", DUCKDB: "len"},
     "array_length": {SPARK: "size", DUCKDB: "len"},
+    "array_join": {SPARK: "array_join", DUCKDB: "array_to_string"},
+    "array_to_string": {SPARK: "array_join", DUCKDB: "array_to_string"},
 }
 
 # Higher-order functions whose 2-param lambda takes (element, index) —
@@ -477,6 +479,10 @@ class SqlGenerator:
         limit: int | None = None
         offset: int | None = None
         columns: list[str] | None = None   # best-effort output column names
+        # per-source-alias column lists for relations the lowering
+        # flattened (asof join): lets a later `select l.*` expand to
+        # explicit columns even though alias `l` no longer exists in SQL
+        qcols: dict | None = None
 
     def render(self, b: Block) -> str:
         if b.group_keys is not None and b.select is None:
@@ -506,8 +512,12 @@ class SqlGenerator:
 
     def wrap(self, b: Block) -> "SqlGenerator.Block":
         cols = b.columns
+        # qualified-star expansion stays valid through a wrap only while
+        # no projection has narrowed the column set
+        qcols = b.qcols if b.select is None else None
         sql = self.render(b)
-        return SqlGenerator.Block(source=f"({sql}) AS {self.q(self.fresh())}", columns=cols)
+        return SqlGenerator.Block(source=f"({sql}) AS {self.q(self.fresh())}",
+                                  columns=cols, qcols=qcols)
 
     def _needs_wrap_for_filter(self, b: Block) -> bool:
         return b.select is not None or b.limit is not None or b.offset is not None or bool(b.order)
@@ -838,6 +848,14 @@ class SqlGenerator:
         names: list[str] = []
         for it in items:
             if isinstance(it, N.Star):
+                if it.qualifier and b.qcols \
+                        and b.qcols.get(it.qualifier) is not None:
+                    # the qualifier names a relation the lowering
+                    # flattened (asof join) — expand to explicit columns
+                    expand = b.qcols[it.qualifier]
+                    sel.extend(self.q(c) for c in expand)
+                    names.extend(expand)
+                    continue
                 sel.append("*" if not it.qualifier else f"{self.q(it.qualifier)}.*")
                 if b.columns:
                     names.extend(b.columns)
@@ -1096,7 +1114,8 @@ class SqlGenerator:
                 f"FROM ({lsql}) AS {self.q(left_alias)} ASOF {jt} ({rsql}) AS {self.q(right_alias)} "
                 f"ON {self.expr(rel.cond)}) AS {self.q(self.fresh('asof'))}"
             )
-            return B(source=src, columns=cols)
+            return B(source=src, columns=cols,
+                     qcols=self._asof_qcols(left_alias, right_alias, lb, rb))
 
         lid = "__wv_asof_lid"
         rn = "__wv_asof_rn"
@@ -1113,7 +1132,18 @@ class SqlGenerator:
             f"SELECT * EXCEPT ({lid}, {rn}) FROM ({inner}) AS {self.q(self.fresh('asof'))} "
             f"WHERE {rn} = 1"
         )
-        return B(source=f"({outer}) AS {self.q(self.fresh('asofo'))}", columns=cols)
+        return B(source=f"({outer}) AS {self.q(self.fresh('asofo'))}", columns=cols,
+                 qcols=self._asof_qcols(left_alias, right_alias, lb, rb))
+
+    @staticmethod
+    def _asof_qcols(left_alias, right_alias, lb, rb) -> dict | None:
+        """Alias -> column-name map for the flattened asof output
+        (duplicated columns resolve to the left side, so `r.*` expands
+        to the right-only columns that actually survive)."""
+        if lb.columns is None or rb.columns is None:
+            return None
+        right_only = [c for c in rb.columns if c not in set(lb.columns)]
+        return {left_alias: list(lb.columns), right_alias: right_only}
 
     def _asof_order(self, cond: N.Expr, right_alias: str) -> tuple[str, bool]:
         """Find the inequality conjunct; return (right-side order expr SQL,
@@ -1807,8 +1837,12 @@ class SqlGenerator:
             # DuckDB has no initcap — emulate Spark's (upper first letter
             # of each space-delimited word, lower the rest)
             a = self.expr(e.args[0])
+            # substr (not VARCHAR bracket-slices) so the emitted SQL
+            # round-trips through the importer, which reads brackets as
+            # array ops (lambda vars have no schema to consult)
             core = (f"array_to_string(list_transform(string_split({a}, ' '),"
-                    f" __w -> upper(__w[1]) || lower(__w[2:])), ' ')")
+                    f" __w -> upper(substr(__w, 1, 1)) ||"
+                    f" lower(substr(__w, 2))), ' ')")
         elif e.name.lower() == "map" and self.dialect != SPARK \
                 and e.args and len(e.args) % 2 == 0:
             # Spark's variadic map(k1, v1, k2, v2); DuckDB's map() takes

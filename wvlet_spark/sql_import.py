@@ -20,6 +20,7 @@ error (the engine runs those through raw `sql"..."` passthrough instead).
 
 from __future__ import annotations
 
+import copy
 import json
 import re
 
@@ -1100,8 +1101,40 @@ def _select_node(node: dict) -> list[str]:
         # ORDER BY order — lower to a row_number window BEFORE the
         # projection (targets/orders reference the source relation).
         if qual is not None:
-            raise SqlImportError(
-                "QUALIFY combined with DISTINCT ON is not supported")
+            # DuckDB's logical order runs windows, then QUALIFY, then
+            # DISTINCT ON — so the qualify filter must be staged
+            # pre-projection, and any projected WINDOW expression must
+            # be materialized BEFORE the filter (recomputing it in the
+            # final select would see only the surviving rows).
+            if groups or sets or node.get(
+                    "aggregate_handling") == "FORCE_AGGREGATES":
+                raise SqlImportError(
+                    "QUALIFY with DISTINCT ON over a grouped query "
+                    "is not supported")
+            amap = {}
+            for it in node.get("select_list") or []:
+                if _has_window(it):
+                    if not it.get("alias"):
+                        raise SqlImportError(
+                            "QUALIFY with DISTINCT ON requires window "
+                            "expressions in the select list to be "
+                            "aliased")
+                    aname = it["alias"]
+                    staged = copy.deepcopy(it)
+                    staged.pop("alias", None)
+                    lines.append(f"add {_name(aname)} = {_expr(staged)}")
+                    it.clear()
+                    it.update({"class": "COLUMN_REF", "type": "COLUMN_REF",
+                               "column_names": [aname]})
+                elif it.get("alias"):
+                    # row-local aliases give identical values whenever
+                    # they are computed — inline them into the predicate
+                    amap[it["alias"]] = it
+            qexpr = _subst_aliases(copy.deepcopy(qual), amap)
+            lines.append(f"add __qualify = {_expr(qexpr)}")
+            lines.append("where __qualify")
+            lines.append("exclude __qualify")
+            qual = None
         targets = ", ".join(_expr(t) for t in don)
         order_m = next((m for m in mods
                         if m.get("type") == "ORDER_MODIFIER"), None)
@@ -1516,6 +1549,35 @@ def _rename_col(node, old: str, new: str):
     elif isinstance(node, list):
         for v in node:
             _rename_col(v, old, new)
+
+
+def _has_window(node) -> bool:
+    """Does this serialized expression contain a WINDOW node?"""
+    if isinstance(node, dict):
+        if node.get("class") == "WINDOW":
+            return True
+        return any(_has_window(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_window(v) for v in node)
+    return False
+
+
+def _subst_aliases(node, amap: dict):
+    """Replace bare COLUMN_REF `name` nodes with a deep copy of the
+    select item that defines alias `name` (QUALIFY staged before a
+    DISTINCT ON lowering runs pre-projection, where aliases don't
+    exist yet).  Returns the substituted node."""
+    if isinstance(node, dict):
+        if node.get("class") == "COLUMN_REF" \
+                and len(node.get("column_names") or []) == 1 \
+                and node["column_names"][0] in amap:
+            repl = copy.deepcopy(amap[node["column_names"][0]])
+            repl.pop("alias", None)
+            return repl
+        return {k: _subst_aliases(v, amap) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_subst_aliases(v, amap) for v in node]
+    return node
 
 
 def _lambda(e: dict) -> str:
