@@ -549,6 +549,33 @@ def test_qualify_with_distinct_on(spark, duck):
             "n_nationkey > 0 ORDER BY n_regionkey")
 
 
+def test_qualify_on_nonprojected_columns(spark, duck):
+    """SQL-first fuzz find (round 5): QUALIFY predicates referencing
+    source columns the projection DROPS crashed post-projection staging
+    (unresolved column).  The lowering now checks predicate column refs
+    against the projected set and stages pre-projection when needed —
+    including columns removed by star EXCLUDE."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        # window partitioned on a column absent from the projection
+        "SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey <= 60 "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) <= 2 ORDER BY o_custkey, o_orderkey",
+        # predicate references a star-EXCLUDEd column
+        "SELECT * EXCLUDE (n_regionkey) FROM nation "
+        "QUALIFY rank() OVER (PARTITION BY n_regionkey "
+        "ORDER BY n_nationkey) = 1 ORDER BY n_nationkey",
+        # bare-star projection still hosts the filter post-projection
+        "SELECT * FROM nation QUALIFY row_number() OVER (PARTITION BY "
+        "n_regionkey ORDER BY n_nationkey) = 1 ORDER BY n_nationkey",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
 def test_initcap_oracle_roundtrip(spark, duck):
     """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
     emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and

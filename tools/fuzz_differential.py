@@ -447,6 +447,90 @@ def shape_arrayfns(rng):
             f"order by p_partkey")
 
 
+# ---- SQL-first families: generate DuckDB-native SQL using constructs
+# the repo's own DuckDB emitter never produces (QUALIFY, DISTINCT ON,
+# star EXCLUDE/REPLACE, GROUP BY ALL, arg_max), execute it in DuckDB as
+# ground truth, and feed it through to_wvlet -> Spark.  This puts the
+# importer under direct adversarial pressure instead of only
+# round-tripping our own emission.
+
+def sqlshape_qualify(rng):
+    """QUALIFY over ranking windows, bare and via select alias."""
+    part = rng.choice(["o_custkey", "o_orderstatus", "o_orderpriority"])
+    win = rng.choice([
+        f"row_number() OVER (PARTITION BY {part} ORDER BY o_orderkey)",
+        f"rank() OVER (PARTITION BY {part} ORDER BY o_totalprice DESC, "
+        f"o_orderkey)",
+        f"dense_rank() OVER (PARTITION BY {part} ORDER BY o_orderdate, "
+        f"o_orderkey)",
+    ])
+    k = rng.randint(1, 3)
+    lim = rng.randint(40, 250)
+    if rng.random() < 0.5:
+        return (f"SELECT o_custkey, o_orderkey, {win} AS r FROM orders "
+                f"WHERE o_custkey <= {lim} QUALIFY r <= {k} "
+                f"ORDER BY o_custkey, o_orderkey")
+    return (f"SELECT o_custkey, o_orderkey FROM orders "
+            f"WHERE o_custkey <= {lim} QUALIFY {win} <= {k} "
+            f"ORDER BY o_custkey, o_orderkey")
+
+
+def sqlshape_distinct_on(rng):
+    """DISTINCT ON with total tiebreak orders; sometimes + QUALIFY.
+    The ORDER BY always ends in a unique key so both engines pick the
+    same winner per target set."""
+    tgt = rng.choice(["o_custkey", "o_orderstatus",
+                      "o_custkey % 7", "year(o_orderdate)"])
+    ordd = rng.choice(["o_totalprice DESC, o_orderkey",
+                       "o_orderdate, o_orderkey", "o_orderkey"])
+    lim = rng.randint(40, 400)
+    cols = "o_custkey, o_orderkey, o_totalprice"
+    if rng.random() < 0.4:
+        q = (f"QUALIFY row_number() OVER (PARTITION BY o_custkey "
+             f"ORDER BY o_orderkey) <= {rng.randint(1, 4)} ")
+    else:
+        q = ""
+    return (f"SELECT DISTINCT ON ({tgt}) {cols} FROM orders "
+            f"WHERE o_custkey <= {lim} {q}ORDER BY {tgt}, {ordd}")
+
+
+def sqlshape_duckisms(rng):
+    """star EXCLUDE/REPLACE, GROUP BY ALL, ORDER BY ALL, arg_max/min."""
+    pick = rng.randrange(4)
+    if pick == 0:
+        ex = ", ".join(rng.sample(
+            ["n_name", "n_regionkey"], k=rng.randint(1, 2)))
+        return (f"SELECT * EXCLUDE ({ex}) FROM nation "
+                f"ORDER BY n_nationkey LIMIT {rng.randint(3, 20)}")
+    if pick == 1:
+        return (f"SELECT * EXCLUDE (o_orderpriority, o_orderdate) "
+                f"REPLACE (o_totalprice * {rng.randint(2, 5)} AS "
+                f"o_totalprice) FROM orders WHERE o_orderkey <= "
+                f"{rng.randint(50, 300)} ORDER BY o_orderkey")
+    if pick == 2:
+        key = rng.choice(["o_orderstatus", "o_orderpriority",
+                          "o_custkey % 5"])
+        return (f"SELECT {key} AS k, count(*) AS n, "
+                f"sum(o_orderkey) AS s FROM orders WHERE o_orderkey <= "
+                f"{rng.randint(200, 2000)} GROUP BY ALL ORDER BY ALL")
+    # the arg value is made unique (price + key epsilon) so ties can't
+    # make the two engines pick different winners
+    return (f"SELECT o_orderstatus, "
+            f"arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey) "
+            f"AS am, "
+            f"arg_min(o_orderkey, o_totalprice * 1000000 + o_orderkey) "
+            f"AS an "
+            f"FROM orders WHERE o_orderkey <= {rng.randint(200, 2000)} "
+            f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+
+
+SQL_SHAPES = {
+    "sql_qualify": sqlshape_qualify,
+    "sql_distinct_on": sqlshape_distinct_on,
+    "sql_duckisms": sqlshape_duckisms,
+}
+
+
 SHAPES = {
     "join_agg": shape_join_agg,
     "dates": shape_dates,
@@ -502,10 +586,49 @@ def main():
                      f"'{SF_DIR}/{t}.parquet'")
 
     rng = random.Random(args.seed)
-    names = list(SHAPES) if args.shape == "all" else [args.shape]
+    if args.shape == "all":
+        names = list(SHAPES) + list(SQL_SHAPES)
+    else:
+        names = [args.shape]
     fails = errs = rejects = 0
+    from wvlet_spark.sql_import import SqlImportError
     for i in range(args.n):
         shape = names[i % len(names)]
+        if shape in SQL_SHAPES:
+            # SQL-first family: DuckDB executes the generated SQL as
+            # ground truth; the importer + engine must agree
+            sql = SQL_SHAPES[shape](rng)
+            try:
+                exp = _norm(duck.execute(sql).fetchall())
+            except Exception:
+                errs += 1
+                print(f"--- [{i}] {shape}: DUCKDB ERROR (generator bug)\n"
+                      f"{sql}\n{traceback.format_exc(limit=3)}")
+                continue
+            try:
+                wv = ws.to_wvlet(sql)
+                got = _norm(tuple(r) for r in ws.run(wv).collect())
+            except SqlImportError:
+                rejects += 1
+                continue
+            except Exception:
+                errs += 1
+                print(f"--- [{i}] {shape}: IMPORT-PATH ERROR\n-- sql:\n"
+                      f"{sql}\n{traceback.format_exc(limit=3)}")
+                continue
+            if got != exp and not _rows_close(got, exp):
+                fails += 1
+                print(f"--- [{i}] {shape}: VALUE MISMATCH\n-- sql:\n{sql}"
+                      f"\n-- wvlet:\n{wv}")
+                for a, b in list(zip(got, exp))[:8]:
+                    if a != b:
+                        print(f"  spark={a}\n  duck ={b}")
+                if len(got) != len(exp):
+                    print(f"  rows: spark={len(got)} duck={len(exp)}")
+            if (i + 1) % 25 == 0:
+                print(f"[{i+1}/{args.n}] fails={fails} errs={errs}",
+                      flush=True)
+            continue
         q = SHAPES[shape](rng)
         try:
             osql = ws.oracle_sql(q)

@@ -1102,38 +1102,10 @@ def _select_node(node: dict) -> list[str]:
         # projection (targets/orders reference the source relation).
         if qual is not None:
             # DuckDB's logical order runs windows, then QUALIFY, then
-            # DISTINCT ON — so the qualify filter must be staged
-            # pre-projection, and any projected WINDOW expression must
-            # be materialized BEFORE the filter (recomputing it in the
-            # final select would see only the surviving rows).
-            if groups or sets or node.get(
-                    "aggregate_handling") == "FORCE_AGGREGATES":
-                raise SqlImportError(
-                    "QUALIFY with DISTINCT ON over a grouped query "
-                    "is not supported")
-            amap = {}
-            for it in node.get("select_list") or []:
-                if _has_window(it):
-                    if not it.get("alias"):
-                        raise SqlImportError(
-                            "QUALIFY with DISTINCT ON requires window "
-                            "expressions in the select list to be "
-                            "aliased")
-                    aname = it["alias"]
-                    staged = copy.deepcopy(it)
-                    staged.pop("alias", None)
-                    lines.append(f"add {_name(aname)} = {_expr(staged)}")
-                    it.clear()
-                    it.update({"class": "COLUMN_REF", "type": "COLUMN_REF",
-                               "column_names": [aname]})
-                elif it.get("alias"):
-                    # row-local aliases give identical values whenever
-                    # they are computed — inline them into the predicate
-                    amap[it["alias"]] = it
-            qexpr = _subst_aliases(copy.deepcopy(qual), amap)
-            lines.append(f"add __qualify = {_expr(qexpr)}")
-            lines.append("where __qualify")
-            lines.append("exclude __qualify")
+            # DISTINCT ON — the qualify filter must be staged
+            # pre-projection.
+            _stage_qualify_preprojection(node, qual, lines, groups, sets,
+                                         why="QUALIFY with DISTINCT ON")
             qual = None
         targets = ", ".join(_expr(t) for t in don)
         order_m = next((m for m in mods
@@ -1144,6 +1116,29 @@ def _select_node(node: dict) -> list[str]:
                      f"(partition by {targets} order by {orders})")
         lines.append("where __rn = 1")
         lines.append("exclude __rn")
+    if qual is not None:
+        # Which lowering can host the filter?  Post-projection staging
+        # (the default — select aliases resolve naturally) only works if
+        # every column the predicate references survives the projection;
+        # otherwise stage pre-projection (SQL-first fuzz find, round 5:
+        # QUALIFY windows partitioned on non-projected source columns).
+        refs = _colref_names(qual)
+        projected = set()
+        covers_all = False
+        for it in node.get("select_list") or []:
+            if it.get("class") == "STAR":
+                if not it.get("relation_name"):
+                    covers_all = True
+            elif it.get("alias"):
+                projected.add(it["alias"])
+            elif it.get("class") == "COLUMN_REF" \
+                    and len(it.get("column_names") or []) == 1:
+                projected.add(it["column_names"][0])
+        if (not covers_all and not refs <= projected) \
+                or (refs & set(star_exclude)):
+            _stage_qualify_preprojection(node, qual, lines, groups, sets,
+                                         why="QUALIFY")
+            qual = None
     distinct = don is None and any(
         m.get("type") == "DISTINCT_MODIFIER" for m in mods)
     items = [_select_item(e) for e in node.get("select_list") or []]
@@ -1169,6 +1164,58 @@ def _select_node(node: dict) -> list[str]:
         lines.append("exclude __qualify")
     lines += _modifiers(node)
     return lines
+
+
+def _stage_qualify_preprojection(node: dict, qual: dict, lines: list[str],
+                                 groups, sets, why: str) -> None:
+    """Stage a QUALIFY filter BEFORE the projection: projected WINDOW
+    expressions are materialized first (recomputing them after the
+    filter would see only surviving rows), row-local select aliases are
+    inlined into the predicate, then the filter runs.  Used when the
+    projection can't host the filter — DISTINCT ON follows QUALIFY, or
+    the predicate references source columns the projection drops."""
+    if groups or sets or node.get(
+            "aggregate_handling") == "FORCE_AGGREGATES":
+        raise SqlImportError(f"{why} over a grouped query is not supported")
+    amap = {}
+    for it in node.get("select_list") or []:
+        if _has_window(it):
+            if not it.get("alias"):
+                raise SqlImportError(
+                    f"{why} requires window expressions in the select "
+                    f"list to be aliased")
+            aname = it["alias"]
+            staged = copy.deepcopy(it)
+            staged.pop("alias", None)
+            lines.append(f"add {_name(aname)} = {_expr(staged)}")
+            it.clear()
+            it.update({"class": "COLUMN_REF", "type": "COLUMN_REF",
+                       "column_names": [aname]})
+        elif it.get("alias"):
+            # row-local aliases give identical values whenever they are
+            # computed — inline them into the predicate
+            amap[it["alias"]] = it
+    qexpr = _subst_aliases(copy.deepcopy(qual), amap)
+    lines.append(f"add __qualify = {_expr(qexpr)}")
+    lines.append("where __qualify")
+    lines.append("exclude __qualify")
+
+
+def _colref_names(node) -> set:
+    """All single-part COLUMN_REF names in a serialized expression."""
+    out = set()
+    if isinstance(node, dict):
+        if node.get("class") == "COLUMN_REF":
+            names = node.get("column_names") or []
+            if len(names) == 1:
+                out.add(names[0])
+        else:
+            for v in node.values():
+                out |= _colref_names(v)
+    elif isinstance(node, list):
+        for v in node:
+            out |= _colref_names(v)
+    return out
 
 
 def _sample_clause(s: dict) -> str:
