@@ -576,6 +576,28 @@ def test_qualify_on_nonprojected_columns(spark, duck):
         assert got == exp, sql
 
 
+def test_count_star_filter_clause(spark, duck):
+    """SQL-first fuzz find (round 5): `count(*) FILTER (WHERE c)` was
+    silently DROPPING its filter — the bare-count early return in the
+    importer fired before the FILTER lowering (wrong counts on every
+    filtered count-star).  It now falls through to the
+    if-then-else-null lowering like every other filtered aggregate."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT o_orderpriority, "
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS nf, "
+        "sum(o_orderkey) FILTER (WHERE o_custkey % 2 = 0) AS se "
+        "FROM orders WHERE o_orderkey <= 900 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "SELECT count(*) FILTER (WHERE n_regionkey = 1) AS n FROM nation",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
 def test_initcap_oracle_roundtrip(spark, duck):
     """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
     emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and

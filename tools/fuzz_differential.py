@@ -524,10 +524,137 @@ def sqlshape_duckisms(rng):
             f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
 
 
+def sqlshape_setops(rng):
+    """UNION/INTERSECT/EXCEPT with ALL/DISTINCT over compatible
+    projections (DuckDB defaults EXCEPT/INTERSECT to DISTINCT)."""
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
+    lo1, lo2 = rng.randint(1, 12), rng.randint(1, 12)
+    col = rng.choice(["n_regionkey", "n_nationkey % 4", "n_nationkey % 7"])
+    return (f"SELECT {col} AS k FROM nation WHERE n_nationkey <= {lo1+10} "
+            f"{op} "
+            f"SELECT {col} AS k FROM nation WHERE n_nationkey >= {lo2} "
+            f"ORDER BY k")
+
+
+def sqlshape_grouping(rng):
+    """GROUPING SETS / ROLLUP / CUBE in SQL-first form, with grouping()
+    markers so NULL-key rows disambiguate from real NULLs."""
+    pick = rng.randrange(3)
+    lim = rng.randint(200, 1500)
+    if pick == 0:
+        g = "ROLLUP (o_orderstatus, o_orderpriority)"
+    elif pick == 1:
+        g = "CUBE (o_orderstatus, o_orderpriority)"
+    else:
+        g = ("GROUPING SETS ((o_orderstatus), (o_orderpriority), "
+             "(o_orderstatus, o_orderpriority), ())")
+    return (f"SELECT o_orderstatus, o_orderpriority, "
+            f"grouping(o_orderstatus) AS g1, "
+            f"grouping(o_orderpriority) AS g2, "
+            f"count(*) AS n, sum(o_orderkey) AS s "
+            f"FROM orders WHERE o_orderkey <= {lim} "
+            f"GROUP BY {g} "
+            f"ORDER BY g1, g2, o_orderstatus NULLS FIRST, "
+            f"o_orderpriority NULLS FIRST")
+
+
+def sqlshape_frames(rng):
+    """Explicit ROWS/RANGE window frames with aggregate functions in
+    SQL-first form (ordering key made unique so frames are stable)."""
+    n1, n2 = rng.randint(0, 3), rng.randint(0, 3)
+    frame = rng.choice([
+        f"ROWS BETWEEN {n1} PRECEDING AND {n2} FOLLOWING",
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND {n2} FOLLOWING",
+        f"ROWS BETWEEN {n1} PRECEDING AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    fn = rng.choice(["sum(o_orderkey)", "count(*)", "min(o_orderkey)",
+                     "max(o_orderkey)", "avg(o_orderkey * 1.0)"])
+    lim = rng.randint(100, 600)
+    return (f"SELECT o_custkey, o_orderkey, "
+            f"{fn} OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+            f"{frame}) AS w FROM orders WHERE o_custkey <= {lim} "
+            f"ORDER BY o_custkey, o_orderkey")
+
+
+def sqlshape_corr_sub(rng):
+    """Correlated scalar subqueries in SELECT and WHERE, SQL-first."""
+    if rng.random() < 0.5:
+        lim = rng.randint(10, 60)
+        return (f"SELECT c_custkey, "
+                f"(SELECT count(*) FROM orders o "
+                f"WHERE o.o_custkey = c.c_custkey) AS n_orders "
+                f"FROM customer c WHERE c_custkey <= {lim} "
+                f"ORDER BY c_custkey")
+    frac = rng.choice(["0.5", "1.0", "1.5"])
+    lim = rng.randint(100, 500)
+    return (f"SELECT o_orderkey, o_totalprice FROM orders o "
+            f"WHERE o_orderkey <= {lim} AND o_totalprice > {frac} * "
+            f"(SELECT avg(o2.o_totalprice) FROM orders o2 "
+            f"WHERE o2.o_orderstatus = o.o_orderstatus) "
+            f"ORDER BY o_orderkey")
+
+
+def sqlshape_aggmisc(rng):
+    """Aggregate misc: bool_and/bool_or, string_agg with ORDER BY,
+    median/quantile_cont, count(DISTINCT), FILTER clause."""
+    pick = rng.randrange(4)
+    lim = rng.randint(200, 1500)
+    if pick == 0:
+        return (f"SELECT o_orderstatus, "
+                f"bool_and(o_totalprice > 1000) AS ba, "
+                f"bool_or(o_orderpriority = '1-URGENT') AS bo, "
+                f"count(DISTINCT o_custkey) AS dc "
+                f"FROM orders WHERE o_orderkey <= {lim} "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    if pick == 1:
+        return (f"SELECT n_regionkey, "
+                f"string_agg(n_name, '|' ORDER BY n_name) AS names "
+                f"FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+    if pick == 2:
+        return (f"SELECT o_orderstatus, "
+                f"median(o_totalprice) AS med, "
+                f"quantile_cont(o_totalprice, 0.25) AS q1 "
+                f"FROM orders WHERE o_orderkey <= {lim} "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    return (f"SELECT o_orderpriority, "
+            f"count(*) FILTER (WHERE o_orderstatus = 'F') AS nf, "
+            f"sum(o_orderkey) FILTER (WHERE o_custkey % 2 = 0) AS se "
+            f"FROM orders WHERE o_orderkey <= {lim} "
+            f"GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
+
+def sqlshape_nested(rng):
+    """Chained CTEs, USING joins, BETWEEN, IN-lists, CASE ladders."""
+    lo = rng.randint(1, 8)
+    hi = lo + rng.randint(4, 14)
+    sts = ", ".join(f"'{s}'" for s in
+                    rng.sample(["F", "O", "P"], k=rng.randint(1, 3)))
+    return (f"WITH nt AS (SELECT n_nationkey, n_regionkey, n_name "
+            f"FROM nation WHERE n_nationkey BETWEEN {lo} AND {hi}), "
+            f"ct AS (SELECT c_custkey, c_nationkey, c_acctbal "
+            f"FROM customer WHERE c_custkey <= {rng.randint(80, 400)}) "
+            f"SELECT n.n_name, count(*) AS n, "
+            f"sum(CASE WHEN c.c_acctbal < 0 THEN 1 "
+            f"WHEN c.c_acctbal < 5000 THEN 2 ELSE 3 END) AS ladder "
+            f"FROM ct c JOIN nt n ON c.c_nationkey = n.n_nationkey "
+            f"JOIN orders o ON o.o_custkey = c.c_custkey "
+            f"WHERE o.o_orderstatus IN ({sts}) "
+            f"GROUP BY n.n_name ORDER BY n.n_name")
+
+
 SQL_SHAPES = {
     "sql_qualify": sqlshape_qualify,
     "sql_distinct_on": sqlshape_distinct_on,
     "sql_duckisms": sqlshape_duckisms,
+    "sql_setops": sqlshape_setops,
+    "sql_grouping": sqlshape_grouping,
+    "sql_frames": sqlshape_frames,
+    "sql_corr_sub": sqlshape_corr_sub,
+    "sql_aggmisc": sqlshape_aggmisc,
+    "sql_nested": sqlshape_nested,
 }
 
 

@@ -1758,7 +1758,10 @@ def _function(e: dict) -> str:
             and ch[0].get("class") == "CONSTANT":
         part = ch[0]["value"]["value"]
         return f"{_maybe_paren(ch[1])}.extract('{part}')"
-    if fn in ("count", "count_star") and not ch:
+    if fn in ("count", "count_star") and not ch and not e.get("filter"):
+        # bare count(*) — but a FILTER clause must fall through to the
+        # FILTER lowering below (SQL-first fuzz find, round 5: the early
+        # return silently dropped `count(*) FILTER (WHERE c)`)
         return "count(*)"
     # ---- DuckDB-semantics functions that differ from the engine's
     # canonical (Spark-flavored) forms: convert VALUES, not just names
