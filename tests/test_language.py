@@ -841,6 +841,21 @@ def test_builtin_pipeline_tools(spark):
     lb = ws.run("call length_bins(table='tool_docs2', "
                 "n_bins=2)").collect()
     assert sum(r.n for r in lb) == 2
+    # late round-5 additions: event analytics + fuzzy linkage
+    ws.run('from [[1, "2024-01-01 00:00:00", "A"], '
+           '[1, "2024-01-01 01:00:00", "B"], '
+           '[2, "2024-01-01 00:00:00", "B"]] as t(user_id, ts0, event_type)'
+           '\nselect user_id, ts = ts0.to_timestamp, event_type'
+           '\nsave to tool_events')
+    fn = {r.step: r.users for r in ws.run(
+        "call funnel(table='tool_events', steps='A,B', "
+        "within_seconds=86400)").collect()}
+    assert fn == {"A": 1, "B": 1}
+    ws.run('from [[1, "Acme Corporation A"], [2, "Acme Corporation B"]] '
+           'as t(id, name)\nsave to tool_names')
+    fp = ws.run("call fuzzy_pairs(table='tool_names', id='id', "
+                "name='name', block_len=10)").collect()
+    assert [(r.id1, r.id2, r.dist) for r in fp] == [(1, 2, 1)]
 
 
 def test_agg_in_subquery_cte_shadowing(ws):

@@ -807,3 +807,82 @@ def test_hard_negative_mining_semantics(spark):
     assert all(r.neg_label != 1 for r in mine)
     assert mine[0].neg_id == 1 and mine[0].rank == 1
     assert len(mine) == 2
+
+
+def test_funnel_semantics(spark):
+    """Planted funnel: u1 completes A->B->C in order, u2 does B before
+    A (no conversion past step 1), u3 misses the within deadline."""
+    from wvlet_spark.ops.analytics import funnel
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "A"), (1, "2024-01-01 01:00:00", "B"),
+        (1, "2024-01-01 02:00:00", "C"),
+        (2, "2024-01-01 00:00:00", "B"), (2, "2024-01-01 01:00:00", "A"),
+        (3, "2024-01-01 00:00:00", "A"), (3, "2024-01-03 00:00:00", "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    out = {r.step: (r.users, r.pct)
+           for r in funnel(df, ["A", "B", "C"],
+                           within_seconds=86400).collect()}
+    assert out["A"] == (3, 1.0)
+    assert out["B"] == (1, round(1 / 3, 4))  # u2 out of order, u3 too late
+    assert out["C"] == (1, round(1 / 3, 4))
+
+
+def test_gap_fill_daily_locf(spark):
+    """Gap days appear with n_events=0 and carry the last seen value."""
+    from wvlet_spark.ops.analytics import gap_fill_daily
+
+    rows = [(1, "2024-01-01 10:00:00", 2.0), (1, "2024-01-01 11:00:00", 3.0),
+            (1, "2024-01-04 09:00:00", 7.5)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = sorted(gap_fill_daily(df).collect(), key=lambda r: r.day)
+    assert [str(r.day) for r in out] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert [r.n_events for r in out] == [2, 0, 0, 1]
+    assert [r.value_filled for r in out] == [5.0, 5.0, 5.0, 7.5]
+
+
+def test_retention_weekly_semantics(spark):
+    """Week-0 cell counts the whole cohort; later cells only the active."""
+    from wvlet_spark.ops.analytics import retention_weekly
+
+    rows = [(1, "2024-01-01 08:00:00"), (1, "2024-01-10 08:00:00"),
+            (2, "2024-01-02 08:00:00"),
+            (3, "2024-01-09 08:00:00"), (3, "2024-01-16 08:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {(str(r.cohort_week), r.week_n): r.users
+           for r in retention_weekly(df).collect()}
+    # u1+u2 cohort Jan-1 week; u1 returns week 1.  u3 cohort Jan-8 week,
+    # returns week 1.
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert out[("2024-01-08", 1)] == 1
+
+
+def test_fuzzy_name_pairs(spark):
+    """Planted near-identical names pair up; distinct blocks never
+    compare; the block cap drops degenerate blocks."""
+    from wvlet_spark.ops.dedup import fuzzy_name_pairs
+
+    rows = [(1, "Acme Corporation A"), (2, "Acme Corporation B"),
+            (3, "Acme Corporation AXY"),       # dist 2 from #1 — excluded
+            (4, "Zenith Widget Works"),        # different block
+            (5, "Acme Corporatiom A")]         # 1 substitution from #1
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.id1, r.id2): r.dist
+           for r in fuzzy_name_pairs(df, "id", "name",
+                                     block_len=10, max_dist=1).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert (1, 5) in out and out[(1, 5)] == 1
+    assert all(4 not in pair for pair in out)
+    assert (1, 3) not in out
+    # cap: a block with more members than block_cap is dropped entirely
+    capped = fuzzy_name_pairs(df, "id", "name", block_len=10,
+                              max_dist=1, block_cap=3).collect()
+    assert capped == []

@@ -762,3 +762,34 @@ def ensure_map_parallelism_for_bands(df: DataFrame) -> DataFrame:
     from wvlet_spark.ops.util import ensure_map_parallelism
 
     return ensure_map_parallelism(df)
+
+
+def fuzzy_name_pairs(df: DataFrame, id_col: str, name_col: str,
+                     block_len: int = 16, max_dist: int = 1,
+                     block_cap: int | None = 10000) -> DataFrame:
+    """Record linkage by edit distance: candidate pairs whose `name_col`
+    values agree on a `block_len`-character prefix (the blocking key) and
+    sit within `max_dist` Levenshtein edits.  Returns (id1, id2, dist)
+    with id1 < id2.
+
+    Scale notes (100 TB): the prefix block bounds the quadratic — the
+    self-join shuffles on the block key only, and `block_cap` drops
+    blocks larger than the cap (a degenerate prefix shared by millions of
+    records would otherwise explode; same policy as the MinHash
+    hot-bucket cap).  Levenshtein runs JVM-side (codegen), no UDF.
+    """
+    blk = F.substring(F.col(name_col), 1, block_len).alias("__blk")
+    a = df.select(F.col(id_col).alias("id1"),
+                  F.col(name_col).alias("__n1"), blk)
+    if block_cap is not None:
+        big = (a.groupBy("__blk").agg(F.count("*").alias("__c"))
+               .filter(F.col("__c") > block_cap).select("__blk"))
+        a = a.join(big, "__blk", "left_anti")
+    b = (a.select(F.col("id1").alias("id2"),
+                  F.col("__n1").alias("__n2"), "__blk"))
+    return (a.join(b, "__blk")
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("dist",
+                        F.levenshtein("__n1", "__n2").cast("long"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id1", "id2", "dist"))

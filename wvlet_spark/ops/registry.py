@@ -1877,6 +1877,126 @@ ORDER BY anchor_id, rank
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion over the events stream (view -> click
+    -> purchase, each hop within 24 h of the previous step's earliest
+    qualifying event).  Pure DataFrame composition: per-step type-filter
+    + per-user min-timestamp aggregate + key join — the exact oracle
+    mirrors it as a CTE cascade."""
+    from wvlet_spark.ops.analytics import funnel
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"], within_seconds=86400)
+
+
+O_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL 86400 SECOND GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         AND e.ts <= s2.t + INTERVAL 86400 SECOND GROUP BY e.user_id),
+c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM s1) AS users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+SELECT step_idx, step, users,
+       round(users * 1.0 / first_value(users) OVER (ORDER BY step_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS pct
+FROM c ORDER BY step_idx
+"""
+
+
+def q_gap_fill(spark, sf_dir):
+    """Dense per-user daily series with zero-filled gap days and LOCF
+    value carry-forward (time-series regularization for feature
+    pipelines).  Calendar generated per user from its own span
+    (sequence+explode), LOCF window partitioned per user."""
+    from wvlet_spark.ops.analytics import gap_fill_daily
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    return (gap_fill_daily(ev.filter("user_id < 40"))
+            .orderBy("user_id", "day"))
+
+
+O_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         round(sum(value), 4) AS day_value
+  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+span AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                max(CAST(ts AS DATE)) AS d1
+         FROM events WHERE user_id < 40 GROUP BY 1),
+cal AS (SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+SELECT c.user_id, c.day, coalesce(d.n_events, CAST(0 AS BIGINT)) AS n_events,
+       last_value(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM cal c LEFT JOIN daily d USING (user_id, day)
+ORDER BY user_id, day
+"""
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the Monday-start week
+    of their first event, counted in every (cohort_week, weeks-since)
+    cell they were active in."""
+    from wvlet_spark.ops.analytics import retention_weekly
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    return retention_weekly(ev)
+
+
+O_RETENTION = """
+WITH active AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM active
+           GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_n,
+       count(*) AS users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Record linkage by edit distance with prefix blocking (near-dup
+    record detection on a name/title column): candidate pairs share a
+    16-char prefix block and sit within 1 Levenshtein edit.  The
+    self-join shuffles on the block key only; levenshtein is codegen."""
+    from wvlet_spark.ops.dedup import fuzzy_name_pairs
+    from wvlet_spark.session import read_parquet_robust
+
+    cust = read_parquet_robust(spark, f"{sf_dir}/customer.parquet")
+    return (fuzzy_name_pairs(cust.filter("c_custkey <= 300"),
+                             "c_custkey", "c_name")
+            .orderBy("id1", "id2"))
+
+
+O_FUZZY_PAIRS = """
+WITH c AS (SELECT c_custkey AS id, c_name AS name,
+                  substr(c_name, 1, 16) AS blk
+           FROM customer WHERE c_custkey <= 300)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY id1, id2
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -1930,6 +2050,10 @@ def entry_queries() -> dict:
         "ext_ngram_diversity": q_ngram_diversity,
         "ext_length_bins": q_length_bins,
         "ext_hard_negatives": q_hard_negatives,
+        "ext_funnel": q_funnel,
+        "ext_gap_fill": q_gap_fill,
+        "ext_retention": q_retention,
+        "ext_fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -1989,4 +2113,8 @@ def entry_oracles() -> dict:
         "ext_ngram_diversity": O_NGRAM_DIVERSITY,
         "ext_length_bins": O_LENGTH_BINS,
         "ext_hard_negatives": O_HARD_NEGATIVES,
+        "ext_funnel": O_FUNNEL,
+        "ext_gap_fill": O_GAP_FILL,
+        "ext_retention": O_RETENTION,
+        "ext_fuzzy_pairs": O_FUZZY_PAIRS,
     }

@@ -358,6 +358,27 @@ class WvletSession:
 
         self._tools["hard_negatives"] = tool_hard_negatives
 
+        from wvlet_spark.ops import analytics
+
+        def tool_funnel(spark, table, steps, **kw):
+            names = [s.strip() for s in str(steps).split(",")]
+            if "within_seconds" in kw:
+                kw["within_seconds"] = int(kw["within_seconds"])
+            return analytics.funnel(_df(table), names, **kw)
+
+        def tool_fuzzy_pairs(spark, table, id, name, **kw):
+            for a in ("block_len", "max_dist", "block_cap"):
+                if a in kw:
+                    kw[a] = int(kw[a])
+            return dedup.fuzzy_name_pairs(_df(table), id, name, **kw)
+
+        self._tools.update({
+            "funnel": tool_funnel,
+            "gap_fill": _one_table(analytics.gap_fill_daily),
+            "retention": _one_table(analytics.retention_weekly),
+            "fuzzy_pairs": tool_fuzzy_pairs,
+        })
+
         def tool_decontaminate(spark, table, benchmark, **kw):
             return dedup.decontaminate(_df(table), _df(benchmark), **kw)
 
