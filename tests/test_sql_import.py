@@ -598,6 +598,24 @@ def test_count_star_filter_clause(spark, duck):
         assert got == exp, sql
 
 
+def test_position_in_argument_order(spark, duck):
+    """SQL-first fuzz find (round 5): DuckDB serializes
+    `position(sub IN str)` as position(str, sub) — haystack first — but
+    the engine's bare 2-arg position is (sub, str), so the verbatim
+    name emission SWAPPED the arguments (always-0 positions).  The
+    importer now lowers to strpos, which keeps (str, sub) order on both
+    dialect targets."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = ("SELECT n_nationkey, position('A' IN n_name) AS pos "
+           "FROM nation ORDER BY n_nationkey")
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp
+    assert any(r[1] > 0 for r in got)  # the bug made every position 0
+
+
 def test_initcap_oracle_roundtrip(spark, duck):
     """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
     emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and

@@ -645,6 +645,86 @@ def sqlshape_nested(rng):
             f"GROUP BY n.n_name ORDER BY n.n_name")
 
 
+def sqlshape_in_exists(rng):
+    """IN / EXISTS / NOT IN subqueries — including the NULL-poisoned
+    NOT IN (any NULL in the subquery empties the result, a classic
+    three-valued-logic divergence point)."""
+    pick = rng.randrange(4)
+    lim = rng.randint(50, 400)
+    if pick == 0:
+        return (f"SELECT n_nationkey, n_name FROM nation "
+                f"WHERE n_regionkey IN (SELECT r_regionkey FROM region "
+                f"WHERE r_regionkey <= {rng.randint(0, 3)}) "
+                f"ORDER BY n_nationkey")
+    if pick == 1:
+        return (f"SELECT c_custkey FROM customer c WHERE EXISTS ("
+                f"SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+                f"AND o.o_totalprice > {rng.randint(100, 200) * 1000}) "
+                f"AND c_custkey <= {lim} ORDER BY c_custkey")
+    if pick == 2:
+        return (f"SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+                f"SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+                f"AND c_custkey <= {lim} ORDER BY c_custkey")
+    # NULL-poisoned NOT IN: when the CASE emits any NULL the whole
+    # NOT IN result must be empty on both engines
+    poison = rng.choice(["= 0", "< 0", "= 3"])
+    return (f"SELECT n_nationkey FROM nation WHERE n_nationkey NOT IN "
+            f"(SELECT CASE WHEN r_regionkey {poison} THEN NULL "
+            f"ELSE r_regionkey END FROM region) ORDER BY n_nationkey")
+
+
+def sqlshape_sql_dates(rng):
+    """Date/time arithmetic in SQL-first form: EXTRACT variants,
+    INTERVAL add/sub, date_trunc grains, BETWEEN on dates."""
+    pick = rng.randrange(3)
+    lim = rng.randint(200, 1200)
+    if pick == 0:
+        part = rng.choice(["year", "month", "day", "quarter", "week"])
+        return (f"SELECT extract({part} FROM o_orderdate) AS p, "
+                f"count(*) AS n FROM orders WHERE o_orderkey <= {lim} "
+                f"GROUP BY 1 ORDER BY 1")
+    if pick == 1:
+        n = rng.randint(1, 90)
+        unit = rng.choice(["DAY", "MONTH"])
+        return (f"SELECT o_orderkey, o_orderdate + INTERVAL {n} {unit} "
+                f"AS d2, o_orderdate - INTERVAL {n} DAY AS d3 "
+                f"FROM orders WHERE o_orderkey <= {lim} "
+                f"ORDER BY o_orderkey")
+    g = rng.choice(["month", "quarter", "year", "week"])
+    return (f"SELECT date_trunc('{g}', o_orderdate) AS g, "
+            f"count(*) AS n, sum(o_orderkey) AS s FROM orders "
+            f"WHERE o_orderdate BETWEEN DATE '1994-01-01' AND "
+            f"DATE '1996-06-30' AND o_orderkey <= {lim} "
+            f"GROUP BY 1 ORDER BY 1")
+
+
+def sqlshape_sql_strings(rng):
+    """String functions in SQL-first form: replace/lpad/substr/
+    split_part/concat_ws/trim/position."""
+    pick = rng.randrange(4)
+    lim = rng.randint(5, 22)
+    if pick == 0:
+        return (f"SELECT n_nationkey, replace(n_name, 'A', '@') AS r, "
+                f"lpad(n_name, {rng.randint(12, 20)}, '.') AS l "
+                f"FROM nation WHERE n_nationkey <= {lim} "
+                f"ORDER BY n_nationkey")
+    if pick == 1:
+        a = rng.randint(1, 4)
+        b = rng.randint(2, 6)
+        return (f"SELECT n_nationkey, substr(n_name, {a}, {b}) AS s, "
+                f"length(n_name) AS ln FROM nation "
+                f"WHERE n_nationkey <= {lim} ORDER BY n_nationkey")
+    if pick == 2:
+        i = rng.randint(1, 3)
+        return (f"SELECT c_custkey, split_part(c_name, '#', {i}) AS p, "
+                f"concat_ws('-', c_name, CAST(c_nationkey AS VARCHAR)) "
+                f"AS cw FROM customer WHERE c_custkey <= "
+                f"{rng.randint(30, 150)} ORDER BY c_custkey")
+    return (f"SELECT n_nationkey, trim(concat('  ', n_name, ' ')) AS t, "
+            f"position('A' IN n_name) AS pos, upper(n_name) AS u "
+            f"FROM nation WHERE n_nationkey <= {lim} ORDER BY n_nationkey")
+
+
 SQL_SHAPES = {
     "sql_qualify": sqlshape_qualify,
     "sql_distinct_on": sqlshape_distinct_on,
@@ -655,6 +735,9 @@ SQL_SHAPES = {
     "sql_corr_sub": sqlshape_corr_sub,
     "sql_aggmisc": sqlshape_aggmisc,
     "sql_nested": sqlshape_nested,
+    "sql_in_exists": sqlshape_in_exists,
+    "sql_dates": sqlshape_sql_dates,
+    "sql_strings": sqlshape_sql_strings,
 }
 
 

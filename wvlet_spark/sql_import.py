@@ -1817,6 +1817,13 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "position" and len(ch) == 2:
+        # DuckDB serializes `position(sub IN str)` as position(str, sub)
+        # — haystack FIRST.  The engine's bare 2-arg position is
+        # (sub, str) (Spark order), so emitting the name verbatim swaps
+        # the arguments (SQL-first fuzz find, round 5).  strpos keeps
+        # DuckDB's (str, sub) order on both dialect targets.
+        return f"strpos({_expr(ch[0])}, {_expr(ch[1])})"
     # aggregate ORDER BY (`array_agg(x ORDER BY y DESC)`) — wvlet keeps
     # the modifier inside the call; the generator lowers it per dialect
     osuffix = ""
