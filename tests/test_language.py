@@ -856,6 +856,12 @@ def test_builtin_pipeline_tools(spark):
     fp = ws.run("call fuzzy_pairs(table='tool_names', id='id', "
                 "name='name', block_len=10)").collect()
     assert [(r.id1, r.id2, r.dist) for r in fp] == [(1, 2, 1)]
+    sk = ws.run("call skew_report(table='tool_docs', keys='text', "
+                "top_k=1)").collect()
+    assert sk[0].n == 2 and sk[0].rank == 1  # "the cat" appears twice
+    pf = ws.run("call profile_numeric(table='tool_docs', "
+                "cols='doc_id')").collect()
+    assert pf[0].col_name == "doc_id" and pf[0].n_distinct == 3
 
 
 def test_agg_in_subquery_cte_shadowing(ws):

@@ -886,3 +886,29 @@ def test_fuzzy_name_pairs(spark):
     capped = fuzzy_name_pairs(df, "id", "name", block_len=10,
                               max_dist=1, block_cap=3).collect()
     assert capped == []
+
+
+def test_skew_report_semantics(spark):
+    """The heavy key ranks first with the exact share; ties break by
+    key text; rows beyond top_k are cut."""
+    from wvlet_spark.ops.sketches import skew_report
+
+    rows = [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top_k=2).collect()
+    assert [(r.key, r.n, r.share, r.rank) for r in out] == [
+        ("a", 6, 0.6, 1), ("b", 3, 0.3, 2)]
+
+
+def test_profile_numeric_semantics(spark):
+    """Nulls counted, distincts exact, min/max/mean over non-nulls."""
+    from wvlet_spark.ops.sketches import profile_numeric
+
+    rows = [(1.0, 10), (2.0, 10), (None, 20), (2.0, None)]
+    df = spark.createDataFrame(rows, "x double, y long")
+    out = {r.col_name: r for r in profile_numeric(df, ["x", "y"]).collect()}
+    assert (out["x"].n, out["x"].nulls, out["x"].n_distinct) == (3, 1, 2)
+    assert (out["x"].min_v, out["x"].max_v) == (1.0, 2.0)
+    assert out["x"].mean_v == round(5.0 / 3, 4)
+    assert (out["y"].n, out["y"].nulls, out["y"].n_distinct) == (3, 1, 2)
+    assert out["y"].mean_v == round(40 / 3, 4)

@@ -1997,6 +1997,66 @@ ORDER BY id1, id2
 """
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic: top-k heaviest composite keys with
+    row counts and table share — the pre-flight for salting / AQE skew
+    decisions on a big join."""
+    from wvlet_spark.ops.sketches import skew_report
+    from wvlet_spark.session import read_parquet_robust
+
+    od = read_parquet_robust(spark, f"{sf_dir}/orders.parquet")
+    return skew_report(od, ["o_orderstatus", "o_orderpriority"], top_k=10)
+
+
+O_SKEW_REPORT = """
+WITH c AS (
+  SELECT concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+                   CAST(o_orderpriority AS VARCHAR)) AS key,
+         count(*) AS n
+  FROM orders GROUP BY 1),
+r AS (SELECT key, n, round(n * 1.0 / sum(n) OVER (), 6) AS share,
+             row_number() OVER (ORDER BY n DESC, key) AS rank
+      FROM c)
+SELECT key, n, share, rank FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def q_profile_numeric(spark, sf_dir):
+    """Single-pass numeric column profiler (data-card describe panel):
+    count / nulls / exact distinct / min / max / mean per column from
+    ONE aggregation over the table."""
+    from wvlet_spark.ops.sketches import profile_numeric
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    return profile_numeric(ev, ["value", "user_id", "event_id"])
+
+
+O_PROFILE_NUMERIC = """
+SELECT 'event_id' AS col_name, count(CAST(event_id AS DOUBLE)) AS n,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       round(min(CAST(event_id AS DOUBLE)), 4) AS min_v,
+       round(max(CAST(event_id AS DOUBLE)), 4) AS max_v,
+       round(avg(CAST(event_id AS DOUBLE)), 4) AS mean_v FROM events
+UNION ALL
+SELECT 'user_id', count(CAST(user_id AS DOUBLE)),
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT user_id),
+       round(min(CAST(user_id AS DOUBLE)), 4),
+       round(max(CAST(user_id AS DOUBLE)), 4),
+       round(avg(CAST(user_id AS DOUBLE)), 4) FROM events
+UNION ALL
+SELECT 'value', count(CAST(value AS DOUBLE)),
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT value),
+       round(min(CAST(value AS DOUBLE)), 4),
+       round(max(CAST(value AS DOUBLE)), 4),
+       round(avg(CAST(value AS DOUBLE)), 4) FROM events
+ORDER BY col_name
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -2054,6 +2114,8 @@ def entry_queries() -> dict:
         "ext_gap_fill": q_gap_fill,
         "ext_retention": q_retention,
         "ext_fuzzy_pairs": q_fuzzy_pairs,
+        "ext_skew_report": q_skew_report,
+        "ext_profile_numeric": q_profile_numeric,
     }
 
 
@@ -2117,4 +2179,6 @@ def entry_oracles() -> dict:
         "ext_gap_fill": O_GAP_FILL,
         "ext_retention": O_RETENTION,
         "ext_fuzzy_pairs": O_FUZZY_PAIRS,
+        "ext_skew_report": O_SKEW_REPORT,
+        "ext_profile_numeric": O_PROFILE_NUMERIC,
     }

@@ -119,3 +119,67 @@ def frequent_terms(df: DataFrame, text_col: str = "text",
             .select(F.col("e.item").alias("term"),
                     F.col("e.count").alias("est_count"))
             .orderBy(F.col("est_count").desc(), "term"))
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                top_k: int = 20) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the `top_k` heaviest keys
+    with their row counts and share of the table.  The operational
+    pre-flight for any big shuffle — a key holding >1% of 100 TB is the
+    partition that OOMs the join, and the fix (salting, AQE skew split,
+    broadcast) depends on seeing it first.
+
+    One (key) aggregate (map-side combine absorbs the skew being
+    measured), a scalar total via a window over the aggregated rows
+    (already tiny), rank ties broken by key text for engine-stable
+    output.  Returns (key, n, share, rank).
+    """
+    from pyspark.sql import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key.alias("key")).agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (counts
+            .withColumn("share",
+                        F.round(F.col("n") / F.sum("n").over(w_all), 6))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= top_k)
+            .select("key", "n", "share", "rank")
+            .orderBy("rank"))
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass numeric column profiler (the data-card `describe`
+    panel): one row per column with count / nulls / exact distinct /
+    min / max / mean.  All statistics come from ONE aggregation over the
+    table; the multi-column exact distincts go through Spark's Expand
+    (one duplicated row per distinct-column — the standard cost of exact
+    multi-distinct; swap in approx_count_distinct when 1% error is
+    acceptable at the 100 TB tier).  Returns
+    (col_name, n, nulls, n_distinct, min_v, max_v, mean_v).
+    """
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"__cnt_{c}"),
+            F.sum(F.when(x.isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dst_{c}"),
+            F.round(F.min(x), 4).alias(f"__min_{c}"),
+            F.round(F.max(x), 4).alias(f"__max_{c}"),
+            F.round(F.avg(x), 4).alias(f"__avg_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__cnt_{c}").cast("long").alias("n"),
+            F.col(f"__nul_{c}").cast("long").alias("nulls"),
+            F.col(f"__dst_{c}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_v"),
+            F.col(f"__max_{c}").alias("max_v"),
+            F.col(f"__avg_{c}").alias("mean_v"),
+        ) for c in cols])
+    return (wide.select(F.explode(rows).alias("r")).select("r.*")
+            .orderBy("col_name"))

@@ -372,11 +372,23 @@ class WvletSession:
                     kw[a] = int(kw[a])
             return dedup.fuzzy_name_pairs(_df(table), id, name, **kw)
 
+        def tool_skew_report(spark, table, keys, **kw):
+            cols = [c.strip() for c in str(keys).split(",")]
+            if "top_k" in kw:
+                kw["top_k"] = int(kw["top_k"])
+            return sketches.skew_report(_df(table), cols, **kw)
+
+        def tool_profile(spark, table, cols):
+            names = [c.strip() for c in str(cols).split(",")]
+            return sketches.profile_numeric(_df(table), names)
+
         self._tools.update({
             "funnel": tool_funnel,
             "gap_fill": _one_table(analytics.gap_fill_daily),
             "retention": _one_table(analytics.retention_weekly),
             "fuzzy_pairs": tool_fuzzy_pairs,
+            "skew_report": tool_skew_report,
+            "profile_numeric": tool_profile,
         })
 
         def tool_decontaminate(spark, table, benchmark, **kw):
