@@ -616,6 +616,34 @@ def test_position_in_argument_order(spark, duck):
     assert any(r[1] > 0 for r in got)  # the bug made every position 0
 
 
+def test_struct_literal_and_list_comprehension(spark, duck):
+    """Round-5 probe finds: DuckDB struct literals ({'a': x}.a ->
+    struct_pack + STRUCT_EXTRACT) and list comprehensions
+    ([f(x) FOR x IN l] -> list_apply) hit Spark as unresolved routines.
+    struct_pack now lowers to the engine's {k: v} struct syntax with
+    bracket field extraction on non-column receivers; list_apply maps
+    to list_transform (index-lambda shift included)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT n_nationkey, {'a': n_regionkey, 'b': 2}.a AS fa "
+        "FROM nation ORDER BY n_nationkey LIMIT 5",
+        "SELECT {'x': n_nationkey + 1, 'y': n_name}.y AS yy "
+        "FROM nation ORDER BY n_nationkey LIMIT 3",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    for sql in [
+        "SELECT [x * 2 FOR x IN [1, 2, 3]] AS l",
+        "SELECT list_apply([1, 2, 3], x -> x + 10) AS l2",
+    ]:
+        got = [list(r[0]) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [list(r[0]) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
 def test_initcap_oracle_roundtrip(spark, duck):
     """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
     emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and

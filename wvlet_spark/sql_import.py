@@ -1721,8 +1721,14 @@ def _operator(e: dict) -> str:
         hi = _bound(ch[2], "-1")
         return f"array_slice({_maybe_paren(ch[0])}, {lo}, {hi})"
     if t == "STRUCT_EXTRACT":
+        # string-subscript form: `.name` postfix parses as a METHOD call
+        # on non-column receivers (struct literals), while expr['name']
+        # extracts fields on both dialect targets
         key = ch[1]["value"]["value"]
-        return f"{_maybe_paren(ch[0])}.{_name(str(key))}"
+        if ch[0].get("class") == "COLUMN_REF":
+            return f"{_maybe_paren(ch[0])}.{_name(str(key))}"
+        ks = str(key).replace("'", "''")
+        return f"{_maybe_paren(ch[0])}['{ks}']"
     if t == "GROUPING_FUNCTION":
         return "grouping(" + ", ".join(_expr(c) for c in ch) + ")"
     raise SqlImportError(f"unsupported operator {t}")
@@ -1817,6 +1823,21 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "struct_pack" and ch:
+        # DuckDB struct literal {'a': x, ...} — field names ride on the
+        # children's alias slots.  Lower to the engine's struct-literal
+        # syntax {a: x, ...} (round-5 probe find: the verbatim name hit
+        # Spark as an unresolved routine).
+        if not all(c.get("alias") for c in ch):
+            raise SqlImportError(
+                "struct_pack without field names is not supported")
+        kv = ", ".join(f"{_name(c['alias'])}: {_expr(c)}" for c in ch)
+        return f"{{{kv}}}"
+    if fn == "list_apply" and len(ch) == 2:
+        # list-comprehension serialization ([f(x) FOR x IN l] ->
+        # list_apply(l, lambda)) — same operation as list_transform,
+        # which both dialect targets map
+        return f"list_transform({_expr(ch[0])}, {_expr(ch[1])})"
     if fn == "position" and len(ch) == 2:
         # DuckDB serializes `position(sub IN str)` as position(str, sub)
         # — haystack FIRST.  The engine's bare 2-arg position is
