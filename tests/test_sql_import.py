@@ -644,6 +644,43 @@ def test_struct_literal_and_list_comprehension(spark, duck):
         assert got == exp, sql
 
 
+def test_asof_right_duplicate_column_refs(spark):
+    """Round-5 SQL-first probe find (wrong answers): the asof-join
+    flattening resolved `r.col` to the LEFT value whenever the column
+    name existed on both sides (every self-asof-join).  Duplicated right
+    columns now ride through the lowering under mangled hidden copies;
+    the analyzer rewrites right-alias refs to them, star/default output
+    stays clean, and oracle SQL round-trips through the importer."""
+    import duckdb
+
+    from wvlet_spark import WvletSession
+
+    sf = "/root/testdata/sf0.01"
+    ws = WvletSession(spark, table_dir=sf, test_mode=False)
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    sql = ("SELECT e1.event_id, e2.event_id AS prior, e2.value AS pval "
+           "FROM events e1 ASOF JOIN events e2 ON e1.user_id = e2.user_id "
+           "AND e1.ts > e2.ts WHERE e1.event_id < 60 ORDER BY e1.event_id")
+    wv = ws.to_wvlet(sql)
+    got = [tuple(r) for r in ws.run(wv).collect()]
+    exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp
+    assert any(r[0] != r[1] for r in got)  # the bug made prior == event_id
+    # second dialect agrees and its SQL re-imports cleanly
+    osql = ws.oracle_sql(wv)
+    assert [tuple(r) for r in duck.execute(osql).fetchall()] == exp
+    got2 = [tuple(r) for r in ws.run(ws.to_wvlet(osql)).collect()]
+    assert sorted(map(str, got2)) == sorted(map(str, exp))
+    # bare asof output never leaks the hidden copies
+    df = ws.run("from events as e1\n"
+                "asof join events as e2 on "
+                "(e1.user_id = e2.user_id and e1.ts > e2.ts)\n"
+                "where event_id < 5")
+    assert not any("asof_r" in c for c in df.columns)
+
+
 def test_initcap_oracle_roundtrip(spark, duck):
     """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
     emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and

@@ -192,7 +192,8 @@ class Analyzer:
             return node
 
         out = transform(rel, expr_fn=expr_fn, rel_fn=rel_fn)
-        out, _ = _strip_asof_aliases(out)
+        out, _ = _strip_asof_aliases(
+            out, getattr(self, "table_columns", None))
         return out
 
     # -- models ---------------------------------------------------------------
@@ -352,42 +353,87 @@ def _asof_side_alias(rel) -> str | None:
     return None
 
 
-def _strip_asof_aliases(rel):
+def _infer_static_columns(rel, table_columns) -> list[str] | None:
+    """Best-effort static output-column inference for an asof-join side:
+    table refs resolve through the session catalog, aliased subqueries
+    use their column list or their final projection's item names.
+    Returns None when the shape is not statically known."""
+    if isinstance(rel, N.AliasedRelation):
+        if rel.columns:
+            return list(rel.columns)
+        return _infer_static_columns(rel.child, table_columns)
+    if isinstance(rel, N.ParenRelation):
+        return _infer_static_columns(rel.child, table_columns)
+    if isinstance(rel, N.TableRef):
+        return table_columns(rel.name) if table_columns else None
+    if isinstance(rel, N.Project):
+        names = []
+        for it in rel.items:
+            if isinstance(it, N.NamedExpr):
+                if it.alias:
+                    names.append(it.alias)
+                elif isinstance(it.expr, (N.Ident, N.Ref)):
+                    names.append(it.expr.name)
+                else:
+                    return None
+            else:
+                return None  # star — give up
+        return names
+    if isinstance(rel, (N.Filter, N.Sort, N.Limit, N.Offset, N.Dedup,
+                        N.Sample)):
+        return _infer_static_columns(rel.child, table_columns)
+    return None
+
+
+def _strip_asof_aliases(rel, table_columns=None):
     """The Spark asof-join lowering flattens both sides into an unqualified
     projection, so `stock.price` written AFTER an asof join can no longer
     resolve by qualifier (reference keeps aliases visible —
-    spec/basic/join-asof.wv `add stock.price * holding.shares`).  Strip the
-    join's side aliases from qualified refs in every downstream pipe op.
-    Returns (rel, live_alias_set)."""
+    spec/basic/join-asof.wv `add stock.price * holding.shares`).  Rewrite
+    the join's side aliases in every downstream pipe op: refs strip to
+    the bare column, EXCEPT right-side refs to a column whose name also
+    exists on the left — those rewrite to the mangled copy the lowering
+    carries (N.ASOF_RIGHT_MARK + name) so they keep their true RIGHT
+    value.  Previously `e2.event_id` on a self-asof-join silently
+    resolved to the LEFT value (round-5 SQL-first probe find).
+    Duplicate detection is static (catalog table refs / explicit
+    projections); when a side's columns cannot be inferred, refs strip
+    as before.  Returns (rel, (left_aliases, right_aliases, dup_set))."""
     import dataclasses
 
+    NOA = (set(), set(), set())
     if not dataclasses.is_dataclass(rel):
-        return rel, set()
+        return rel, NOA
     if isinstance(rel, N.Join) and rel.asof:
-        aliases = set()
-        for side in (rel.left, rel.right):
-            a = _asof_side_alias(side)
-            if a:
-                aliases.add(a)
-        return rel, aliases
+        la = _asof_side_alias(rel.left)
+        ra = _asof_side_alias(rel.right)
+        lcols = _infer_static_columns(rel.left, table_columns)
+        rcols = _infer_static_columns(rel.right, table_columns)
+        dups = (set(lcols) & set(rcols)) if lcols and rcols else set()
+        return rel, ({la} if la else set(), {ra} if ra else set(), dups)
     if isinstance(rel, N.WithQuery):
-        body2, aliases = _strip_asof_aliases(rel.body)
+        body2, aliases = _strip_asof_aliases(rel.body, table_columns)
         if body2 is not rel.body:
             rel = dataclasses.replace(rel, body=body2)
         return rel, aliases
     child = getattr(rel, "child", None)
     if not isinstance(child, N.Relation):
-        return rel, set()
-    child2, aliases = _strip_asof_aliases(child)
+        return rel, NOA
+    child2, aliases = _strip_asof_aliases(child, table_columns)
     if child2 is not child:
         rel = dataclasses.replace(rel, child=child2)
-    if not aliases:
-        return rel, set()
+    left_aliases, right_aliases, dups = aliases
+    if not left_aliases and not right_aliases:
+        return rel, NOA
 
     def expr_fn(node: N.Expr) -> N.Expr:
-        if isinstance(node, N.Ref) and isinstance(node.qualifier, N.Ident) \
-                and node.qualifier.name in aliases:
-            return N.Ident(node.name)
+        if isinstance(node, N.Ref) and isinstance(node.qualifier, N.Ident):
+            if node.qualifier.name in left_aliases:
+                return N.Ident(node.name)
+            if node.qualifier.name in right_aliases:
+                if node.name in dups:
+                    return N.Ident(N.ASOF_RIGHT_MARK + node.name)
+                return N.Ident(node.name)
         return node
 
     def rewrite_field(v):

@@ -483,6 +483,9 @@ class SqlGenerator:
         # flattened (asof join): lets a later `select l.*` expand to
         # explicit columns even though alias `l` no longer exists in SQL
         qcols: dict | None = None
+        # the source carries mangled helper columns (asof right-side
+        # copies) that must not leak into star / default output
+        hidden: bool = False
 
     def render(self, b: Block) -> str:
         if b.group_keys is not None and b.select is None:
@@ -490,7 +493,12 @@ class SqlGenerator:
         parts = ["SELECT"]
         if b.distinct:
             parts.append("DISTINCT")
-        parts.append(", ".join(b.select) if b.select else "*")
+        if b.select is None and b.hidden and b.columns:
+            # hidden helper columns (asof right-side copies) stay out of
+            # the default output — render the visible columns explicitly
+            parts.append(", ".join(self.q(c) for c in b.columns))
+        else:
+            parts.append(", ".join(b.select) if b.select else "*")
         if b.source:
             parts.append("FROM " + b.source)
         if b.where:
@@ -516,6 +524,8 @@ class SqlGenerator:
         # no projection has narrowed the column set
         qcols = b.qcols if b.select is None else None
         sql = self.render(b)
+        # hidden helper columns do not survive a wrap (render emits the
+        # visible columns explicitly) — the new block is clean
         return SqlGenerator.Block(source=f"({sql}) AS {self.q(self.fresh())}",
                                   columns=cols, qcols=qcols)
 
@@ -856,6 +866,12 @@ class SqlGenerator:
                     sel.extend(self.q(c) for c in expand)
                     names.extend(expand)
                     continue
+                if not it.qualifier and b.hidden and b.columns:
+                    # bare * over a source with hidden helper columns —
+                    # expand to the visible columns only
+                    sel.extend(self.q(c) for c in b.columns)
+                    names.extend(b.columns)
+                    continue
                 sel.append("*" if not it.qualifier else f"{self.q(it.qualifier)}.*")
                 if b.columns:
                     names.extend(b.columns)
@@ -961,8 +977,9 @@ class SqlGenerator:
         return self._derived_name(it.expr)
 
     def _derived_name(self, e: N.Expr) -> str:
+        # asof right-side mangling never leaks into OUTPUT names
         if isinstance(e, N.Ident):
-            return e.name
+            return e.name.replace(N.ASOF_RIGHT_MARK, "")
         if isinstance(e, N.Ref):
             return e.name
         if isinstance(e, N.Cast):
@@ -972,7 +989,7 @@ class SqlGenerator:
             return f"{e.method}({inner})"
         if isinstance(e, N.FunctionApply):
             return e.name
-        return self.expr(e)
+        return self.expr(e).replace(N.ASOF_RIGHT_MARK, "")
 
     def _gen_transform(self, rel: N.Transform) -> "SqlGenerator.Block":
         b = self.gen_rel(rel.child)
@@ -1097,12 +1114,25 @@ class SqlGenerator:
         lsql = self.render(lb)
         rsql = self.render(rb)
 
-        # columns duplicated on both sides resolve to the LEFT side (matches
-        # the reference's output for `select symbol, date, ...` after asof)
+        # columns duplicated on both sides resolve to the LEFT side for
+        # unqualified refs and star output (matches the reference's
+        # output for `select symbol, date, ...` after asof); the
+        # DUPLICATED right columns additionally ride along under mangled
+        # names so explicit `r.col` refs (rewritten by the analyzer to
+        # ASOF_RIGHT_MARK + col) keep their true right-side values.
+        # Catalyst prunes the unreferenced copies, so the extra width is
+        # plan-only.
+        hidden = False
         if lb.columns is not None and rb.columns is not None:
-            right_only = [c for c in rb.columns if c not in set(lb.columns)]
-            rproj = ", ".join(f"{self.q(right_alias)}.{self.q(c)}" for c in right_only)
+            lset = set(lb.columns)
+            right_only = [c for c in rb.columns if c not in lset]
+            dup = [c for c in rb.columns if c in lset]
+            parts = [f"{self.q(right_alias)}.{self.q(c)}" for c in right_only]
+            parts += [f"{self.q(right_alias)}.{self.q(c)} AS "
+                      f"{self.q(N.ASOF_RIGHT_MARK + c)}" for c in dup]
+            rproj = ", ".join(parts)
             cols = lb.columns + right_only
+            hidden = bool(dup)
         else:
             rproj = f"{self.q(right_alias)}.*"
             cols = None
@@ -1114,7 +1144,7 @@ class SqlGenerator:
                 f"FROM ({lsql}) AS {self.q(left_alias)} ASOF {jt} ({rsql}) AS {self.q(right_alias)} "
                 f"ON {self.expr(rel.cond)}) AS {self.q(self.fresh('asof'))}"
             )
-            return B(source=src, columns=cols,
+            return B(source=src, columns=cols, hidden=hidden,
                      qcols=self._asof_qcols(left_alias, right_alias, lb, rb))
 
         lid = "__wv_asof_lid"
@@ -1133,6 +1163,7 @@ class SqlGenerator:
             f"WHERE {rn} = 1"
         )
         return B(source=f"({outer}) AS {self.q(self.fresh('asofo'))}", columns=cols,
+                 hidden=hidden,
                  qcols=self._asof_qcols(left_alias, right_alias, lb, rb))
 
     @staticmethod

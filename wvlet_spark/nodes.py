@@ -10,6 +10,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# Marker prefix for right-side columns carried through the flattened
+# asof-join lowering: `r.col` written after an asof join resolves to the
+# mangled copy, so duplicated column names keep their true RIGHT-side
+# values (unqualified duplicates still resolve left, matching the
+# reference's asof output contract).
+ASOF_RIGHT_MARK = "__wv_asof_r__"
+
 
 class Node:
     pass

@@ -33,6 +33,8 @@ class WvletSession:
         """
         self.spark = spark
         self.analyzer = Analyzer()
+        # catalog lookup for the asof-join duplicate-column analysis
+        self.analyzer.table_columns = self.table_columns
         # stdlib natives (reference ships ulid_string in its standard
         # library; calls are compile-time evaluated)
         self.analyzer.register(N.FunctionDef(
