@@ -681,6 +681,60 @@ def test_asof_right_duplicate_column_refs(spark):
     assert not any("asof_r" in c for c in df.columns)
 
 
+def test_semi_anti_join_and_pattern_ops(spark, duck):
+    """Round-5 probe batch: SEMI/ANTI JOIN (was a typed reject) lower to
+    correlated [not] exists; trim(BOTH x FROM y) silently emitted
+    Spark's swapped 2-arg trim (empty strings); SIMILAR TO
+    (regexp_full_match) and GLOB (~~~ operator) hit Spark as unresolved
+    routines — both now lower to anchored regexp_matches."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT n_nationkey FROM nation SEMI JOIN region "
+        "ON n_regionkey = r_regionkey AND r_regionkey < 2 "
+        "ORDER BY n_nationkey",
+        "SELECT n_nationkey FROM nation ANTI JOIN region "
+        "ON n_regionkey = r_regionkey AND r_regionkey < 2 "
+        "ORDER BY n_nationkey",
+        "SELECT trim(BOTH 'N' FROM n_name) AS t FROM nation "
+        "ORDER BY n_nationkey LIMIT 5",
+        "SELECT trim(n_name, 'NA') AS t2 FROM nation "
+        "ORDER BY n_nationkey LIMIT 5",
+        "SELECT n_name FROM nation WHERE n_name SIMILAR TO "
+        "'[A-Z]+' ORDER BY n_name LIMIT 5",
+        "SELECT n_name FROM nation WHERE n_name GLOB '[A-Z]*A' "
+        "ORDER BY n_name LIMIT 5",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
+def test_recursive_cte_with_column_list(spark, duck):
+    """Round-5 probe find: `WITH RECURSIVE t(n) AS (...)` imported but
+    crashed Spark — the CTE column list wrapped the union in
+    SELECT * FROM (...) AS t(n), which breaks the recursion detector.
+    The generator now emits the SQL column-alias head t(n) AS (...) and
+    keeps the UNION ALL as the definition's top node."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t "
+        "WHERE n < 6) SELECT n FROM t ORDER BY n",
+        "WITH RECURSIVE f(i, x) AS (SELECT 1, 1 UNION ALL "
+        "SELECT i + 1, x * (i + 1) FROM f WHERE i < 8) "
+        "SELECT i, x FROM f ORDER BY i",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+        assert got == [tuple(r)
+                       for r in duck.execute(ws.oracle_sql(wv)).fetchall()]
+
+
 def test_initcap_oracle_roundtrip(spark, duck):
     """wide-fuzz find (round 5, seed 20260815): the DuckDB initcap
     emulation emitted VARCHAR bracket-slices (`__w[1]`, `__w[2:]`) and

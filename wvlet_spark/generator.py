@@ -1329,6 +1329,17 @@ class SqlGenerator:
         if not hasattr(self, "_cte_columns"):
             self._cte_columns = {}
         for name, q in rel.defs:
+            # `with recursive t(n) as {...}` — the parser wraps the body
+            # in an AliasedRelation carrying the column list; unwrap it
+            # and emit the SQL CTE column-alias form `t(n) AS (...)`,
+            # because wrapping the union in SELECT * FROM (...) AS t(n)
+            # breaks the recursion detector (round-5 probe find)
+            head, cte_cols = self.q(name), None
+            if rel.recursive and isinstance(q, N.AliasedRelation) \
+                    and q.columns:
+                cte_cols = list(q.columns)
+                head = f"{self.q(name)}({', '.join(self.q(c) for c in cte_cols)})"
+                q = q.child
             if rel.recursive and isinstance(q, N.SetOp) and q.op in ("union_all", "union"):
                 # the recursion detector needs the UNION [ALL] as the CTE
                 # definition's top node — wrapping it in SELECT * FROM (...)
@@ -1337,7 +1348,9 @@ class SqlGenerator:
                 l = self.render(self.gen_rel(q.left))
                 r = self.render(self.gen_rel(q.right))
                 kw = "UNION ALL" if q.op == "union_all" else "UNION"
-                defs.append(f"{self.q(name)} AS (({l}) {kw} ({r}))")
+                if cte_cols:
+                    self._cte_columns[name] = cte_cols
+                defs.append(f"{head} AS (({l}) {kw} ({r}))")
             else:
                 qb = self.gen_rel(q)
                 if qb.columns is not None:
@@ -1751,10 +1764,11 @@ class SqlGenerator:
             # Spark's length is string-only — lists go through size()
             # (import-path fuzz find: len(split(...)))
             core = f"size({self.expr(e.args[0])})"
-        elif e.name.lower() in ("ltrim", "rtrim") and len(e.args) == 2 \
+        elif e.name.lower() in ("trim", "ltrim", "rtrim") and len(e.args) == 2 \
                 and self.dialect == SPARK:
             # wvlet/DuckDB/Trino arg order is (string, trim_chars); Spark's
-            # 2-arg ltrim/rtrim is (trim_chars, string) — swap
+            # 2-arg trim/ltrim/rtrim is (trim_chars, string) — swap
+            # (trim itself: round-5 probe find via trim(BOTH x FROM y))
             core = (f"{e.name.lower()}({self.expr(e.args[1])}, "
                     f"{self.expr(e.args[0])})")
         elif e.name.lower() == "position" and len(e.args) == 1 \

@@ -1410,9 +1410,23 @@ def _from_relation(rel: dict) -> list[str]:
     if t == "JOIN":
         left = _from_relation(rel["left"])
         jt = rel.get("join_type", "INNER")
+        if jt in ("SEMI", "ANTI"):
+            # DuckDB SEMI/ANTI JOIN -> the engine's correlated
+            # [not] exists filter (round-5 probe: previously a typed
+            # reject).  USING has no unambiguous correlated spelling —
+            # it stays rejected.
+            if rel.get("using_columns") or not rel.get("condition"):
+                raise SqlImportError(
+                    f"{jt} JOIN requires an ON condition "
+                    f"(USING is not supported)")
+            body = (f"from {_join_operand(rel['right'])}\n"
+                    f"where {_expr(rel['condition'])}")
+            neg = "not " if jt == "ANTI" else ""
+            left.append(f"where {neg}exists {{\n{_indent(body)}\n}}")
+            return left
         kw = {"INNER": "join", "LEFT": "left join", "RIGHT": "right join",
               "FULL": "full join", "OUTER": "full join",
-              "CROSS": "cross join", "SEMI": None, "ANTI": None}.get(jt)
+              "CROSS": "cross join"}.get(jt)
         if kw is None:
             raise SqlImportError(f"unsupported join type {jt}")
         if rel.get("ref_type") == "ASOF":
@@ -1749,6 +1763,17 @@ def _function(e: dict) -> str:
             return f"{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
         if fn == "!~~":
             return f"!{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
+        if fn in ("~~~", "!~~~"):
+            # GLOB operator: translate a LITERAL glob pattern to an
+            # anchored regex (round-5 probe find: `~~~` crashed the
+            # wvlet parser)
+            pat = _literal_str(ch[1])
+            if pat is None:
+                raise SqlImportError(
+                    "GLOB with a non-literal pattern is not supported")
+            neg = "!" if fn == "!~~~" else ""
+            rx = _glob_to_regex(pat).replace("'", "''")
+            return (f"{neg}regexp_matches({_expr(ch[0])}, '{rx}')")
         if len(ch) == 1:
             return f"({fn}{_maybe_paren(ch[0])})"
         if fn == "||":
@@ -1823,6 +1848,17 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "regexp_full_match" and len(ch) == 2:
+        # SIMILAR TO serialization — anchor a LITERAL pattern so the
+        # partial-match regexp_matches gives full-match semantics on
+        # both targets (round-5 probe find: the verbatim name hit Spark
+        # as an unresolved routine)
+        pat = _literal_str(ch[1])
+        if pat is None:
+            raise SqlImportError(
+                "SIMILAR TO with a non-literal pattern is not supported")
+        rx = f"^(?:{pat})$".replace("'", "''")
+        return f"regexp_matches({_expr(ch[0])}, '{rx}')"
     if fn == "struct_pack" and ch:
         # DuckDB struct literal {'a': x, ...} — field names ride on the
         # children's alias slots.  Lower to the engine's struct-literal
@@ -2077,6 +2113,42 @@ def _maybe_paren(e: dict) -> str:
             and not e.get("is_operator"):
         return s
     return f"({s})"
+
+
+def _literal_str(e: dict) -> str | None:
+    """The value of a VARCHAR constant node, else None."""
+    if e.get("class") == "CONSTANT" and not e["value"].get("is_null") \
+            and e["value"]["type"]["id"] == "VARCHAR":
+        return str(e["value"]["value"])
+    return None
+
+
+def _glob_to_regex(pat: str) -> str:
+    """DuckDB GLOB pattern -> anchored regex: `*` -> .*, `?` -> .,
+    `[...]`/`[!...]` character classes pass through, everything else is
+    escaped.  Both Java regex and RE2 accept the output."""
+    out, i = ["^"], 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 2)  # allow leading ! or ] in the class
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                cls = pat[i + 1:j]
+                if cls.startswith("!"):
+                    cls = "^" + cls[1:]
+                out.append("[" + cls + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    out.append("$")
+    return "".join(out)
 
 
 def _peel_int(e: dict):
