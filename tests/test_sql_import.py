@@ -711,6 +711,21 @@ def test_semi_anti_join_and_pattern_ops(spark, duck):
         assert got == exp, sql
 
 
+def test_window_frame_exclude_rejected(spark):
+    """Round-5 probe find: frame EXCLUDE CURRENT ROW was silently
+    DROPPED (wrong window aggregates — Spark has no EXCLUDE clause);
+    it is now a typed reject."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    with pytest.raises(SqlImportError, match="EXCLUDE"):
+        ws.to_wvlet(
+            "SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey "
+            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+            "EXCLUDE CURRENT ROW) AS s FROM nation")
+
+
 def test_recursive_cte_with_column_list(spark, duck):
     """Round-5 probe find: `WITH RECURSIVE t(n) AS (...)` imported but
     crashed Spark — the CTE column list wrapped the union in

@@ -1928,6 +1928,12 @@ def _function(e: dict) -> str:
 
 def _window(e: dict) -> str:
     t = e["type"]
+    if e.get("exclude_clause") not in (None, "NO_OTHER"):
+        # frame EXCLUDE (CURRENT ROW / GROUP / TIES) has no Spark
+        # equivalent — previously silently DROPPED (wrong window sums,
+        # round-5 probe find); reject loudly instead
+        raise SqlImportError(
+            f"window frame EXCLUDE {e['exclude_clause']} is not supported")
     named = {"WINDOW_RANK": "rank", "WINDOW_DENSE_RANK": "dense_rank",
              "WINDOW_ROW_NUMBER": "row_number",
              "WINDOW_PERCENT_RANK": "percent_rank",
