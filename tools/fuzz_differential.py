@@ -725,6 +725,50 @@ def sqlshape_sql_strings(rng):
             f"FROM nation WHERE n_nationkey <= {lim} ORDER BY n_nationkey")
 
 
+def sqlshape_mixed_isms(rng):
+    """Round-5 fixed paths under permanent pressure: SEMI/ANTI joins,
+    recursive CTE column lists, trim(BOTH..FROM), SIMILAR TO / GLOB,
+    struct literals, list comprehensions, self-asof right refs."""
+    pick = rng.randrange(7)
+    if pick == 0:
+        jt = rng.choice(["SEMI", "ANTI"])
+        lim = rng.randint(1, 4)
+        return (f"SELECT n_nationkey FROM nation {jt} JOIN region "
+                f"ON n_regionkey = r_regionkey AND r_regionkey < {lim} "
+                f"ORDER BY n_nationkey")
+    if pick == 1:
+        n = rng.randint(3, 9)
+        return (f"WITH RECURSIVE t(n, s) AS (SELECT 1, 1 UNION ALL "
+                f"SELECT n + 1, s + n + 1 FROM t WHERE n < {n}) "
+                f"SELECT n, s FROM t ORDER BY n")
+    if pick == 2:
+        ch = rng.choice(["N", "A", "_0", "NAT"])
+        return (f"SELECT n_nationkey, trim(BOTH '{ch}' FROM n_name) AS t "
+                f"FROM nation ORDER BY n_nationkey "
+                f"LIMIT {rng.randint(5, 25)}")
+    if pick == 3:
+        pat = rng.choice(["NATION_[0-9]", "NATION_1[0-9]", "[A-Z_0-9]+",
+                          "NATION_[0-5]"])
+        return (f"SELECT n_name FROM nation WHERE n_name SIMILAR TO "
+                f"'{pat}' ORDER BY n_name")
+    if pick == 4:
+        pat = rng.choice(["NATION_*", "NATION_1*", "NATION_?",
+                          "[A-Z]*_1[0-9]"])
+        return (f"SELECT n_name FROM nation WHERE n_name GLOB '{pat}' "
+                f"ORDER BY n_name")
+    if pick == 5:
+        k = rng.randint(2, 9)
+        return (f"SELECT n_nationkey, "
+                f"{{'k': n_regionkey * {k}, 'tag': n_name}}.k AS f "
+                f"FROM nation ORDER BY n_nationkey "
+                f"LIMIT {rng.randint(4, 18)}")
+    lim = rng.randint(10, 40)
+    return (f"SELECT e1.event_id, e2.event_id AS prior, "
+            f"e2.value AS pval FROM events e1 ASOF JOIN events e2 "
+            f"ON e1.user_id = e2.user_id AND e1.ts > e2.ts "
+            f"WHERE e1.event_id < {lim} ORDER BY e1.event_id")
+
+
 SQL_SHAPES = {
     "sql_qualify": sqlshape_qualify,
     "sql_distinct_on": sqlshape_distinct_on,
@@ -738,6 +782,7 @@ SQL_SHAPES = {
     "sql_in_exists": sqlshape_in_exists,
     "sql_dates": sqlshape_sql_dates,
     "sql_strings": sqlshape_sql_strings,
+    "sql_mixed_isms": sqlshape_mixed_isms,
 }
 
 
