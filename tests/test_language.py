@@ -919,3 +919,21 @@ def test_rollup_derived_key_via_add(ws, duck):
         ws.run("from customer\n"
                "group by rollup(c_mktsegment, k = c_nationkey % 3)\n"
                "agg n = _.count")
+
+
+def test_natural_join_native(ws):
+    """`natural [left] join` is a first-class pipe (round 5): shared
+    columns join implicitly and appear once in the output."""
+    rows = ws.run("""from {
+  from nation
+  group by n_regionkey
+  agg n = _.count
+} as a
+natural join {
+  from region
+  select n_regionkey = r_regionkey, r_name
+} as b
+order by n_regionkey""").collect()
+    assert len(rows) == 5
+    assert rows[0].n_regionkey == 0 and rows[0].n == 5
+    assert set(rows[0].asDict()) == {"n_regionkey", "n", "r_name"}

@@ -711,6 +711,47 @@ def test_semi_anti_join_and_pattern_ops(spark, duck):
         assert got == exp, sql
 
 
+def test_natural_join_and_asof_left(spark):
+    """Round-5 probe finds: NATURAL JOIN crashed the import (the
+    condition-less branch folded it into a comma CROSS join) — wvlet now
+    has a first-class `natural [left|right|full] join` pipe rendering
+    natively on both targets; ASOF LEFT JOIN imported as an INNER asof
+    join, silently dropping unmatched left rows — the outer-ness is now
+    kept (`asof left join`)."""
+    import duckdb
+
+    from wvlet_spark import WvletSession
+
+    sf = "/root/testdata/sf0.01"
+    ws = WvletSession(spark, table_dir=sf, test_mode=False)
+    duck = duckdb.connect()
+    for t in ("nation", "region", "events"):
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for sql in [
+        "SELECT * FROM (SELECT n_regionkey, count(*) AS n FROM nation "
+        "GROUP BY 1) a NATURAL JOIN (SELECT r_regionkey AS n_regionkey, "
+        "r_name FROM region) b ORDER BY n_regionkey",
+        "SELECT * FROM (SELECT n_regionkey, count(*) AS n FROM nation "
+        "GROUP BY 1) a NATURAL LEFT JOIN (SELECT r_regionkey AS "
+        "n_regionkey, r_name FROM region WHERE r_regionkey < 3) b "
+        "ORDER BY n_regionkey",
+        # unmatched left rows (views with no prior click) must survive
+        "SELECT e1.event_id, e2.event_id AS prior FROM (SELECT * FROM "
+        "events WHERE event_type = 'view') e1 ASOF LEFT JOIN (SELECT * "
+        "FROM events WHERE event_type = 'click') e2 ON e1.user_id = "
+        "e2.user_id AND e1.ts > e2.ts WHERE e1.event_id < 120 "
+        "ORDER BY e1.event_id",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = sorted(map(str, (tuple(r) for r in ws.run(wv).collect())))
+        exp = sorted(map(str, (tuple(r) for r in
+                               duck.execute(sql).fetchall())))
+        assert got == exp, sql
+    # the asof-left case depends on NULL-extended rows actually existing
+    assert any("None" in r for r in got)
+
+
 def test_window_frame_exclude_rejected(spark):
     """Round-5 probe find: frame EXCLUDE CURRENT ROW was silently
     DROPPED (wrong window aggregates — Spark has no EXCLUDE clause);

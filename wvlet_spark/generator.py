@@ -1074,6 +1074,22 @@ class SqlGenerator:
             "full": "FULL JOIN", "cross": "CROSS JOIN",
         }[rel.join_type]
         cols: list[str] | None
+        if rel.natural:
+            # NATURAL JOIN renders natively on both targets; output =
+            # shared columns once, then each side's own columns
+            if rel.join_type == "cross":
+                raise CompileError("natural cross join is not valid")
+            src = f"{lb.source} NATURAL {jt} {rsrc}"
+            if lb.columns is not None and rb.columns is not None:
+                shared = [c for c in lb.columns if c in set(rb.columns)]
+                cols = (shared
+                        + [c for c in lb.columns if c not in shared]
+                        + [c for c in rb.columns if c not in shared])
+            else:
+                cols = None
+            out = B(source=src, columns=cols)
+            out.where.extend(lb.where)
+            return out
         if rel.using:
             using = ", ".join(self.q(c) for c in rel.using)
             src = f"{lb.source} {jt} {rsrc} USING ({using})"

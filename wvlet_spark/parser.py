@@ -1234,7 +1234,7 @@ class Parser:
             elif w == "sample":
                 self.next()
                 rel = self.parse_sample(rel)
-            elif w in ("join", "left", "right", "full", "inner", "cross", "asof"):
+            elif w in ("join", "left", "right", "full", "inner", "cross", "asof", "natural"):
                 rel = self.parse_join(rel)
             elif w == "concat":
                 self.next()
@@ -1489,7 +1489,11 @@ class Parser:
 
     def parse_join(self, rel: N.Relation) -> N.Relation:
         asof = False
+        natural = False
         jt = "inner"
+        if self.at_kw("natural"):
+            self.next()
+            natural = True
         if self.at_kw("asof"):
             self.next()
             asof = True
@@ -1518,7 +1522,12 @@ class Parser:
                 using = names
             else:
                 cond = expr
-        return N.Join(rel, right, jt, cond, using, asof=asof)
+        if natural and (cond is not None or using is not None):
+            t = self.peek()
+            raise WvletSyntaxError(
+                "natural join takes no ON/USING clause", t.line, t.col)
+        return N.Join(rel, right, jt, cond, using, natural=natural,
+                      asof=asof)
 
     def parse_pivot(self, rel: N.Relation) -> N.Relation:
         self.expect_kw("pivot")

@@ -1396,6 +1396,7 @@ def _from_relation(rel: dict) -> list[str]:
     t = rel["type"]
     if t == "JOIN" and not rel.get("condition") \
             and not rel.get("using_columns") \
+            and rel.get("ref_type") != "NATURAL" \
             and rel.get("join_type") in ("CROSS", "INNER"):
         # `from a, b, c` (comma cross-join; predicates live in WHERE)
         left = _from_relation(rel["left"])
@@ -1429,8 +1430,20 @@ def _from_relation(rel: dict) -> list[str]:
               "CROSS": "cross join"}.get(jt)
         if kw is None:
             raise SqlImportError(f"unsupported join type {jt}")
+        if rel.get("ref_type") == "NATURAL":
+            line = f"natural {kw} {_join_operand(rel['right'])}"
+            left.append(line)
+            return left
         if rel.get("ref_type") == "ASOF":
-            kw = "asof join"
+            # keep the outer-ness: ASOF LEFT JOIN previously imported as
+            # an INNER asof join — unmatched left rows vanished
+            # (round-5 probe find)
+            if jt == "LEFT":
+                kw = "asof left join"
+            elif jt == "INNER":
+                kw = "asof join"
+            else:
+                raise SqlImportError(f"unsupported ASOF join type {jt}")
         line = f"{kw} {_join_operand(rel['right'])}"
         if rel.get("using_columns"):
             line += " using(" + ", ".join(rel["using_columns"]) + ")"
