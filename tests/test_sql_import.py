@@ -752,6 +752,29 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_generate_series_range_table_functions(spark, duck):
+    """Round-5 probe find: FROM-clause generate_series()/range() were
+    typed rejects — they now lower to unnest(sequence(...)) with
+    DuckDB's bounds semantics (generate_series inclusive; range excludes
+    the stop, shifted by the literal step sign)."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT * FROM generate_series(2, 10, 3) AS t(g) ORDER BY g",
+        "SELECT * FROM range(5) AS t(r) ORDER BY r",
+        "SELECT * FROM range(10, 2, -3) AS t(r) ORDER BY r",
+        "SELECT g, g * g AS sq FROM generate_series(1, 6) AS t(g) "
+        "ORDER BY g",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    with pytest.raises(SqlImportError):
+        ws.to_wvlet("SELECT * FROM range(1, 9, 1 + 1) AS t(r)")
+
+
 def test_window_frame_exclude_rejected(spark):
     """Round-5 probe find: frame EXCLUDE CURRENT ROW was silently
     DROPPED (wrong window aggregates — Spark has no EXCLUDE clause);

@@ -1511,6 +1511,40 @@ def _rel_ref(rel: dict) -> str:
                 if cols:
                     s += "(" + ", ".join(_name(c) for c in cols) + ")"
             return s
+        if fn.get("function_name") in ("generate_series", "range"):
+            # FROM-clause series generators -> unnest over the engine's
+            # inclusive-both-ends sequence().  DuckDB's generate_series
+            # is inclusive; range() excludes the stop bound — shift it
+            # by the (literal) step sign (round-5 probe: previously a
+            # typed reject).
+            ch2 = fn.get("children", [])
+            if not 1 <= len(ch2) <= 3:
+                raise SqlImportError(
+                    f"unsupported {fn['function_name']} arity {len(ch2)}")
+            args2 = [_expr(c) for c in ch2]
+            if len(ch2) == 1:
+                lo, hi, step = "0", args2[0], None
+            else:
+                lo, hi = args2[0], args2[1]
+                step = args2[2] if len(ch2) == 3 else None
+            if fn["function_name"] == "range":
+                sgn = 1
+                if len(ch2) == 3:
+                    sv = _peel_int(ch2[2])
+                    if sv is None:
+                        raise SqlImportError(
+                            "range() with a non-literal step is not "
+                            "supported")
+                    sgn = 1 if sv >= 0 else -1
+                hi = f"({hi}) - {sgn}" if sgn > 0 else f"({hi}) + 1"
+            seq = f"sequence({lo}, {hi}" + (f", {step})" if step else ")")
+            s = f"unnest({seq})"
+            if alias:
+                s += f" as {_name(alias)}"
+                cols = rel.get("column_name_alias") or []
+                if cols:
+                    s += "(" + ", ".join(_name(c) for c in cols) + ")"
+            return s
     raise SqlImportError(f"unsupported relation {t}")
 
 
