@@ -644,6 +644,31 @@ ORDER BY c_mktsegment
 """,
 )
 
+# natural join: implicit equi-join on same-named columns, shared
+# columns once in the output (first-class pipe, round 5)
+q(
+    "natural_join",
+    """
+from {
+  from nation
+  group by n_regionkey
+  agg nations = _.count
+} as a
+natural join {
+  from region
+  select n_regionkey = r_regionkey, r_name
+} as b
+order by n_regionkey
+""",
+    """
+SELECT a.n_regionkey, a.nations, b.r_name
+FROM (SELECT n_regionkey, count(*) AS nations FROM nation
+      GROUP BY n_regionkey) a
+NATURAL JOIN (SELECT r_regionkey AS n_regionkey, r_name FROM region) b
+ORDER BY n_regionkey
+""",
+)
+
 # lateral join: correlated subquery as a join operand
 # (reference: relation.scala Lateral)
 q(
