@@ -752,6 +752,31 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_integer_cast_rounding_semantics(spark, duck):
+    """Round-5 probe find: DuckDB CASTs to integer types ROUND
+    (CAST(1.9 AS INT) = 2) while the engine's :: truncates (Spark) —
+    imported casts of non-provably-integral values now wrap round().
+    Provably integral children (int constants, int casts, counts) stay
+    unwrapped."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT CAST(1.9 AS INTEGER) AS i, CAST(-1.9 AS INTEGER) AS j, "
+        "CAST('2.7' AS BIGINT) AS k",
+        "SELECT CAST(o_totalprice / 1000 AS INTEGER) AS b, count(*) AS n "
+        "FROM orders WHERE o_orderkey <= 400 GROUP BY 1 ORDER BY 1",
+        "SELECT CAST(n_nationkey AS BIGINT) AS x FROM nation "
+        "ORDER BY n_nationkey LIMIT 3",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    # no gratuitous wrap on provably-integral children
+    assert "round" not in ws.to_wvlet(
+        "SELECT CAST(count(*) AS INTEGER) AS c FROM nation")
+
+
 def test_generate_series_range_table_functions(spark, duck):
     """Round-5 probe find: FROM-clause generate_series()/range() were
     typed rejects — they now lower to unnest(sequence(...)) with

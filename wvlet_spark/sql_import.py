@@ -1620,6 +1620,16 @@ def _expr(e: dict) -> str:
         tname = _type_name(e["cast_type"])
         if e.get("try_cast"):
             return f"try_cast({_expr(e['child'])} as {tname})"
+        if tname.lower() in ("tinyint", "smallint", "int", "integer",
+                             "bigint", "long", "hugeint") \
+                and not _provably_integral(e["child"]):
+            # DuckDB casts to integers ROUND; the engine's :: truncates
+            # (Spark).  Wrap the engine's round() so the imported query
+            # keeps DuckDB values (round-5 probe find: CAST(1.9 AS INT)
+            # gave 1, not 2).  Known corner: DuckDB rounds DOUBLE halves
+            # to even while round() is half-up — differs only at exact
+            # .5 doubles.
+            return f"round({_expr(e['child'])})::{tname}"
         return f"{_maybe_paren(e['child'])}::{tname}"
     if cls == "SUBQUERY":
         sub = "{\n" + _indent(_query_node(e["subquery"]["node"])) + "\n}"
@@ -1643,6 +1653,29 @@ def _expr(e: dict) -> str:
     if cls == "LAMBDA":
         return _lambda(e)
     raise SqlImportError(f"unsupported expression {cls}/{t}")
+
+
+_INTEGRAL_IDS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def _provably_integral(e: dict) -> bool:
+    """True when the expression's value is certainly integral (integer
+    constants, casts to integer types, count aggregates) so an integer
+    cast needs no rounding wrap."""
+    cls = e.get("class")
+    if cls == "CONSTANT":
+        return e["value"]["type"]["id"] in _INTEGRAL_IDS
+    if cls == "CAST":
+        return _type_name(e["cast_type"]).lower() in (
+            "tinyint", "smallint", "int", "integer", "bigint", "long",
+            "hugeint")
+    if cls == "FUNCTION":
+        return e.get("function_name") in ("count", "count_star",
+                                          "row_number", "rank",
+                                          "dense_rank", "ntile", "len",
+                                          "length", "strlen")
+    return False
 
 
 def _rename_col(node, old: str, new: str):
