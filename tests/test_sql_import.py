@@ -752,6 +752,27 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_product_aggregate_and_entropy_reject(spark, duck):
+    """Round-5 probe finds: product() hit Spark as an unresolved
+    routine — it now lowers to a multiply-reduce over the collected
+    values (exact, zero/negative-safe); entropy() needs a per-value
+    frequency sub-aggregation and stays a pointed typed reject."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT round(product(n_regionkey + 1), 1) AS p FROM nation "
+        "WHERE n_nationkey < 6",
+        "SELECT product(n_regionkey) AS pz FROM nation",  # zeros
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    with pytest.raises(SqlImportError, match="entropy"):
+        ws.to_wvlet("SELECT entropy(n_name) FROM nation")
+
+
 def test_integer_cast_rounding_semantics(spark, duck):
     """Round-5 probe find: DuckDB CASTs to integer types ROUND
     (CAST(1.9 AS INT) = 2) while the engine's :: truncates (Spark) —

@@ -1928,6 +1928,18 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "product" and len(ch) == 1 and not e.get("filter") \
+            and not e.get("distinct"):
+        # multiplicative aggregate — Spark has none; reduce the
+        # collected values (exact multiplication, zero/negative-safe;
+        # round-5 probe find: unresolved routine)
+        return (f"aggregate(array_agg({_expr(ch[0])}), "
+                f"1.0::double, (acc, x) -> acc * x)")
+    if fn == "entropy":
+        raise SqlImportError(
+            "entropy() has no Spark equivalent (needs a per-value "
+            "frequency sub-aggregation) — compute it with an explicit "
+            "GROUP BY value pipeline")
     if fn == "regexp_full_match" and len(ch) == 2:
         # SIMILAR TO serialization — anchor a LITERAL pattern so the
         # partial-match regexp_matches gives full-match semantics on
