@@ -752,6 +752,31 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_json_arrow_list_sort_date_add(spark, duck):
+    """Round-5 probe finds: the ->> JSON operator passed through
+    verbatim and broke the wvlet parser (now json_extract_string with
+    bare keys / indexes normalized to $-paths); list_reverse_sort was an
+    unresolved routine (now reverse(list_sort(x)) — desc NULLS LAST on
+    both targets); date_add(d, INTERVAL) hit Spark's day-count-only
+    date_add (now plain + arithmetic)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT '{\"a\": 5}'->>'a' AS arrow",
+        "SELECT '[10,20,30]'->>1 AS ix",
+        "SELECT '{\"a\": {\"b\": 9}}'->>'$.a.b' AS pth",
+        "SELECT date_add(o_orderdate, INTERVAL 2 MONTH) AS dm "
+        "FROM orders WHERE o_orderkey <= 6 ORDER BY o_orderkey",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    rs = ws.run(ws.to_wvlet(
+        "SELECT list_reverse_sort([3,1,2]) AS rs")).collect()
+    assert list(rs[0].rs) == [3, 2, 1]
+
+
 def test_product_aggregate_and_entropy_reject(spark, duck):
     """Round-5 probe finds: product() hit Spark as an unresolved
     routine — it now lowers to a multiply-reduce over the collected

@@ -1843,6 +1843,22 @@ def _function(e: dict) -> str:
             return f"{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
         if fn == "!~~":
             return f"!{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
+        if fn == "->>" and len(ch) == 2:
+            # JSON text-extraction operator: normalize a bare key /
+            # array index to a $-path for the engine's
+            # json_extract_string (round-5 probe find: passed through
+            # verbatim and broke the wvlet parser)
+            key = _literal_str(ch[1])
+            if key is not None:
+                path = key if key.startswith("$") else f"$.{key}"
+            else:
+                idx = _peel_int(ch[1])
+                if idx is None:
+                    raise SqlImportError(
+                        "->> with a non-literal path is not supported")
+                path = f"$[{idx}]"
+            p = path.replace("'", "''")
+            return f"json_extract_string({_expr(ch[0])}, '{p}')"
         if fn in ("~~~", "!~~~"):
             # GLOB operator: translate a LITERAL glob pattern to an
             # anchored regex (round-5 probe find: `~~~` crashed the
@@ -1928,6 +1944,17 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "list_reverse_sort" and len(ch) == 1:
+        # descending sort: reverse(asc NULLS FIRST) == desc NULLS LAST,
+        # DuckDB's list_reverse_sort default (Spark has no direct name)
+        return f"reverse(list_sort({_expr(ch[0])}))"
+    if fn in ("date_add", "dateadd") and len(ch) == 2 \
+            and ch[1].get("class") == "FUNCTION" \
+            and ch[1].get("function_name") in _INTERVAL_FNS:
+        # DuckDB date_add(d, INTERVAL) — Spark's date_add takes day
+        # counts only; plain + renders on both targets.  DuckDB's
+        # result type is TIMESTAMP even for DATE inputs — keep it.
+        return f"(({_expr(ch[0])} + {_expr(ch[1])})::timestamp)"
     if fn == "product" and len(ch) == 1 and not e.get("filter") \
             and not e.get("distinct"):
         # multiplicative aggregate — Spark has none; reduce the
