@@ -752,6 +752,25 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_ilike_operators(spark, duck):
+    """Round-5 probe find: ILIKE (`~~*`) / NOT ILIKE (`!~~*`) passed
+    through verbatim and broke the wvlet parser — both now case-fold
+    onto plain LIKE."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT n_name FROM nation WHERE n_name ILIKE 'nation_1%' "
+        "ORDER BY n_name",
+        "SELECT n_name FROM nation WHERE n_name NOT ILIKE 'nation_1%' "
+        "ORDER BY n_name LIMIT 4",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    assert got  # NOT ILIKE returned rows
+
+
 def test_json_arrow_list_sort_date_add(spark, duck):
     """Round-5 probe finds: the ->> JSON operator passed through
     verbatim and broke the wvlet parser (now json_extract_string with

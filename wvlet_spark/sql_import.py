@@ -1859,6 +1859,13 @@ def _function(e: dict) -> str:
                 path = f"$[{idx}]"
             p = path.replace("'", "''")
             return f"json_extract_string({_expr(ch[0])}, '{p}')"
+        if fn in ("~~*", "!~~*"):
+            # ILIKE operator — case-fold both sides onto plain LIKE
+            # (round-5 probe find: `~~*` passed through verbatim and
+            # broke the wvlet parser)
+            neg = "!" if fn == "!~~*" else ""
+            return (f"{neg}lower({_expr(ch[0])})"
+                    f".like(lower({_expr(ch[1])}))")
         if fn in ("~~~", "!~~~"):
             # GLOB operator: translate a LITERAL glob pattern to an
             # anchored regex (round-5 probe find: `~~~` crashed the
