@@ -1394,6 +1394,13 @@ def _from_relation(rel: dict) -> list[str]:
     """FROM tree -> wvlet lines: `from a, b` for comma-joins (CROSS), else
     explicit join pipes."""
     t = rel["type"]
+    if rel.get("ref_type") == "POSITIONAL":
+        # row-order zip join — Spark has no stable physical row order to
+        # align on; previously this fell into the comma CROSS branch and
+        # returned a cartesian product (round-5 probe find)
+        raise SqlImportError(
+            "POSITIONAL JOIN is not supported (no stable row order on "
+            "the engine) — join on an explicit row_number() key instead")
     if t == "JOIN" and not rel.get("condition") \
             and not rel.get("using_columns") \
             and rel.get("ref_type") != "NATURAL" \
@@ -1638,10 +1645,35 @@ def _expr(e: dict) -> str:
         if e["subquery_type"] == "EXISTS":
             return f"exists {sub}"
         if e["subquery_type"] == "ANY":
-            if e.get("comparison_type") == "COMPARE_EQUAL":
+            ct = e.get("comparison_type")
+            if ct == "COMPARE_EQUAL":
                 return f"{_expr(e['child'])} in {sub}"
-            raise SqlImportError(
-                f"unsupported ANY comparison {e.get('comparison_type')}")
+            # inequality quantifiers lower to a min/max scalar compare
+            # (x < ANY(S) == x < max(S), etc.; ALL arrives as the
+            # NOT-wrapped negated ANY).  Guards keep WHERE-context
+            # three-valued logic exact: NULL lhs stays NULL, empty S is
+            # FALSE (so NOT-wrapped ALL over empty S is TRUE).  Known
+            # corner: NULL elements inside S under a NOT wrap read as
+            # satisfied where SQL yields NULL (round-5 probe find:
+            # previously typed rejects).
+            op_agg = {"COMPARE_LESSTHAN": ("<", "max"),
+                      "COMPARE_LESSTHANOREQUALTO": ("<=", "max"),
+                      "COMPARE_GREATERTHAN": (">", "min"),
+                      "COMPARE_GREATERTHANOREQUALTO": (">=", "min")}.get(ct)
+            if op_agg is None:
+                raise SqlImportError(f"unsupported ANY comparison {ct}")
+            col = _single_output_name(e["subquery"]["node"])
+            if col is None:
+                raise SqlImportError(
+                    "quantified comparison needs a single named output "
+                    "column in the subquery")
+            op, agg = op_agg
+            inner = (_query_node(e["subquery"]["node"])
+                     + f"\nagg __q = {agg}({_name(col)})")
+            x = _expr(e["child"])
+            return (f"(if ({x}) is null then null else "
+                    f"coalesce(({x}) {op} "
+                    f"{{\n{_indent(inner)}\n}}, false))")
         raise SqlImportError(f"unsupported subquery {e['subquery_type']}")
     if cls == "WINDOW":
         return _window(e)
@@ -2245,6 +2277,23 @@ def _maybe_paren(e: dict) -> str:
             and not e.get("is_operator"):
         return s
     return f"({s})"
+
+
+def _single_output_name(node: dict) -> str | None:
+    """The derivable name of a subquery's single output column (alias
+    or plain column ref), else None."""
+    if node.get("type") != "SELECT_NODE":
+        return None
+    sl = node.get("select_list") or []
+    if len(sl) != 1:
+        return None
+    it = sl[0]
+    if it.get("alias"):
+        return it["alias"]
+    if it.get("class") == "COLUMN_REF":
+        names = it.get("column_names") or []
+        return names[-1] if names else None
+    return None
 
 
 def _literal_str(e: dict) -> str | None:
