@@ -769,7 +769,33 @@ def sqlshape_mixed_isms(rng):
             f"WHERE e1.event_id < {lim} ORDER BY e1.event_id")
 
 
+def sqlshape_quantifiers(rng):
+    """Inequality ANY/SOME/ALL quantified comparisons, incl. empty
+    subqueries (ALL=TRUE / ANY=FALSE) and correlation."""
+    op = rng.choice(["<", "<=", ">", ">="])
+    q = rng.choice(["ANY", "SOME", "ALL"])
+    pick = rng.randrange(3)
+    if pick == 0:
+        lim = rng.randint(0, 4)
+        return (f"SELECT n_nationkey FROM nation WHERE n_regionkey "
+                f"{op} {q} (SELECT r_regionkey FROM region WHERE "
+                f"r_regionkey < {lim}) ORDER BY n_nationkey")
+    if pick == 1:  # empty subquery
+        return (f"SELECT n_nationkey FROM nation WHERE n_regionkey "
+                f"{op} {q} (SELECT r_regionkey FROM region WHERE "
+                f"r_regionkey > 99) ORDER BY n_nationkey LIMIT 5")
+    # correlated — keep both sides small (the per-row min/max subquery
+    # may not decorrelate)
+    lim = rng.randint(20, 60)
+    return (f"SELECT o_orderkey FROM orders o WHERE o_totalprice "
+            f"{op} {q} (SELECT o2.o_totalprice FROM orders o2 WHERE "
+            f"o2.o_custkey = o.o_custkey AND o2.o_orderkey < "
+            f"o.o_orderkey AND o2.o_orderkey <= {lim}) "
+            f"AND o_orderkey <= {lim} ORDER BY o_orderkey")
+
+
 SQL_SHAPES = {
+    "sql_quantifiers": sqlshape_quantifiers,
     "sql_qualify": sqlshape_qualify,
     "sql_distinct_on": sqlshape_distinct_on,
     "sql_duckisms": sqlshape_duckisms,
