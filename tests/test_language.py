@@ -937,3 +937,14 @@ order by n_regionkey""").collect()
     assert len(rows) == 5
     assert rows[0].n_regionkey == 0 and rows[0].n == 5
     assert set(rows[0].asDict()) == {"n_regionkey", "n", "r_name"}
+
+
+def test_funnel_latency_tool(ws):
+    ws.run('from [[1, "2024-01-01 00:00:00", "A"], '
+           '[1, "2024-01-01 01:00:00", "B"]] as t(user_id, ts0, event_type)'
+           '\nselect user_id, ts = ts0.to_timestamp, event_type'
+           '\nsave to tool_events_lat')
+    fn = {r.step: r for r in ws.run(
+        "call funnel_latency(table='tool_events_lat', "
+        "steps='A,B')").collect()}
+    assert fn["A"].users == 1 and fn["B"].avg_secs == 3600.0

@@ -912,3 +912,22 @@ def test_profile_numeric_semantics(spark):
     assert out["x"].mean_v == round(5.0 / 3, 4)
     assert (out["y"].n, out["y"].nulls, out["y"].n_distinct) == (3, 1, 2)
     assert out["y"].mean_v == round(40 / 3, 4)
+
+
+def test_funnel_latency_semantics(spark):
+    """Planted funnel latencies: u1 converts A->B in 3600 s; the
+    latency panel reports step-relative seconds from step 1."""
+    from wvlet_spark.ops.analytics import funnel_latency
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "A"), (1, "2024-01-01 01:00:00", "B"),
+        (2, "2024-01-01 00:00:00", "A"), (2, "2024-01-01 03:00:00", "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    out = {r.step: r for r in funnel_latency(df, ["A", "B"]).collect()}
+    assert out["A"].users == 2 and out["A"].avg_secs == 0.0
+    assert out["B"].users == 2
+    assert out["B"].avg_secs == 7200.0   # mean of 1h and 3h
+    assert out["B"].p50_secs == 7200.0   # continuous median

@@ -117,3 +117,53 @@ def retention_weekly(events: DataFrame, user_col: str = "user_id",
             .groupBy("cohort_week", "week_n")
             .agg(F.count("*").alias("users"))
             .orderBy("cohort_week", "week_n"))
+
+
+def funnel_latency(events: DataFrame, steps: list[str],
+                   user_col: str = "user_id", type_col: str = "event_type",
+                   ts_col: str = "ts",
+                   within_seconds: int | None = None) -> DataFrame:
+    """Funnel with time-to-convert: for every step, the users reaching
+    it plus the mean and median (continuous-interpolation) seconds from
+    their step-1 timestamp.  Same greedy-earliest step chain as
+    funnel(); the latency aggregates run over the per-user step
+    timestamps (one tiny aggregate per step, never over the event log).
+    Returns (step_idx, step, users, avg_secs, p50_secs), seconds rounded
+    to 2 decimals.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = events.select(user_col, type_col, ts_col)
+    cur = (base.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("__t")))
+    first = cur.select(user_col, F.col("__t").alias("__t1"))
+    stages = [cur]
+    for s in steps[1:]:
+        nxt = (base.filter(F.col(type_col) == s)
+               .withColumnRenamed(ts_col, "__ts")
+               .join(cur.select(user_col, "__t"), user_col)
+               .filter(F.col("__ts") > F.col("__t")))
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col("__ts") <= F.col("__t")
+                + F.expr(f"INTERVAL {int(within_seconds)} SECOND"))
+        cur = nxt.groupBy(user_col).agg(F.min("__ts").alias("__t"))
+        stages.append(cur)
+    parts = []
+    for i, (name, st) in enumerate(zip(steps, stages), start=1):
+        # NTZ timestamps need the tz-cast before unix_micros (the
+        # session runs in UTC, so the wall clock is preserved)
+        secs = (F.unix_micros(F.col("__t").cast("timestamp"))
+                - F.unix_micros(F.col("__t1").cast("timestamp"))) / 1e6
+        joined = st.join(first, user_col).select(secs.alias("__s"))
+        parts.append(joined.agg(
+            F.count("*").alias("users"),
+            F.round(F.avg("__s"), 2).alias("avg_secs"),
+            F.round(F.expr("percentile(__s, 0.5)"), 2).alias("p50_secs"),
+        ).select(F.lit(i).cast("long").alias("step_idx"),
+                 F.lit(name).alias("step"),
+                 F.col("users").cast("long"), "avg_secs", "p50_secs"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

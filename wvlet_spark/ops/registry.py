@@ -2057,6 +2057,46 @@ ORDER BY col_name
 """
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Funnel time-to-convert: per step, users reaching it plus mean and
+    median (continuous-interpolation) seconds from their step-1
+    timestamp.  Latency aggregates run over per-user step timestamps,
+    never over the event log."""
+    from wvlet_spark.ops.analytics import funnel_latency
+    from wvlet_spark.session import read_parquet_robust
+
+    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
+    return funnel_latency(ev, ["view", "click", "purchase"],
+                          within_seconds=86400)
+
+
+O_FUNNEL_LATENCY = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL 86400 SECOND GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         AND e.ts <= s2.t + INTERVAL 86400 SECOND GROUP BY e.user_id),
+lat AS (
+  SELECT 1 AS step_idx, 'view' AS step,
+         (epoch_us(s.t) - epoch_us(f.t)) / 1000000.0 AS s
+  FROM s1 s JOIN s1 f USING (user_id)
+  UNION ALL SELECT 2, 'click', (epoch_us(s.t) - epoch_us(f.t)) / 1000000.0
+  FROM s2 s JOIN s1 f ON s.user_id = f.user_id
+  UNION ALL SELECT 3, 'purchase',
+         (epoch_us(s.t) - epoch_us(f.t)) / 1000000.0
+  FROM s3 s JOIN s1 f ON s.user_id = f.user_id)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step, count(*) AS users,
+       round(avg(s), 2) AS avg_secs,
+       round(quantile_cont(s, 0.5), 2) AS p50_secs
+FROM lat GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def entry_queries() -> dict:
     return {
         "ext_exact_dedup": q_exact_dedup,
@@ -2116,6 +2156,7 @@ def entry_queries() -> dict:
         "ext_fuzzy_pairs": q_fuzzy_pairs,
         "ext_skew_report": q_skew_report,
         "ext_profile_numeric": q_profile_numeric,
+        "ext_funnel_latency": q_funnel_latency,
     }
 
 
@@ -2181,4 +2222,5 @@ def entry_oracles() -> dict:
         "ext_fuzzy_pairs": O_FUZZY_PAIRS,
         "ext_skew_report": O_SKEW_REPORT,
         "ext_profile_numeric": O_PROFILE_NUMERIC,
+        "ext_funnel_latency": O_FUNNEL_LATENCY,
     }

@@ -384,8 +384,15 @@ class WvletSession:
             names = [c.strip() for c in str(cols).split(",")]
             return sketches.profile_numeric(_df(table), names)
 
+        def tool_funnel_latency(spark, table, steps, **kw):
+            names = [s.strip() for s in str(steps).split(",")]
+            if "within_seconds" in kw:
+                kw["within_seconds"] = int(kw["within_seconds"])
+            return analytics.funnel_latency(_df(table), names, **kw)
+
         self._tools.update({
             "funnel": tool_funnel,
+            "funnel_latency": tool_funnel_latency,
             "gap_fill": _one_table(analytics.gap_fill_daily),
             "retention": _one_table(analytics.retention_weekly),
             "fuzzy_pairs": tool_fuzzy_pairs,
