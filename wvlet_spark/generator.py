@@ -1780,6 +1780,27 @@ class SqlGenerator:
             # Spark's length is string-only — lists go through size()
             # (import-path fuzz find: len(split(...)))
             core = f"size({self.expr(e.args[0])})"
+        elif e.name.lower() in ("shiftleft", "shiftright") \
+                and len(e.args) == 2 and self.dialect == DUCKDB:
+            # Spark names the shifts; DuckDB only has the operators
+            op = "<<" if e.name.lower() == "shiftleft" else ">>"
+            core = f"({self.expr(e.args[0])} {op} {self.expr(e.args[1])})"
+        elif e.name.lower() in ("bitand", "bitor", "bitxor") \
+                and len(e.args) == 2:
+            # infix on both targets — EXCEPT xor, where DuckDB's ^ is
+            # exponentiation; its bitwise xor is the xor() function
+            a, b2 = self.expr(e.args[0]), self.expr(e.args[1])
+            if e.name.lower() == "bitxor":
+                core = f"xor({a}, {b2})" if self.dialect == DUCKDB \
+                    else f"({a} ^ {b2})"
+            else:
+                op = "&" if e.name.lower() == "bitand" else "|"
+                core = f"({a} {op} {b2})"
+        elif e.name.lower() == "sha2" and len(e.args) == 2 \
+                and self.dialect == DUCKDB \
+                and isinstance(e.args[1], N.Literal) \
+                and str(e.args[1].value) == "256":
+            core = f"sha256({self.expr(e.args[0])})"
         elif e.name.lower() in ("trim", "ltrim", "rtrim") and len(e.args) == 2 \
                 and self.dialect == SPARK:
             # wvlet/DuckDB/Trino arg order is (string, trim_chars); Spark's

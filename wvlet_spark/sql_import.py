@@ -1891,6 +1891,15 @@ def _function(e: dict) -> str:
                 path = f"$[{idx}]"
             p = path.replace("'", "''")
             return f"json_extract_string({_expr(ch[0])}, '{p}')"
+        if fn in ("<<", ">>") and len(ch) == 2:
+            # bit shifts — named functions (the wvlet grammar has no
+            # bitwise operators); the generator renders them as infix
+            # on DuckDB
+            name = "shiftleft" if fn == "<<" else "shiftright"
+            return f"{name}({_expr(ch[0])}, {_expr(ch[1])})"
+        if fn in ("&", "|") and len(ch) == 2:
+            name = "bitand" if fn == "&" else "bitor"
+            return f"{name}({_expr(ch[0])}, {_expr(ch[1])})"
         if fn in ("~~*", "!~~*"):
             # ILIKE operator — case-fold both sides onto plain LIKE
             # (round-5 probe find: `~~*` passed through verbatim and
@@ -1983,6 +1992,24 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "fmod" and len(ch) == 2:
+        # DuckDB's fmod is FLOORED modulo (result takes the divisor's
+        # sign — measured, not the C fmod the name suggests); % on both
+        # engines is truncated (dividend sign), so wrap the classic
+        # floored-mod identity
+        a, b = _expr(ch[0]), _expr(ch[1])
+        return f"((({a} % {b}) + {b}) % {b})"
+    if fn == "xor" and len(ch) == 2:
+        return f"bitxor({_expr(ch[0])}, {_expr(ch[1])})"
+    if fn == "sha256" and len(ch) == 1:
+        # Spark spells it sha2(x, 256); the generator lowers sha2 back
+        # to sha256 on the DuckDB target
+        return f"sha2({_expr(ch[0])}, 256)"
+    if fn in ("gcd", "lcm", "list_zip"):
+        raise SqlImportError(
+            f"{fn}() has no Spark equivalent"
+            + (" (arrays_zip names struct fields differently)"
+               if fn == "list_zip" else ""))
     if fn == "list_reverse_sort" and len(ch) == 1:
         # descending sort: reverse(asc NULLS FIRST) == desc NULLS LAST,
         # DuckDB's list_reverse_sort default (Spark has no direct name)
