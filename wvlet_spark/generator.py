@@ -1772,7 +1772,11 @@ class SqlGenerator:
     def _function(self, e: N.FunctionApply) -> str:
         name = e.name if e.raw else self._map_fn(e.name)
         if e.name.lower() == "extract" and len(e.args) == 2 and isinstance(e.args[0], N.Ident):
-            core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
+            if e.args[0].name.lower() == "epoch" and self.dialect == SPARK:
+                core = (f"(unix_micros(CAST({self.expr(e.args[1])} AS "
+                        f"TIMESTAMP)) / 1000000.0)")
+            else:
+                core = f"extract({e.args[0].name.upper()} FROM {self.expr(e.args[1])})"
         elif e.name.lower() in ("len", "length") and len(e.args) == 1 \
                 and self.dialect == SPARK \
                 and self._is_array_expr(e.args[0]):
@@ -2163,7 +2167,14 @@ class SqlGenerator:
             else:
                 core = f"regexp_matches({self.expr(t)}, {self.expr(e.args[0])})"
         elif m == "extract":
-            core = f"extract({self.expr(e.args[0]).strip(chr(39))} FROM {self.expr(t)})"
+            part = self.expr(e.args[0]).strip(chr(39))
+            if part.lower() == "epoch" and self.dialect == SPARK:
+                # Spark's extract has no EPOCH field; DuckDB's returns
+                # fractional seconds as DOUBLE (round-5 probe find)
+                core = (f"(unix_micros(CAST({self.expr(t)} AS TIMESTAMP))"
+                        f" / 1000000.0)")
+            else:
+                core = f"extract({part} FROM {self.expr(t)})"
         else:
             # generic method → function call with target as first argument
             fn = self._map_fn(m)

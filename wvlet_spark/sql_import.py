@@ -2028,6 +2028,10 @@ def _function(e: dict) -> str:
         # round-5 probe find: unresolved routine)
         return (f"aggregate(array_agg({_expr(ch[0])}), "
                 f"1.0::double, (acc, x) -> acc * x)")
+    if fn == "age":
+        raise SqlImportError(
+            "age() returns an INTERVAL (no cross-engine scalar mapping) "
+            "— compute explicit datediff/date_part differences instead")
     if fn == "entropy":
         raise SqlImportError(
             "entropy() has no Spark equivalent (needs a per-value "
