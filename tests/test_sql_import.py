@@ -752,6 +752,24 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_limit_all_and_collate_reject(spark, duck):
+    """Round-5 probe finds: LIMIT ALL serializes as a NULL constant and
+    emitted `limit null` (parse error) — now a no-op; named collations
+    (COLLATE NOCASE) were silently DROPPED, returning case-sensitive
+    answers — now pointed typed rejects (a collation changes the WHOLE
+    comparison's semantics; a one-sided fold would still be wrong)."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT ALL"
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == exp and len(got) == 25
+    with pytest.raises(SqlImportError, match="collation"):
+        ws.to_wvlet("SELECT 'abc' = 'ABC' COLLATE NOCASE AS nc")
+
+
 def test_extract_epoch_and_age_reject(spark, duck):
     """Round-5 probe finds: extract(epoch FROM ts) hit Spark's extract
     (no EPOCH field) — it now lowers to unix_micros/1e6 matching

@@ -1321,8 +1321,13 @@ def _modifiers(node: dict) -> list[str]:
                     parts.append(_order_item(o))
             lines.append("order by " + ", ".join(parts))
         elif m["type"] == "LIMIT_MODIFIER":
-            if m.get("limit"):
-                lines.append(f"limit {_expr(m['limit'])}")
+            lim = m.get("limit")
+            if lim is not None and not (
+                    lim.get("class") == "CONSTANT"
+                    and lim["value"].get("is_null")):
+                # LIMIT ALL serializes as a NULL constant — a no-op
+                # (round-5 probe find: previously emitted `limit null`)
+                lines.append(f"limit {_expr(lim)}")
             if m.get("offset"):
                 lines.append(f"offset {_expr(m['offset'])}")
         elif m["type"] == "DISTINCT_MODIFIER":
@@ -1681,7 +1686,16 @@ def _expr(e: dict) -> str:
         # positional prepared-statement parameter (`?` / `$n`)
         return f"${e.get('identifier', '1')}"
     if cls == "COLLATE":
-        return _expr(e["child"])
+        # a named collation changes comparison semantics — dropping it
+        # silently returns case/accent-sensitive answers (round-5 probe
+        # find); only the binary default passes through
+        coll = str(e.get("collation") or "").lower()
+        if coll in ("", "binary", "c", "posix"):
+            return _expr(e["child"])
+        raise SqlImportError(
+            f"unsupported collation {coll!r} (collations change the "
+            f"WHOLE comparison's semantics — fold both operands "
+            f"explicitly, e.g. lower(a) = lower(b))")
     if cls == "LAMBDA":
         return _lambda(e)
     raise SqlImportError(f"unsupported expression {cls}/{t}")
