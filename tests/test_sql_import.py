@@ -752,6 +752,26 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_concat_null_skipping(spark, duck):
+    """Round-5 probe find: DuckDB's concat() SKIPS NULL arguments while
+    Spark's returns NULL — every imported concat over nullable columns
+    silently produced NULL rows.  Imported concat now lowers to
+    concat_ws('') (skip-NULLs on both targets); || keeps its
+    NULL-propagating semantics, which already agree."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT concat('a', NULL, 'b') AS c1",
+        "SELECT concat(n_name, '-', CASE WHEN n_regionkey = 2 THEN NULL "
+        "ELSE 'x' END) AS c FROM nation ORDER BY n_nationkey LIMIT 6",
+        "SELECT 'a' || NULL AS c2",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
 def test_limit_all_and_collate_reject(spark, duck):
     """Round-5 probe finds: LIMIT ALL serializes as a NULL constant and
     emitted `limit null` (parse error) — now a no-op; named collations

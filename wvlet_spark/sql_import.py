@@ -2006,6 +2006,15 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn == "concat" and ch:
+        # DuckDB's concat SKIPS NULL arguments; the engine's (Spark's)
+        # returns NULL when any argument is NULL — concat_ws('') has
+        # DuckDB's skip-NULLs semantics on both targets (round-5 probe
+        # find: silent NULL rows on any nullable concat).  The ||
+        # operator keeps NULL propagation on both engines and is
+        # unaffected.
+        args_c = ", ".join(_expr(c) for c in ch)
+        return f"concat_ws('', {args_c})"
     if fn == "fmod" and len(ch) == 2:
         # DuckDB's fmod is FLOORED modulo (result takes the divisor's
         # sign — measured, not the C fmod the name suggests); % on both
