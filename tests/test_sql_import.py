@@ -752,6 +752,29 @@ def test_natural_join_and_asof_left(spark):
     assert any("None" in r for r in got)
 
 
+def test_substr_zero_start_and_empty_array_agg(spark, duck):
+    """Round-5 probe finds: DuckDB's 3-arg substr windows [start,
+    start+len) against the 1-based string so a literal 0 start eats one
+    character of the length (Spark clamps 0 to 1 with the full length)
+    — imported literal-0 starts now shift to (1, len-1).  Zero-row
+    GLOBAL array_agg: the engine (collect_list) gives [], DuckDB NULL —
+    the oracle dialect now coalesces to [] so both dialects express the
+    engine's semantics (null ELEMENTS remain a documented divergence:
+    collect_list drops them unconditionally)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = ("SELECT substr('abcdef', 0, 3) AS b, substr('abcdef', 0, 1) "
+           "AS b1, substr('abcdef', 2, 3) AS n")
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    assert got == [tuple(r) for r in duck.execute(sql).fetchall()]
+    wv = ("from nation\nwhere n_nationkey > 999\n"
+          "agg a = n_name.to_array")
+    g = [list(r[0]) for r in ws.run(wv).collect()]
+    o = duck.execute(ws.oracle_sql(wv)).fetchall()
+    assert g == [[]] and [list(r[0]) for r in o] == [[]]
+
+
 def test_concat_null_skipping(spark, duck):
     """Round-5 probe find: DuckDB's concat() SKIPS NULL arguments while
     Spark's returns NULL — every imported concat over nullable columns

@@ -1784,6 +1784,16 @@ class SqlGenerator:
             # Spark's length is string-only — lists go through size()
             # (import-path fuzz find: len(split(...)))
             core = f"size({self.expr(e.args[0])})"
+        elif e.name.lower() in ("array_agg", "to_array", "collect_list") \
+                and len(e.args) == 1 and self.dialect == DUCKDB \
+                and e.window is None and not e.is_distinct \
+                and not getattr(e, "agg_order", None) \
+                and e.filter is None:
+            # global aggregation over ZERO rows: Spark's collect_list
+            # gives [], DuckDB's array_agg gives NULL — coalesce the
+            # DuckDB side so both dialects agree (a no-op inside grouped
+            # aggregation, where every group has rows)
+            core = f"coalesce(array_agg({self.expr(e.args[0])}), [])"
         elif e.name.lower() in ("shiftleft", "shiftright") \
                 and len(e.args) == 2 and self.dialect == DUCKDB:
             # Spark names the shifts; DuckDB only has the operators
@@ -2088,8 +2098,11 @@ class SqlGenerator:
             core = f"{self._map_fn(m)}({rendered})"
         elif m in ("array_agg", "to_array"):
             arg = e.args[0] if (is_group and e.args) else t
-            fn = "array_agg"
-            core = f"{fn}({self.expr(arg)})"
+            if self.dialect == DUCKDB:
+                # match the engine's [] on zero-row global aggregation
+                core = f"coalesce(array_agg({self.expr(arg)}), [])"
+            else:
+                core = f"array_agg({self.expr(arg)})"
         elif m in AGG_FUNCS:
             if is_group:
                 args = ", ".join(self.expr(a) for a in e.args)
@@ -2179,7 +2192,13 @@ class SqlGenerator:
             # generic method → function call with target as first argument
             fn = self._map_fn(m)
             extra = "".join(", " + self.expr(a) for a in e.args)
-            core = f"{fn}({self.expr(t)}{extra})"
+            if fn == "array_agg" and self.dialect == DUCKDB \
+                    and not e.args and e.window is None:
+                # match the engine's [] on zero-row global aggregation
+                # (same rule as the FunctionApply path)
+                core = f"coalesce(array_agg({self.expr(t)}), [])"
+            else:
+                core = f"{fn}({self.expr(t)}{extra})"
         if e.window is not None:
             core += f" OVER ({self.window(e.window)})"
         return core

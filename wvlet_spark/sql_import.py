@@ -2006,6 +2006,12 @@ def _function(e: dict) -> str:
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
+    if fn in ("substr", "substring") and len(ch) == 3 \
+            and _peel_int(ch[1]) == 0:
+        # DuckDB's substr windows [start, start+len) against the 1-based
+        # string, so a literal 0 start eats one of the length; Spark
+        # clamps 0 to 1 with the full length (round-5 probe find)
+        return (f"substr({_expr(ch[0])}, 1, ({_expr(ch[2])}) - 1)")
     if fn == "concat" and ch:
         # DuckDB's concat SKIPS NULL arguments; the engine's (Spark's)
         # returns NULL when any argument is NULL — concat_ws('') has
