@@ -775,6 +775,19 @@ def test_substr_zero_start_and_empty_array_agg(spark, duck):
     assert g == [[]] and [list(r[0]) for r in o] == [[]]
 
 
+def test_regexp_split_to_array(spark, duck):
+    """Round-5 probe find: regexp_split_to_array hit Spark as an
+    unresolved routine — it now maps to split() alongside
+    string_split_regex."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = "SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS ra"
+    got = [list(r[0]) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [list(r[0]) for r in duck.execute(sql).fetchall()]
+    assert got == exp == [["a", "b", "c"]]
+
+
 def test_concat_null_skipping(spark, duck):
     """Round-5 probe find: DuckDB's concat() SKIPS NULL arguments while
     Spark's returns NULL — every imported concat over nullable columns

@@ -1955,7 +1955,8 @@ def _function(e: dict) -> str:
     # ---- DuckDB-semantics functions that differ from the engine's
     # canonical (Spark-flavored) forms: convert VALUES, not just names
     # (SQL-import wide-fuzz finds, round 5)
-    if fn == "string_split_regex" and len(ch) == 2:
+    if fn in ("string_split_regex", "regexp_split_to_array") \
+            and len(ch) == 2:
         return f"split({_expr(ch[0])}, {_expr(ch[1])})"
     if fn in ("string_split", "str_split", "string_to_array") \
             and len(ch) == 2:
