@@ -775,6 +775,33 @@ def test_substr_zero_start_and_empty_array_agg(spark, duck):
     assert g == [[]] and [list(r[0]) for r in o] == [[]]
 
 
+def test_global_having_and_branch_limit_union(spark, duck):
+    """Round-5 probe finds: HAVING without GROUP BY emitted the
+    aggregate into SQL WHERE (analysis error) — the predicate is now
+    computed inside the aggregation and filters the single result row;
+    branch-local ORDER BY/LIMIT inside a set operation rendered
+    unparenthesized (Spark parse error) — operands are now wrapped."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT count(*) AS n FROM nation HAVING count(*) > 10",
+        "SELECT count(*) AS n FROM nation HAVING count(*) > 999",
+        "SELECT count(*) AS n, max(n_nationkey) AS m FROM nation "
+        "HAVING min(n_regionkey) = 0",
+        "(SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2) "
+        "UNION ALL (SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "DESC LIMIT 2) ORDER BY n_nationkey",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = sorted(map(str, (tuple(r) for r in ws.run(wv).collect())))
+        exp = sorted(map(str, (tuple(r) for r in
+                               duck.execute(sql).fetchall())))
+        assert got == exp, sql
+        assert got == sorted(map(str, (tuple(r) for r in duck.execute(
+            ws.oracle_sql(wv)).fetchall())))
+
+
 def test_regexp_split_to_array(spark, duck):
     """Round-5 probe find: regexp_split_to_array hit Spark as an
     unresolved routine — it now maps to split() alongside

@@ -1235,7 +1235,11 @@ class SqlGenerator:
             "except": "EXCEPT",
             "except_all": "EXCEPT ALL",
         }[rel.op]
-        return B(source=f"({l} {kw} {r}) AS {self.q(self.fresh('set'))}", columns=lb.columns)
+        # parenthesize operands so branch-local ORDER BY / LIMIT binds to
+        # its own branch, not the whole union (round-5 probe find: an
+        # unparenthesized branch LIMIT was a Spark parse error)
+        return B(source=f"(({l}) {kw} ({r})) AS {self.q(self.fresh('set'))}",
+                 columns=lb.columns)
 
     # ----- sampling
 

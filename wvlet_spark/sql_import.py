@@ -1086,10 +1086,18 @@ def _select_node(node: dict) -> list[str]:
                 if it.get("class") != "STAR" and not _has_aggregate(it)]
         if keys:
             lines.append("group by " + ", ".join(keys))
+    having_post = None
     if node.get("having"):
-        # wvlet: a `where` between group by and select filters on
-        # aggregates (HAVING)
-        lines.append(f"where {_expr(node['having'])}")
+        if groups or sets:
+            # wvlet: a `where` between group by and select filters on
+            # aggregates (HAVING)
+            lines.append(f"where {_expr(node['having'])}")
+        else:
+            # HAVING without GROUP BY (global aggregate filter) — a
+            # pre-select `where` would put the aggregate in SQL WHERE
+            # (round-5 probe find); compute the predicate INSIDE the
+            # aggregation and filter the one result row after it
+            having_post = _expr(node["having"])
 
     mods = node.get("modifiers") or []
     don = next((m.get("distinct_on_targets") for m in mods
@@ -1142,9 +1150,14 @@ def _select_node(node: dict) -> list[str]:
     distinct = don is None and any(
         m.get("type") == "DISTINCT_MODIFIER" for m in mods)
     items = [_select_item(e) for e in node.get("select_list") or []]
+    if having_post is not None:
+        items.append(f"__having = {having_post}")
     kw = "select distinct" if distinct else "select"
     if not (len(items) == 1 and items[0] == "*" and has_from):
         lines.append(f"{kw} " + ", ".join(items))
+    if having_post is not None:
+        lines.append("where __having")
+        lines.append("exclude __having")
     elif distinct:
         # `SELECT DISTINCT *`: the star select line is elided, but the
         # distinct must survive as the dedup pipe (SQL-import wide-fuzz
