@@ -775,6 +775,31 @@ def test_substr_zero_start_and_empty_array_agg(spark, duck):
     assert g == [[]] and [list(r[0]) for r in o] == [[]]
 
 
+def test_subday_date_diff_and_datetrunc(spark, duck):
+    """Round-5 probe finds: date_diff sub-day parts (hour/minute/second)
+    were typed rejects — they now lower to part-truncated epoch
+    differences matching DuckDB's BOUNDARY-crossing count; datetrunc is
+    an alias of date_trunc; jaccard/hamming/damerau_levenshtein/
+    strip_accents (no Spark equivalents) are pointed typed rejects."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2024-01-02 06:30:00') AS h",
+        "SELECT date_diff('minute', TIMESTAMP '2024-01-01 00:00:59', "
+        "TIMESTAMP '2024-01-01 02:30:00') AS m",
+        "SELECT date_diff('second', TIMESTAMP '2024-01-01 00:00:00.9', "
+        "TIMESTAMP '2024-01-01 00:00:05.1') AS s",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(r) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+    with pytest.raises(SqlImportError):
+        ws.to_wvlet("SELECT jaccard('duck', 'luck')")
+
+
 def test_global_having_and_branch_limit_union(spark, duck):
     """Round-5 probe finds: HAVING without GROUP BY emitted the
     aggregate into SQL WHERE (analysis error) — the predicate is now

@@ -2014,9 +2014,20 @@ def _function(e: dict) -> str:
             # DuckDB datediff('day', start, end) == end - start;
             # canonical 2-arg datediff is (end, start)
             return f"datediff({_expr(ch[2])}, {_expr(ch[1])})"
+        secs = {"hour": 3600, "hours": 3600, "minute": 60, "minutes": 60,
+                "second": 1, "seconds": 1}.get(part)
+        if secs is not None:
+            # DuckDB counts PART-BOUNDARY crossings: difference of the
+            # part-truncated epoch values (round-5 probe find:
+            # previously a typed reject)
+            a, b = _expr(ch[1]), _expr(ch[2])
+            trunc_p = part.rstrip("s")
+            return (f"(((extract(epoch from date_trunc('{trunc_p}', {b}))"
+                    f" - extract(epoch from date_trunc('{trunc_p}', {a})))"
+                    f" / {secs})::long)")
         raise SqlImportError(
-            f"unsupported datediff part {part!r} (only 'day' maps onto "
-            f"the engine's 2-arg datediff)")
+            f"unsupported datediff part {part!r} (day/hour/minute/"
+            f"second map onto the engine)")
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
@@ -2071,6 +2082,14 @@ def _function(e: dict) -> str:
         # round-5 probe find: unresolved routine)
         return (f"aggregate(array_agg({_expr(ch[0])}), "
                 f"1.0::double, (acc, x) -> acc * x)")
+    if fn == "datetrunc" and len(ch) == 2:
+        # alias of date_trunc
+        return f"date_trunc({_expr(ch[0])}, {_expr(ch[1])})"
+    if fn in ("jaccard", "hamming", "damerau_levenshtein", "editdist3",
+              "strip_accents", "mismatches"):
+        raise SqlImportError(
+            f"{fn}() has no Spark equivalent (string-similarity "
+            f"functions beyond levenshtein)")
     if fn == "age":
         raise SqlImportError(
             "age() returns an INTERVAL (no cross-engine scalar mapping) "
