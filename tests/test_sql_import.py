@@ -549,6 +549,35 @@ def test_qualify_with_distinct_on(spark, duck):
             "n_nationkey > 0 ORDER BY n_regionkey")
 
 
+def test_qualify_with_plain_distinct(spark, duck):
+    """Advisor find (round 6): DuckDB evaluates QUALIFY BEFORE DISTINCT,
+    so window expressions in the predicate see pre-dedup rows.  The
+    importer previously emitted the qualify filter AFTER the dedup pipe
+    — `count(*) OVER (PARTITION BY x) > 1` over duplicated x returned
+    empty instead of the duplicated keys.  Now staged pre-projection."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        # the advisor's exact repro shape: windows must count PRE-dedup
+        "SELECT DISTINCT n_regionkey FROM nation "
+        "QUALIFY count(*) OVER (PARTITION BY n_regionkey) > 1 "
+        "ORDER BY n_regionkey",
+        # dedup over a projection narrower than the window partition
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_custkey <= 40 "
+        "QUALIFY count(*) OVER (PARTITION BY o_custkey) >= 2 "
+        "ORDER BY o_custkey",
+        # row-local select alias referenced by the predicate is inlined
+        "SELECT DISTINCT n_regionkey * 10 AS rk FROM nation "
+        "QUALIFY count(*) OVER (PARTITION BY n_regionkey) > 3 AND rk >= 0 "
+        "ORDER BY rk",
+    ]:
+        got = sorted(map(str, (tuple(r) for r in
+                               ws.run(ws.to_wvlet(sql)).collect())))
+        exp = sorted(map(str, duck.execute(sql).fetchall()))
+        assert got == exp, sql
+
+
 def test_qualify_on_nonprojected_columns(spark, duck):
     """SQL-first fuzz find (round 5): QUALIFY predicates referencing
     source columns the projection DROPS crashed post-projection staging
@@ -1033,10 +1062,20 @@ def test_product_aggregate_and_entropy_reject(spark, duck):
         "SELECT round(product(n_regionkey + 1), 1) AS p FROM nation "
         "WHERE n_nationkey < 6",
         "SELECT product(n_regionkey) AS pz FROM nation",  # zeros
+        # NULL inputs are SKIPPED by native product(); DuckDB's array_agg
+        # keeps NULLs so the lowered fold must filter them (advisor find,
+        # round 6: 2.0*NULL*3.0 -> NULL instead of 6.0 on the oracle
+        # dialect)
+        "SELECT product(x) AS pn FROM (VALUES (2.0), (NULL), (3.0)) t(x)",
     ]:
-        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
         exp = [tuple(r) for r in duck.execute(sql).fetchall()]
         assert got == exp, sql
+        # the oracle dialect's rendering agrees too (the fold lowers to
+        # list_reduce there — NULL-skip must survive both codegens)
+        dsql = ws.compile_to_sql(wv, dialect="duckdb")
+        assert [tuple(r) for r in duck.execute(dsql).fetchall()] == exp, sql
     with pytest.raises(SqlImportError, match="entropy"):
         ws.to_wvlet("SELECT entropy(n_name) FROM nation")
 

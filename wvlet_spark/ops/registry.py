@@ -2034,21 +2034,21 @@ def q_profile_numeric(spark, sf_dir):
 
 O_PROFILE_NUMERIC = """
 SELECT 'event_id' AS col_name, count(CAST(event_id AS DOUBLE)) AS n,
-       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
        count(DISTINCT event_id) AS n_distinct,
        round(min(CAST(event_id AS DOUBLE)), 4) AS min_v,
        round(max(CAST(event_id AS DOUBLE)), 4) AS max_v,
        round(avg(CAST(event_id AS DOUBLE)), 4) AS mean_v FROM events
 UNION ALL
 SELECT 'user_id', count(CAST(user_id AS DOUBLE)),
-       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT user_id),
        round(min(CAST(user_id AS DOUBLE)), 4),
        round(max(CAST(user_id AS DOUBLE)), 4),
        round(avg(CAST(user_id AS DOUBLE)), 4) FROM events
 UNION ALL
 SELECT 'value', count(CAST(value AS DOUBLE)),
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT value),
        round(min(CAST(value AS DOUBLE)), 4),
        round(max(CAST(value AS DOUBLE)), 4),

@@ -51,7 +51,39 @@ def normalize_rows(columns: list[str], rows) -> list[tuple]:
     return out
 
 
-def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+def _numeric_kind_mismatch(s_cols, s_rows, con, oracle_sql: str) -> list[str]:
+    """Detect the pandas *dtype* skews the external driver's canonicalizer is
+    sensitive to even when every value matches (round-5 postmortem:
+    ext_profile_numeric — DuckDB HUGEINT sum widened to float64 against
+    Spark's int64, so int 0 vs float 0.0 hash-mismatched).
+
+    Both sides are materialized the way the driver sees them — the Spark rows
+    already collected (pandas inference matches toPandas on the int-vs-float
+    axis: non-null longs -> int64, nullable longs -> float64) and the oracle
+    via fetchdf().  Only the numeric int-vs-float axis is compared; object /
+    datetime representation quirks (dates, decimals) differ benignly between
+    from-records and fetchdf and are not driver-visible the same way.
+    """
+    import pandas as pd
+
+    spd = pd.DataFrame(s_rows, columns=s_cols)
+    opd = con.execute(oracle_sql).fetchdf()
+    bad = []
+    for c in spd.columns:
+        if c not in opd.columns:
+            continue
+        sk = spd[c].dtype.kind
+        ok = opd[c].dtype.kind
+        sk = "i" if sk == "u" else sk
+        ok = "i" if ok == "u" else ok
+        if sk != ok and {sk, ok} <= {"i", "f"}:
+            bad.append(f"{c}: spark pandas dtype kind={sk!r} vs oracle {ok!r}"
+                       " (int-vs-float skew — driver hash is dtype-sensitive;"
+                       " CAST the oracle aggregate or align the Spark type)")
+    return bad
+
+
+def compare(spark_df, con, oracle_sql: str, check_dtypes: bool = True) -> tuple[bool, str]:
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(oracle_sql)
@@ -67,4 +99,8 @@ def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
         diffs = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b][:3]
         msg = "; ".join(f"row{i}: spark={sn[i]} oracle={on[i]}" for i in diffs)
         return False, f"value mismatch: {msg}"
+    if check_dtypes:
+        bad = _numeric_kind_mismatch(s_cols, s_rows, con, oracle_sql)
+        if bad:
+            return False, "dtype mismatch: " + "; ".join(bad)
     return True, "ok"

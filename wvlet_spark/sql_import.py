@@ -20,6 +20,7 @@ error (the engine runs those through raw `sql"..."` passthrough instead).
 
 from __future__ import annotations
 
+import contextvars
 import copy
 import json
 import re
@@ -117,18 +118,25 @@ def sql_to_wvlet(sql: str, dialect: str = "duckdb") -> str:
 # the keyword — when it does, subquery join operands are re-emitted in
 # wvlet's `lateral { ... }` form (lateral over an uncorrelated subquery
 # is semantically identical, so over-application is harmless).
-# (SQL-import wide-fuzz find, round 5.)
-_LATERAL_HINT = False
+# (SQL-import wide-fuzz find, round 5.)  Held in a ContextVar, not a
+# module global: the HTTP server is a ThreadingHTTPServer, and two
+# concurrent /v1/query imports racing on a shared flag could re-emit a
+# LATERAL derived table as a plain subquery (advisor find, round 6).
+_LATERAL_HINT = contextvars.ContextVar("wvlet_sql_import_lateral_hint",
+                                       default=False)
 
 
 def _convert_query_sql(sql: str) -> str:
     """One SELECT-like statement -> wvlet query text (AST-walk path)."""
-    global _LATERAL_HINT
     norm = _normalize_stmt(sql)
-    _LATERAL_HINT = bool(re.search(r"\blateral\b", norm, re.IGNORECASE))
-    ast = parse_sql(norm)
-    parts = [_query_node(s["node"], top=True) for s in ast["statements"]]
-    return ";\n\n".join(parts)
+    token = _LATERAL_HINT.set(
+        bool(re.search(r"\blateral\b", norm, re.IGNORECASE)))
+    try:
+        ast = parse_sql(norm)
+        parts = [_query_node(s["node"], top=True) for s in ast["statements"]]
+        return ";\n\n".join(parts)
+    finally:
+        _LATERAL_HINT.reset(token)
 
 
 # Parse-level constructs the reference's hand-written SqlParser accepts
@@ -1124,6 +1132,17 @@ def _select_node(node: dict) -> list[str]:
                      f"(partition by {targets} order by {orders})")
         lines.append("where __rn = 1")
         lines.append("exclude __rn")
+    plain_distinct = don is None and any(
+        m.get("type") == "DISTINCT_MODIFIER" for m in mods)
+    if qual is not None and plain_distinct:
+        # DuckDB evaluates QUALIFY BEFORE DISTINCT: window expressions in
+        # the predicate see pre-dedup rows.  Post-projection staging would
+        # run the filter after the dedup pipe — silent wrong results
+        # (advisor find, round 6) — so stage it pre-projection like the
+        # DISTINCT ON path.
+        _stage_qualify_preprojection(node, qual, lines, groups, sets,
+                                     why="QUALIFY with DISTINCT")
+        qual = None
     if qual is not None:
         # Which lowering can host the filter?  Post-projection staging
         # (the default — select aliases resolve naturally) only works if
@@ -1147,8 +1166,7 @@ def _select_node(node: dict) -> list[str]:
             _stage_qualify_preprojection(node, qual, lines, groups, sets,
                                          why="QUALIFY")
             qual = None
-    distinct = don is None and any(
-        m.get("type") == "DISTINCT_MODIFIER" for m in mods)
+    distinct = plain_distinct
     items = [_select_item(e) for e in node.get("select_list") or []]
     if having_post is not None:
         items.append(f"__having = {having_post}")
@@ -1394,7 +1412,7 @@ def _join_operand(rel: dict) -> str:
     u = _unnest_operand(rel)
     if u is not None:
         return u
-    if _LATERAL_HINT and rel.get("type") == "SUBQUERY" \
+    if _LATERAL_HINT.get() and rel.get("type") == "SUBQUERY" \
             and _as_values_list(rel["subquery"]["node"]) is None:
         body = ("lateral {\n"
                 + _indent(_query_node(rel["subquery"]["node"])) + "\n}")
@@ -2079,8 +2097,13 @@ def _function(e: dict) -> str:
             and not e.get("distinct"):
         # multiplicative aggregate — Spark has none; reduce the
         # collected values (exact multiplication, zero/negative-safe;
-        # round-5 probe find: unresolved routine)
-        return (f"aggregate(array_agg({_expr(ch[0])}), "
+        # round-5 probe find: unresolved routine).  NULLs are filtered
+        # before the fold: native product() skips them, but DuckDB's
+        # array_agg KEEPS them (Spark's collect_list drops them) so an
+        # unfiltered fold yields NULL on the DuckDB dialect whenever any
+        # input is NULL (advisor find, round 6).
+        return (f"aggregate(filter(array_agg({_expr(ch[0])}), "
+                f"v -> v is not null), "
                 f"1.0::double, (acc, x) -> acc * x)")
     if fn == "datetrunc" and len(ch) == 2:
         # alias of date_trunc
