@@ -941,8 +941,7 @@ def test_bitwise_sha_fmod(spark, duck):
     xor maps to Spark's ^ (DuckDB's ^ is EXPONENTIATION, its bitwise xor
     is the xor() function), sha256 maps to sha2(x, 256) with the reverse
     lowering on the DuckDB dialect.  fmod is FLOORED modulo in DuckDB
-    (divisor sign — measured) so it wraps the floored-mod identity.
-    gcd/lcm/list_zip are pointed typed rejects."""
+    (divisor sign — measured) so it wraps the floored-mod identity."""
     from wvlet_spark import WvletSession
     from wvlet_spark.sql_import import SqlImportError
 
@@ -965,8 +964,6 @@ def test_bitwise_sha_fmod(spark, duck):
     fm = ws.run(ws.to_wvlet(
         "SELECT fmod(-7.5, 2) AS a, fmod(7.5, -2) AS b")).collect()[0]
     assert (float(fm.a), float(fm.b)) == (0.5, -0.5)
-    with pytest.raises(SqlImportError):
-        ws.to_wvlet("SELECT gcd(8, 12)")
 
 
 def test_quantified_comparisons_and_positional_reject(spark, duck):
@@ -1076,8 +1073,54 @@ def test_product_aggregate_and_entropy_reject(spark, duck):
         # list_reduce there — NULL-skip must survive both codegens)
         dsql = ws.compile_to_sql(wv, dialect="duckdb")
         assert [tuple(r) for r in duck.execute(dsql).fetchall()] == exp, sql
-    with pytest.raises(SqlImportError, match="entropy"):
-        ws.to_wvlet("SELECT entropy(n_name) FROM nation")
+    # entropy() is no longer a reject — see test_entropy_gcd_lcm_list_zip
+
+
+def test_entropy_gcd_lcm_list_zip(spark, duck):
+    """Round-6 verdict ask: the three implementable typed rejects become
+    conversions.  gcd/lcm lower to a bounded Euclid fold on Spark (no
+    builtin), list_zip to an index transform with DuckDB's list_1..k
+    field names and longest-input NULL padding, entropy to a collected
+    per-value frequency fold (-sum(p*log2 p), NULL-skipping, empty
+    group = 0.0).  The DuckDB dialect renders all four natively."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT gcd(n_nationkey, n_regionkey) AS g, "
+        "lcm(n_nationkey, n_regionkey) AS l FROM nation ORDER BY n_nationkey",
+        # zero / negative / classic-Euclid operands
+        "SELECT gcd(0, 0) AS a, gcd(-12, 18) AS b, lcm(0, 5) AS c, "
+        "lcm(-4, 6) AS d, gcd(1071, 462) AS e",
+        # pad-to-longest with NULLs; typed empty result
+        "SELECT list_zip([1, 2], [7, 8, 9]) AS z",
+        "SELECT list_zip([], []) AS z",
+        # frequency entropy: grouped, global, empty (DuckDB: 0.0), and
+        # alongside another aggregate in the same projection
+        "SELECT n_regionkey, entropy(n_name) AS e FROM nation "
+        "GROUP BY n_regionkey ORDER BY n_regionkey",
+        "SELECT entropy(o_orderstatus) AS e FROM orders WHERE o_orderkey < 0",
+        "SELECT entropy(l_returnflag) AS e, count(*) AS n FROM lineitem "
+        "WHERE l_orderkey <= 100",
+    ]:
+        from wvlet_spark.oracle import normalize_rows
+
+        wv = ws.to_wvlet(sql)
+        sdf = ws.run(wv)
+        # .10g float normalization: cross-engine entropy sums differ in
+        # the last ulp on some distributions (accumulation order)
+        got = normalize_rows(sdf.columns,
+                             [tuple(r) for r in sdf.collect()])
+        cur = duck.execute(sql)
+        cols = [d[0] for d in cur.description]
+        exp = normalize_rows(cols, cur.fetchall())
+        assert got == exp, sql
+        # the oracle dialect re-renders the natives and agrees
+        dsql = ws.compile_to_sql(wv, dialect="duckdb")
+        cur2 = duck.execute(dsql)
+        got2 = normalize_rows([d[0] for d in cur2.description],
+                              cur2.fetchall())
+        assert got2 == exp, sql
 
 
 def test_integer_cast_rounding_semantics(spark, duck):

@@ -124,7 +124,7 @@ AGG_FUNCS = {
     "percentile_approx", "approx_count_distinct", "count_distinct",
     "count_approx_distinct", "approx_distinct", "bool_and", "bool_or",
     "bit_and", "bit_or", "product", "corr", "covar_samp", "covar_pop",
-    "arg_max", "arg_min",
+    "arg_max", "arg_min", "entropy",
 }
 
 SCALAR_METHOD_CASTS = {
@@ -1958,6 +1958,74 @@ class SqlGenerator:
             a = self.expr(e.args[0])
             core = (f"list_filter({a}, (__x, __i) -> "
                     f"list_position({a}, __x) = __i)")
+        elif e.name.lower() in ("gcd", "lcm") and self.dialect == SPARK \
+                and len(e.args) == 2:
+            # DuckDB-native integer gcd/lcm (reference surface:
+            # wvlet-lang SqlParser function passthrough).  Spark has no
+            # builtin — lower gcd to a bounded Euclid fold: the pair
+            # rides a 2-element array accumulator, and 96 iterations
+            # cover the 64-bit worst case (consecutive Fibonacci numbers
+            # need ~91 steps).  Converged pairs pass through untouched,
+            # so excess iterations are no-ops.  All-JVM expressions —
+            # no UDF, stays inside codegen.
+            a = f"cast(abs({self.expr(e.args[0])}) as bigint)"
+            b = f"cast(abs({self.expr(e.args[1])}) as bigint)"
+            gcd = (f"element_at(aggregate(sequence(1, 96), "
+                   f"array({a}, {b}), (__acc, __i) -> "
+                   f"if(element_at(__acc, 2) = 0, __acc, "
+                   f"array(element_at(__acc, 2), "
+                   f"element_at(__acc, 1) % element_at(__acc, 2)))), 1)")
+            if e.name.lower() == "gcd":
+                core = gcd
+            else:
+                # lcm = |a| / gcd * |b|; divide first to bound overflow.
+                # Zero operands short-circuit (gcd would be 0 — division
+                # by zero), matching DuckDB's lcm(0, x) = 0.
+                core = (f"(case when {a} = 0 or {b} = 0 "
+                        f"then cast(0 as bigint) "
+                        f"else {a} div {gcd} * {b} end)")
+        elif e.name.lower() == "list_zip" and self.dialect == SPARK \
+                and e.args:
+            # DuckDB's list_zip pads to the LONGEST input with NULLs and
+            # names struct fields list_1..list_k; Spark's arrays_zip
+            # names fields after its inputs — emit an index transform
+            # with named_struct for field-name parity.  sequence runs
+            # 1..n+1 (a bare sequence(1, 0) would DESCEND) and slice
+            # trims back to n, so n = 0 yields a typed empty array.
+            args = [self.expr(a) for a in e.args]
+            sizes = [f"coalesce(size({a}), 0)" for a in args]
+            n = sizes[0] if len(sizes) == 1 else \
+                f"greatest({', '.join(sizes)})"
+            fields = ", ".join(
+                f"'list_{i + 1}', try_element_at({a}, __i)"
+                for i, a in enumerate(args))
+            core = (f"slice(transform(sequence(1, {n} + 1), "
+                    f"__i -> named_struct({fields})), 1, {n})")
+        elif e.name.lower() == "entropy" and self.dialect == SPARK \
+                and len(e.args) == 1:
+            # DuckDB-native Shannon entropy (log2) of the value
+            # distribution.  Spark has no builtin — compute
+            # -sum(p*log2(p)) from the collected non-null values (Spark's
+            # collect_list drops NULLs, matching DuckDB's NULL-skip).
+            # Catalyst deduplicates the repeated identical collect_list
+            # aggregates into one physical buffer.  `+ 0.0` normalizes
+            # the all-equal group's -0.0; empty group coalesces to 0.0
+            # (log2(0) is NULL), both matching DuckDB.  O(distinct * n)
+            # per group and memory-bound by the group — a dialect-parity
+            # surface, not a scale path; use dv/count pipelines for
+            # large-cardinality entropy at scale.
+            if e.window is not None:
+                raise CompileError(
+                    "entropy() OVER (...) is not supported on the Spark "
+                    "target — the lowering needs multiple aggregate "
+                    "buffers; compute windowed entropy via an explicit "
+                    "per-value frequency pipeline")
+            cl = f"collect_list({self.expr(e.args[0])})"
+            cnt = "size(filter({cl}, __y -> __y = __v))".format(cl=cl)
+            core = (f"coalesce(0.0 + -aggregate(array_distinct({cl}), "
+                    f"cast(0.0 as double), (__acc, __v) -> __acc + "
+                    f"({cnt} / size({cl})) * log2({cnt} / size({cl}))), "
+                    f"0.0)")
         elif e.name.lower() == "aggregate" and self.dialect != SPARK \
                 and len(e.args) == 3:
             # Spark's aggregate(arr, init, merge); DuckDB's list_reduce
