@@ -208,3 +208,18 @@ def test_salted_join_matches_plain_join(spark):
     # the join really is on (key, salt): the analyzed plan carries the
     # salt column in the join condition before the drop
     assert "__wv_salt" in salted_l._jdf.queryExecution().analyzed().toString()
+
+    # hot_keys two-path form (the one that WINS the SCALE.md §22 matrix):
+    # same rows, and the hot slice joins via an explicit broadcast
+    two = salted_join(big, small, on=["k"], how="inner", hot_keys=[1])
+    assert sorted(map(tuple, two.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    two_l = salted_join(big, small, on=["k"], how="left", hot_keys=[1])
+    assert two_l.count() == 10000
+    assert "Broadcast" in two._jdf.queryExecution().executedPlan().toString()
+    # NULL keys survive a left join through the cold path
+    bign = big.withColumn(
+        "k", F.when(F.col("v") == 17, F.lit(None)).otherwise(F.col("k")))
+    two_n = salted_join(bign, small, on=["k"], how="left", hot_keys=[1])
+    assert two_n.count() == 10000
+    assert two_n.filter(F.col("k").isNull()).count() == 1

@@ -403,6 +403,26 @@ def test_lateral_and_unnest_projection_import(spark, duck):
     got2 = [tuple(map(str, r)) for r in ws.run(ws.to_wvlet(sql2)).collect()]
     exp2 = [tuple(map(str, r)) for r in duck.execute(sql2).fetchall()]
     assert got2 == exp2
+    # QUALIFIED refs into the lateral alias (round-6 fuzz find,
+    # sql_lateral_corr): the brace-subquery parse consumed `as t`, so
+    # the generator wrapped the operand in a fresh __latN alias that
+    # HID the user's name — t.s failed analysis.  The parser now lifts
+    # the alias onto the Lateral node.  LEFT JOIN LATERAL ... ON true
+    # keeps empty-group rows.
+    for sql3 in [
+        "SELECT n_nationkey, t.s AS s FROM nation, LATERAL ("
+        "SELECT sum(o_totalprice) AS s FROM orders "
+        "WHERE o_custkey % 25 = n_nationkey AND o_orderkey <= 500) t "
+        "ORDER BY n_nationkey",
+        "SELECT n_nationkey, t.s AS s FROM nation LEFT JOIN LATERAL ("
+        "SELECT count(*) AS s FROM orders "
+        "WHERE o_custkey % 25 = n_nationkey AND o_totalprice > 400000) t "
+        "ON true ORDER BY n_nationkey",
+    ]:
+        got3 = [tuple(map(str, r))
+                for r in ws.run(ws.to_wvlet(sql3)).collect()]
+        exp3 = [tuple(map(str, r)) for r in duck.execute(sql3).fetchall()]
+        assert got3 == exp3, sql3
 
 
 def test_array_slice_all_sign_combinations(spark, duck):

@@ -29,30 +29,33 @@ TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation",
           "region", "events", "documents", "embeddings"]
 
 
+def _nval(v):
+    if v is None:
+        return None
+    if isinstance(v, float) or type(v).__name__ == "Decimal":
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        return 0.0 if math.isclose(f, 0, abs_tol=1e-6) else round(f, 4)
+    if isinstance(v, datetime.datetime):
+        return str(v)
+    if isinstance(v, datetime.date):
+        return str(datetime.datetime.combine(v, datetime.time.min))
+    if isinstance(v, dict):
+        # DuckDB returns STRUCTs as dicts; Spark Rows are tuple
+        # subclasses — compare positional values on both
+        return str([_nval(x) for x in v.values()])
+    if isinstance(v, (list, tuple)):
+        # recursive: Spark Row reprs ('Row(a=1)') must not be compared
+        # against DuckDB tuple reprs ('(1,)')
+        return str([_nval(x) for x in v])
+    return str(v)
+
+
 def _norm(rows):
     out = []
     for r in rows:
-        vals = []
-        for v in r:
-            if v is None:
-                vals.append(None)
-            elif isinstance(v, float) or type(v).__name__ == "Decimal":
-                f = float(v)
-                if math.isnan(f):
-                    vals.append("nan")
-                else:
-                    vals.append(0.0 if math.isclose(f, 0, abs_tol=1e-6)
-                                else round(f, 4))
-            elif isinstance(v, datetime.datetime):
-                vals.append(str(v))
-            elif isinstance(v, datetime.date):
-                vals.append(str(datetime.datetime.combine(
-                    v, datetime.time.min)))
-            elif isinstance(v, (list, tuple)):
-                vals.append(str(list(v)))
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
+        out.append(tuple(_nval(v) for v in r))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
@@ -794,8 +797,110 @@ def sqlshape_quantifiers(rng):
             f"AND o_orderkey <= {lim} ORDER BY o_orderkey")
 
 
+def sqlshape_lateral_corr(rng):
+    """LATERAL derived tables whose body is a CORRELATED AGGREGATE over
+    another table (round-6 verdict family: the lateral hint must restore
+    laterality AND the correlated aggregate must decorrelate on Spark)."""
+    lim = rng.randint(30, 200)
+    agg = rng.choice([
+        "sum(o_totalprice)", "count(*)", "max(o_orderkey)",
+        "min(o_orderdate)", "count(DISTINCT o_orderstatus)"])
+    corr = rng.choice(["o_custkey % 25 = n_nationkey",
+                       "o_custkey % 5 = n_regionkey",
+                       "o_orderkey % 25 = n_nationkey"])
+    if rng.random() < 0.5:
+        return (f"SELECT n_nationkey, t.s AS s FROM nation, LATERAL ("
+                f"SELECT {agg} AS s FROM orders WHERE {corr} "
+                f"AND o_orderkey <= {lim * 20}) t ORDER BY n_nationkey")
+    # LEFT JOIN LATERAL keeps nations with empty aggregate groups
+    return (f"SELECT n_nationkey, t.s AS s FROM nation LEFT JOIN LATERAL ("
+            f"SELECT {agg} AS s FROM orders WHERE {corr} "
+            f"AND o_totalprice > {lim * 1000}) t ON true "
+            f"ORDER BY n_nationkey")
+
+
+def sqlshape_groupsets_window(rng):
+    """GROUPING SETS / ROLLUP / CUBE output consumed by window functions
+    partitioned on grouping() level (round-6 verdict family).  Ranks are
+    over count(*) DESC with full NULLS FIRST tie-breaks so both engines
+    number identically."""
+    lim = rng.randint(300, 3000)
+    spec = rng.choice([
+        "ROLLUP (o_orderstatus, o_orderpriority)",
+        "CUBE (o_orderstatus, o_orderpriority)",
+        "GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())",
+    ])
+    return (f"SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            f"CAST(grouping(o_orderstatus) + grouping(o_orderpriority) "
+            f"AS BIGINT) AS lvl, "
+            f"rank() OVER (PARTITION BY grouping(o_orderstatus) + "
+            f"grouping(o_orderpriority) ORDER BY count(*) DESC, "
+            f"o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST) AS rk "
+            f"FROM orders WHERE o_orderkey <= {lim} "
+            f"GROUP BY {spec} "
+            f"ORDER BY lvl, rk, o_orderstatus NULLS FIRST, "
+            f"o_orderpriority NULLS FIRST")
+
+
+def sqlshape_interval_grid(rng):
+    """INTERVAL arithmetic edge grid on DATE columns: month-end clamping
+    (Jan 31 + 1 MONTH), year/day units, both operand orders, nested
+    date_trunc over the shifted value (round-6 verdict family)."""
+    lim = rng.randint(50, 400)
+    k = rng.randint(1, 30)
+    unit = rng.choice(["DAY", "MONTH", "YEAR"])
+    pick = rng.randrange(4)
+    if pick == 0:
+        return (f"SELECT o_orderkey, o_orderdate + INTERVAL {k} {unit} AS d "
+                f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    if pick == 1:
+        return (f"SELECT o_orderkey, o_orderdate - INTERVAL {k} {unit} AS d "
+                f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    if pick == 2:
+        # month-end clamp probe: last_day anchors to 28/29/30/31 ends
+        return (f"SELECT o_orderkey, last_day(o_orderdate) "
+                f"+ INTERVAL {k % 13} MONTH AS d "
+                f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    return (f"SELECT o_orderkey, date_trunc('month', o_orderdate "
+            f"+ INTERVAL {k} {unit}) AS d FROM orders "
+            f"WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+
+
+def sqlshape_newfns(rng):
+    """Round-6 conversions under fuzz: entropy / gcd / lcm / list_zip /
+    NULL-skipping product over live table columns."""
+    lim = rng.randint(100, 1200)
+    pick = rng.randrange(4)
+    if pick == 0:
+        col = rng.choice(["o_orderstatus", "o_orderpriority",
+                          "o_custkey % 9", "year(o_orderdate)"])
+        key = rng.choice(["o_custkey % 4", "o_orderstatus"])
+        return (f"SELECT {key} AS k, entropy({col}) AS e FROM orders "
+                f"WHERE o_orderkey <= {lim} GROUP BY 1 ORDER BY 1")
+    if pick == 1:
+        a = rng.choice(["o_orderkey", "o_custkey + 1", "o_orderkey % 97"])
+        b = rng.choice(["o_custkey", "o_orderkey % 60", "12"])
+        return (f"SELECT o_orderkey, gcd({a}, {b}) AS g, "
+                f"lcm({a} % 50, {b} % 40) AS l "
+                f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    if pick == 2:
+        ch = rng.choice(["A", "E", "R"])
+        return (f"SELECT n_nationkey, list_zip(string_split(n_name, '{ch}'), "
+                f"[n_nationkey, n_regionkey]) AS z FROM nation "
+                f"ORDER BY n_nationkey LIMIT {rng.randint(3, 12)}")
+    return (f"SELECT o_orderstatus, "
+            f"round(product(CASE WHEN o_orderkey % 3 = 0 THEN NULL "
+            f"ELSE 1 + (o_orderkey % 7) / 100.0 END), 6) AS p "
+            f"FROM orders WHERE o_orderkey <= {lim // 4} "
+            f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+
+
 SQL_SHAPES = {
     "sql_quantifiers": sqlshape_quantifiers,
+    "sql_lateral_corr": sqlshape_lateral_corr,
+    "sql_groupsets_window": sqlshape_groupsets_window,
+    "sql_interval_grid": sqlshape_interval_grid,
+    "sql_newfns": sqlshape_newfns,
     "sql_qualify": sqlshape_qualify,
     "sql_distinct_on": sqlshape_distinct_on,
     "sql_duckisms": sqlshape_duckisms,

@@ -993,6 +993,15 @@ class Parser:
                 lat.alias = self.expect_ident()
                 if self.at_op("("):
                     lat.columns = self.parse_name_list_paren()
+            elif isinstance(lat.child, N.AliasedRelation):
+                # `lateral { ... } as t`: the brace-subquery parse already
+                # consumed the alias — lift it onto the LATERAL wrapper
+                # (SQL's outermost aliasable unit) so qualified refs like
+                # t.col resolve; otherwise the generator wraps the whole
+                # operand in a fresh __latN alias that HIDES the user's
+                # name (round-6 fuzz find, sql_lateral_corr family).
+                lat.alias = lat.child.alias
+                lat.columns = lat.child.columns
             return lat
         if t.kind == "INTERP_BQIDENT":
             self.next()
