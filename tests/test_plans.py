@@ -182,7 +182,49 @@ def test_new_pipeline_ops_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_salted_join_matches_plain_join(spark):
+def test_multi_ref_aggregate_cte_staged_once(spark):
+    """A CTE containing an aggregate and referenced >= 2 times is
+    materialized once (lazy localCheckpoint temp view) instead of being
+    inlined per reference — Spark inlines CTEs and AQE stage reuse did
+    NOT fire on the q44 shape (measured: 2 shuffle stages, 3 scans).
+    Single-reference CTEs stay inline so outer filters keep pushing into
+    the scan."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=SF_DIR, test_mode=False)
+    df = ws.run("""
+with perf as {
+  from lineitem
+  group by l_partkey
+  agg s = l_quantity.sum
+}
+with a as { from perf where s > 100 }
+with b as { from perf where s <= 100 }
+from a
+concat { from b }
+agg n = _.count
+""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # staged: the aggregate runs over the checkpointed RDD, so lineitem
+    # is scanned ZERO times in this plan
+    assert "FileScan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert df.collect()[0][0] > 0
+
+    # single reference -> inline (pushdown preserved, no checkpoint)
+    df1 = ws.run("""
+with perf as {
+  from lineitem
+  group by l_partkey
+  agg s = l_quantity.sum
+}
+from perf
+where s > 100
+agg n = _.count
+""")
+    plan1 = df1._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan1
+    assert "Scan ExistingRDD" not in plan1
     """salted_join: same rows as the plain join on a skewed key, salt
     column dropped, both inner and left."""
     from pyspark.sql import functions as F

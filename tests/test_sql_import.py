@@ -569,6 +569,36 @@ def test_qualify_with_distinct_on(spark, duck):
             "n_nationkey > 0 ORDER BY n_regionkey")
 
 
+def test_groupsets_window_and_interval_grid(spark, duck):
+    """Round-6 fuzz families pinned to CI: window functions partitioned
+    on grouping() level over ROLLUP/CUBE/GROUPING SETS output, and
+    INTERVAL arithmetic on DATE columns including month-end clamping
+    (last_day + n MONTH)."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+        "CAST(grouping(o_orderstatus) + grouping(o_orderpriority) AS BIGINT)"
+        " AS lvl, "
+        "rank() OVER (PARTITION BY grouping(o_orderstatus) + "
+        "grouping(o_orderpriority) ORDER BY count(*) DESC, "
+        "o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST) AS rk "
+        "FROM orders WHERE o_orderkey <= 800 "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "ORDER BY lvl, rk, o_orderstatus NULLS FIRST, "
+        "o_orderpriority NULLS FIRST",
+        "SELECT o_orderkey, o_orderdate + INTERVAL 7 MONTH AS m, "
+        "o_orderdate - INTERVAL 13 DAY AS d, "
+        "last_day(o_orderdate) + INTERVAL 1 MONTH AS clamp, "
+        "date_trunc('month', o_orderdate + INTERVAL 2 YEAR) AS t "
+        "FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey",
+    ]:
+        got = [tuple(map(str, r)) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(map(str, r)) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
 def test_qualify_with_plain_distinct(spark, duck):
     """Advisor find (round 6): DuckDB evaluates QUALIFY BEFORE DISTINCT,
     so window expressions in the predicate see pre-dedup rows.  The

@@ -825,6 +825,7 @@ class WvletSession:
         if _contains_describe(rel):
             rel = transform(rel, rel_fn=self._stage_describe)
         rel = self._stage_agg_in_subqueries(rel, params)
+        rel = self._stage_multi_ref_ctes(rel, params)
         sql = self._gen_sql(rel, SPARK, params=params)
         try:
             return self.spark.sql(sql)
@@ -923,6 +924,121 @@ class WvletSession:
             return N.InSubquery(e.expr, N.TableRef(view), e.negated)
 
         return ast_transform(rel, expr_fn=expr_fn)
+
+    def _stage_multi_ref_ctes(self, rel: N.Relation,
+                              params=None) -> N.Relation:
+        """Materialize an aggregate CTE that is referenced MORE THAN ONCE.
+
+        Spark inlines CTEs, so `with perf as { ...group by... }` consumed
+        by two branches (the TPC-DS q44 best/worst shape) scans and
+        re-aggregates the source once PER REFERENCE — AQE's runtime stage
+        reuse did not fire on the q44 plan (measured: 2 shuffle stages,
+        3 scans).  Stage the CTE as a lazily localCheckpoint-ed temp view
+        instead, the same move `_stage_agg_in_subqueries` makes for Q18:
+        the aggregation runs once and both branches probe the
+        materialized result.  This is what DuckDB/Trino do by default for
+        multiply-referenced CTEs.
+
+        Only aggregate-bearing CTEs qualify (materializing a plain filter
+        would defeat outer filter pushdown into the scan); single-ref
+        CTEs stay inline (inlining is strictly better — pushdown still
+        applies).  Defs are processed in declaration order so a later
+        def's body may reference an earlier STAGED view.  Shadowed names
+        (any CTE name defined twice in the statement) disqualify staging
+        for that name — a standalone compile could bind the wrong
+        relation.  Recursive WITH blocks are left untouched."""
+        import dataclasses
+
+        # count every CTE definition by name across the whole tree (a
+        # nested WITH could shadow an outer name)
+        def_counts: dict[str, int] = {}
+
+        def count_defs(x):
+            if isinstance(x, N.WithQuery):
+                for name, _q in x.defs:
+                    def_counts[name.lower()] = \
+                        def_counts.get(name.lower(), 0) + 1
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                for f in dataclasses.fields(x):
+                    count_defs(getattr(x, f.name))
+            elif isinstance(x, (list, tuple)):
+                for i in x:
+                    count_defs(i)
+
+        count_defs(rel)
+
+        def count_refs(x, name: str) -> int:
+            n = 0
+            if isinstance(x, N.TableRef) and x.name.lower() == name:
+                n += 1
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                for f in dataclasses.fields(x):
+                    n += count_refs(getattr(x, f.name), name)
+            elif isinstance(x, (list, tuple)):
+                for i in x:
+                    n += count_refs(i, name)
+            return n
+
+        def rename_refs(x, name: str, view: str, orig: str):
+            """TableRef(name) -> AliasedRelation(TableRef(view), orig):
+            the ORIGINAL name must survive as an explicit alias, because
+            a bare `FROM cte` makes the cte name the implicit alias for
+            qualified refs (`cte.col` — TPC-DS q47/57/59 regression when
+            the first version renamed in place).  An explicitly aliased
+            reference (`cte AS x`) keeps its own alias: the bottom-up
+            rewrite collapses the doubled alias node."""
+            from wvlet_spark.analyzer import transform as ast_transform
+
+            def rel_fn(n):
+                if isinstance(n, N.TableRef) and n.name.lower() == name:
+                    return N.AliasedRelation(N.TableRef(view), orig)
+                if isinstance(n, N.AliasedRelation) \
+                        and isinstance(n.child, N.AliasedRelation) \
+                        and n.child.alias == orig \
+                        and isinstance(n.child.child, N.TableRef) \
+                        and n.child.child.name == view:
+                    return dataclasses.replace(n, child=n.child.child)
+                return n
+
+            return ast_transform(x, rel_fn=rel_fn)
+
+        if not isinstance(rel, N.WithQuery) or rel.recursive:
+            return rel
+        kept_defs: list[tuple[str, N.Relation]] = []
+        defs = list(rel.defs)
+        body = rel.body
+        for i, (name, q) in enumerate(defs):
+            later_defs = defs[i + 1:]
+            nrefs = sum(count_refs(x, name.lower())
+                        for x in [d[1] for d in later_defs] + [body])
+            # a body referencing an earlier KEPT (inline) def cannot be
+            # compiled standalone — its name would bind to a real table
+            # or fail analysis
+            refs_kept = any(count_refs(q, kn.lower()) for kn, _ in kept_defs)
+            if (nrefs < 2
+                    or refs_kept
+                    or def_counts.get(name.lower(), 0) > 1
+                    or not _tree_contains(q, (N.GroupBy, N.Agg, N.Dedup,
+                                              N.CountRel))):
+                kept_defs.append((name, q))
+                continue
+            try:
+                sub_sql = self._gen_sql(q, SPARK, params=params)
+                df = self.spark.sql(sub_sql).localCheckpoint(eager=False)
+            except Exception:
+                kept_defs.append((name, q))
+                continue
+            self._view_n += 1
+            view = f"__wv_cte_{self._view_n}"
+            df.createOrReplaceTempView(view)
+            self._schema_cache[view] = df.columns
+            for j, (dn, dq) in enumerate(later_defs):
+                defs[i + 1 + j] = (dn, rename_refs(dq, name.lower(),
+                                                   view, name))
+            body = rename_refs(body, name.lower(), view, name)
+        if not kept_defs:
+            return body
+        return N.WithQuery(kept_defs, body, rel.recursive)
 
     def _stage_describe(self, node: N.Relation) -> N.Relation:
         if isinstance(node, N.DescribePrepared):

@@ -60,6 +60,38 @@ _INTERVAL_FNS = {
     "to_weeks": "week", "to_quarters": "quarter",
 }
 
+def _is_interval_expr(node) -> bool:
+    """An interval constructor (DuckDB serializes INTERVAL literals as
+    to_X(n) calls), possibly wrapped in unary minus."""
+    if not isinstance(node, dict):
+        return False
+    if node.get("class") == "FUNCTION":
+        fn = node.get("function_name", "").lower()
+        if fn in _INTERVAL_FNS:
+            return True
+        if fn == "-" and len(node.get("children") or []) == 1:
+            return _is_interval_expr(node["children"][0])
+    if node.get("class") == "CONSTANT":
+        return (node.get("value") or {}).get(
+            "type", {}).get("id") == "INTERVAL"
+    return False
+
+
+def _is_time_typed(node) -> bool:
+    """Syntactically TIME-typed: a cast to TIME or a TIME constant.
+    (Column types are invisible at import time — a TIME column operand
+    is the documented residual divergence for interval arithmetic.)"""
+    if not isinstance(node, dict):
+        return False
+    if node.get("class") == "CAST":
+        return (node.get("cast_type") or {}).get("id", "").startswith("TIME") \
+            and not (node.get("cast_type") or {}).get("id", "").startswith("TIMESTAMP")
+    if node.get("class") == "CONSTANT":
+        tid = (node.get("value") or {}).get("type", {}).get("id", "")
+        return tid == "TIME"
+    return False
+
+
 _AGG_FNS = {
     "sum", "avg", "min", "max", "count", "stddev", "stddev_samp",
     "stddev_pop", "var_samp", "var_pop", "variance", "median", "mode",
@@ -1967,6 +1999,18 @@ def _function(e: dict) -> str:
             return f"({fn}{_maybe_paren(ch[0])})"
         if fn == "||":
             return "(" + " || ".join(_expr(c) for c in ch) + ")"
+        if fn in ("+", "-") and len(ch) == 2:
+            # DuckDB's date ± INTERVAL yields TIMESTAMP (even for pure
+            # day intervals) while Spark keeps DATE — cast for result-
+            # type parity when exactly one operand is an interval
+            # constructor (round-6 fuzz find, sql_interval_grid).  TIME
+            # operands keep TIME in DuckDB, so those stay uncast.
+            l_int = _is_interval_expr(ch[0])
+            r_int = _is_interval_expr(ch[1])
+            if l_int != r_int and not (
+                    _is_time_typed(ch[0]) or _is_time_typed(ch[1])):
+                return (f"(({_expr(ch[0])} {fn} {_expr(ch[1])})"
+                        f"::timestamp)")
         if len(ch) == 2:
             return f"({_expr(ch[0])} {fn} {_expr(ch[1])})"
         raise SqlImportError(f"unsupported operator function {fn}")
@@ -2104,9 +2148,19 @@ def _function(e: dict) -> str:
         return (f"aggregate(filter(array_agg({_expr(ch[0])}), "
                 f"v -> v is not null), "
                 f"1.0::double, (acc, x) -> acc * x)")
-    if fn == "datetrunc" and len(ch) == 2:
-        # alias of date_trunc
-        return f"date_trunc({_expr(ch[0])}, {_expr(ch[1])})"
+    if fn in ("date_trunc", "datetrunc") and len(ch) == 2:
+        # DuckDB's date_trunc returns DATE for day-or-coarser precision
+        # (probed: month/quarter/year over TIMESTAMP all come back DATE)
+        # while Spark always returns TIMESTAMP — cast for parity; finer
+        # precisions (hour/minute/...) are TIMESTAMP on both.  datetrunc
+        # is the DuckDB alias.  (round-6 fuzz find, sql_interval_grid)
+        part = _literal_str(ch[0])
+        core = f"date_trunc({_expr(ch[0])}, {_expr(ch[1])})"
+        if part is not None and part.lower() in (
+                "day", "week", "month", "quarter", "year", "decade",
+                "century", "millennium", "isoyear"):
+            return f"({core}::date)"
+        return core
     if fn in ("jaccard", "hamming", "damerau_levenshtein", "editdist3",
               "strip_accents", "mismatches"):
         raise SqlImportError(
