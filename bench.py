@@ -88,7 +88,15 @@ def _knobs(sf_dir: str, cpus: int) -> tuple[int, int, int, bool]:
         # ~cores-wide (splits are maxPartitionBytes byte ranges over row
         # groups); the 1 MB openCost keeps tiny files from over-splitting
         max_part = min(128, max(4, (total_bytes // (cpus * 3)) >> 20))
-        bcast, shuffle = 10, max(8, cpus)
+        # shuffle partitions scale with DATA, not just cores: cores-wide
+        # buckets at sf100 (17 GB, 600 M lineitem) put ~19 M aggregation
+        # groups in one task's hash state and starved the JVM (GCLocker
+        # retry OOM, round-6 measured); one bucket per ~256 MB of input
+        # keeps per-task state bounded while AQE coalesces any excess at
+        # runtime.  Below ~8.5 GB this stays cores-wide — identical to
+        # every previous round's measurement.
+        bcast = 10
+        shuffle = max(max(8, cpus), min(256, int(total_bytes) >> 28))
         aqe = True
     max_part = int(os.environ.get("SPARK_GRAFT_MAXPART_MB", max_part))
     bcast = int(os.environ.get("SPARK_GRAFT_BCAST_MB", bcast))
@@ -267,6 +275,12 @@ def _make_spark(sf_dir: str, cpus: int):
                 str(aqe).lower())
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # e.g. -XX:+UseParallelGC: at sf100 (17 GB, 96 g heap) G1 hits
+        # GCLocker-starvation OOMs under 32-thread aggregation pressure
+        # and degrades mid-suite join times 3x; ParallelGC shows neither
+        # (round-6 A/B, SCALE.md §24)
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes",

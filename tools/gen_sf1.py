@@ -89,13 +89,18 @@ def main() -> None:
             f"range({args.replicas}) r) "
             f"TO '{args.out}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 131072)")
 
-    # documents: word-permute per replica (replica 0 verbatim)
+    # documents: word-permute per replica (replica 0 verbatim).  STREAMED
+    # one replica at a time through a ParquetWriter — at --replicas 1000
+    # (sf100) the old accumulate-everything dict held ~5 GB of Python
+    # strings before the single write.
     rows = con.execute(
         f"SELECT doc_id, text, lang, source, n_chars "
         f"FROM '{SRC}/documents.parquet' ORDER BY doc_id").fetchall()
     stride_d = max(r[0] for r in rows) + 1
-    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    dwriter = None
     for rep in range(args.replicas):
+        out = {"doc_id": [], "text": [], "lang": [], "source": [],
+               "n_chars": []}
         for doc_id, text, lang, source, n_chars in rows:
             if rep > 0:
                 words = text.split(" ")
@@ -106,8 +111,12 @@ def main() -> None:
             out["lang"].append(lang)
             out["source"].append(source)
             out["n_chars"].append(len(text))
-    pq.write_table(pa.table(out), f"{args.out}/documents.parquet",
-                   row_group_size=65536)
+        tbl = pa.table(out)
+        if dwriter is None:
+            dwriter = pq.ParquetWriter(f"{args.out}/documents.parquet",
+                                       tbl.schema)
+        dwriter.write_table(tbl, row_group_size=65536)
+    dwriter.close()
 
     # embeddings: deterministic per-replica noise
     vecs = con.execute(
@@ -115,9 +124,10 @@ def main() -> None:
         f"FROM '{SRC}/embeddings.parquet' ORDER BY vec_id").fetchall()
     stride_v = max(r[0] for r in vecs) + 1
     dim = len(vecs[0][1])
-    ids, embs, labels = [], [], []
+    vwriter = None
     for rep in range(args.replicas):
         rng = np.random.RandomState(rep)
+        ids, embs, labels = [], [], []
         for vec_id, emb, label in vecs:
             v = np.asarray(emb, dtype=np.float32)
             if rep > 0:
@@ -125,11 +135,14 @@ def main() -> None:
             ids.append(vec_id + rep * stride_v)
             embs.append(v.tolist())
             labels.append(label)
-    pq.write_table(
-        pa.table({"vec_id": pa.array(ids, pa.int64()),
-                  "embedding": pa.array(embs, pa.list_(pa.float32())),
-                  "label": pa.array(labels, pa.int32())}),
-        f"{args.out}/embeddings.parquet", row_group_size=65536)
+        tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(embs, pa.list_(pa.float32())),
+                        "label": pa.array(labels, pa.int32())})
+        if vwriter is None:
+            vwriter = pq.ParquetWriter(f"{args.out}/embeddings.parquet",
+                                       tbl.schema)
+        vwriter.write_table(tbl, row_group_size=65536)
+    vwriter.close()
 
     for f in sorted(os.listdir(args.out)):
         n = con.execute(
