@@ -569,6 +569,55 @@ def test_qualify_with_distinct_on(spark, duck):
             "n_nationkey > 0 ORDER BY n_regionkey")
 
 
+def test_round6_probe_batch(spark, duck):
+    """Round-6 hand-written probe batch (exotic constructs vs DuckDB).
+    The find: DuckDB's left/right with NEGATIVE counts means 'all but
+    k chars' (left(s,-3) drops the last 3) while Spark returns '' —
+    the importer now lowers the negative branch to substr forms, with
+    a per-row CASE when the count is non-literal.  The rest pin
+    already-correct behavior: nested struct/list chains, negative list
+    index, TRY_CAST, IS [NOT] DISTINCT FROM, INTERVAL scaling,
+    round(x, -2), split_part(-1), dollar-quoted strings, grouping_id
+    over ROLLUP, least/greatest NULL-skip."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT left(n_name, -3) AS a, right(n_name, -3) AS b, "
+        "left(n_name, 3) AS c, right(n_name, 2) AS d FROM nation "
+        "ORDER BY n_nationkey LIMIT 4",
+        "SELECT left(n_name, n_nationkey - 3) AS a, "
+        "right(n_name, n_nationkey - 3) AS b FROM nation "
+        "ORDER BY n_nationkey LIMIT 6",
+        "SELECT left('ab', -5) AS a, right('ab', -5) AS b, "
+        "left('', -1) AS c",
+        "SELECT {'a': [1,2,3], 'b': {'c': 'x'}}.b.c AS v",
+        "SELECT [[1,2],[3]][1][2] AS v",
+        "SELECT ([1,2,3])[-1] AS v",
+        "SELECT TRY_CAST('abc' AS INTEGER) AS a, "
+        "TRY_CAST('42' AS INTEGER) AS b",
+        "SELECT 1 IS NOT DISTINCT FROM NULL AS a, "
+        "NULL IS NOT DISTINCT FROM NULL AS b",
+        "SELECT o_orderkey, o_orderdate + INTERVAL 1 DAY * "
+        "(o_orderkey % 5) AS d FROM orders WHERE o_orderkey <= 40 "
+        "ORDER BY o_orderkey",
+        "SELECT round(o_totalprice, -2) AS r FROM orders "
+        "WHERE o_orderkey <= 20 ORDER BY o_orderkey",
+        "SELECT split_part(n_name, '_', -1) AS p FROM nation "
+        "ORDER BY n_nationkey LIMIT 5",
+        "SELECT least(1, NULL, 3) AS l, "
+        "greatest(NULL, CAST(NULL AS INT)) AS g",
+        "SELECT $$it's$$ AS s",
+        "SELECT o_orderstatus, grouping_id(o_orderstatus) AS g, "
+        "count(*) AS n FROM orders WHERE o_orderkey <= 200 "
+        "GROUP BY ROLLUP(o_orderstatus) ORDER BY g, o_orderstatus "
+        "NULLS LAST",
+    ]:
+        got = [tuple(map(str, r)) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = [tuple(map(str, r)) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+
+
 def test_groupsets_window_and_interval_grid(spark, duck):
     """Round-6 fuzz families pinned to CI: window functions partitioned
     on grouping() level over ROLLUP/CUBE/GROUPING SETS output, and

@@ -2148,6 +2148,26 @@ def _function(e: dict) -> str:
         return (f"aggregate(filter(array_agg({_expr(ch[0])}), "
                 f"v -> v is not null), "
                 f"1.0::double, (acc, x) -> acc * x)")
+    if fn in ("left", "right") and len(ch) == 2:
+        # DuckDB's NEGATIVE counts mean "all but k": left(s,-3) drops the
+        # last 3 chars, right(s,-3) drops the first 3 — Spark returns ''
+        # for negative counts (round-6 probe-batch find).  Literal counts
+        # pick the branch statically; otherwise a CASE decides per row.
+        s = _expr(ch[0])
+        n = _peel_int(ch[1])
+        if n is not None:
+            if n >= 0:
+                return f"{fn}({s}, {n})"
+            if fn == "left":
+                return f"substr({s}, 1, greatest(length({s}) + {n}, 0))"
+            return f"substr({s}, {1 - n})"
+        ne = _expr(ch[1])
+        if fn == "left":
+            return (f"(case when ({ne}) >= 0 then left({s}, {ne}) "
+                    f"else substr({s}, 1, greatest(length({s}) + ({ne}), 0)) "
+                    f"end)")
+        return (f"(case when ({ne}) >= 0 then right({s}, {ne}) "
+                f"else substr({s}, 1 - ({ne})) end)")
     if fn in ("date_trunc", "datetrunc") and len(ch) == 2:
         # DuckDB's date_trunc returns DATE for day-or-coarser precision
         # (probed: month/quarter/year over TIMESTAMP all come back DATE)
