@@ -220,7 +220,9 @@ def q_cosine_topk(spark, sf_dir):
 
     @F.pandas_udf(DoubleType())
     def _ones_cos(v: pd.Series) -> pd.Series:
-        M = np.array(v.tolist(), dtype=np.float64)
+        from wvlet_spark.ops.similarity import _mat
+
+        M = _mat(v)
         if M.shape[0] == 0:
             return pd.Series(np.zeros(0))
         norms = np.sqrt(np.einsum("ij,ij->i", M, M)) * np.sqrt(M.shape[1])
