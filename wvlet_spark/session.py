@@ -43,6 +43,10 @@ class WvletSession:
         self.test_mode = test_mode
         self._schema_cache: dict[str, list[str]] = {}
         self._coltype_cache: dict[str, str] = {}
+        # footer-stats cache for the join-order pass: resolving a table to
+        # its files costs a JVM roundtrip per lookup, so hits are kept for
+        # the session and invalidated whenever a statement writes a table
+        self._tstats_cache: dict[str, object] = {}
         self._file_views: dict[str, str] = {}
         self._view_n = 0
         self._watermarks: dict[str, object] = {}
@@ -67,6 +71,7 @@ class WvletSession:
     # ------------------------------------------------------------- catalog
 
     def register_parquet_dir(self, table_dir: str) -> None:
+        self._tstats_cache.clear()
         for fn in sorted(os.listdir(table_dir)):
             if fn.endswith(".parquet"):
                 name = fn[: -len(".parquet")]
@@ -217,8 +222,49 @@ class WvletSession:
             plan = _bind_prepared_params(plan, params)
         if dialect == SPARK and self.spark is not None:
             plan = self._stage_sources(plan)
+            plan = self._reorder_joins(plan)
         gen = SqlGenerator(self._make_ctx(dialect))
         return gen.generate(plan)
+
+    def _reorder_joins(self, plan: N.Relation) -> N.Relation:
+        """Greedy join reordering from parquet-footer stats (joinorder.py).
+
+        Catalyst executes multi-way inner joins in written order when no
+        catalog statistics exist (path-registered parquet views never
+        have them), so the engine supplies the order.  Mis-estimates can
+        only cost time, never correctness — the rewrite keeps every
+        conjunct and only permutes inner/cross chain operands."""
+        from wvlet_spark.joinorder import reorder_joins
+
+        return reorder_joins(plan, self.table_columns, self._table_stats)
+
+    def _table_stats(self, name: str):
+        """Footer stats for a bare-scan table/view; None disqualifies the
+        relation from join reordering (CTE names, staged subqueries,
+        non-parquet sources, remote files)."""
+        from wvlet_spark.stats import parquet_table_stats
+
+        resolved = self._file_views.get(name, name)
+        if resolved in self._tstats_cache:
+            return self._tstats_cache[resolved]
+        stats = None
+        try:
+            df = self.spark.table(resolved)
+            plan_str = df._jdf.queryExecution().analyzed().toString()
+            # rows below must come from a bare scan (a Project over the
+            # scan — read_parquet_robust's ns-timestamp cast — is fine;
+            # anything row-changing is not)
+            if not any(frag in plan_str for frag in (
+                    "Filter", "Join", "Aggregate", "Window", "Generate",
+                    "Union", "GlobalLimit", "Sample", "Expand",
+                    "Deduplicate", "LocalRelation")):
+                files = df.inputFiles()
+                if files:
+                    stats = parquet_table_stats(list(files))
+        except Exception:
+            stats = None
+        self._tstats_cache[resolved] = stats
+        return stats
 
     # -------------------------------------------------- special source staging
 
@@ -660,6 +706,10 @@ class WvletSession:
                 self._schema_cache.pop(view, None)
             self._conn_staged.clear()
             self._coltype_cache.clear()
+        if isinstance(stmt, (N.SaveTo, N.AppendTo, N.DeleteStmt, N.InsertStmt,
+                             N.TruncateStmt, N.ExecuteStmt)):
+            # table contents are about to change — footer stats go stale
+            self._tstats_cache.clear()
         if isinstance(stmt, (N.ModelDef, N.FunctionDef, N.PartialQueryDef, N.TypeDef)):
             self.analyzer.register(stmt)
             return None
