@@ -1366,3 +1366,38 @@ order by event_id"""
     wv2 = wv.replace("select l.*, r.v_id", "select r.*, l.event_id")
     df2 = ws.run(wv2)
     assert df2.columns == ["v_user", "v_ts", "v_id", "event_id"]
+
+
+def test_list_aggregate_shorthands(spark, duck):
+    """sql_struct_chain fuzz find (round 6): DuckDB's list aggregate
+    shorthands (list_sum/avg/count/product) passed through to Spark
+    unresolved.  Spark lowers them to NULL-filtered array folds with a
+    DOUBLE accumulator (documented int->double widening; DuckDB skips
+    NULL elements and returns NULL for empty/NULL lists — measured)."""
+    import math
+
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT n_nationkey, list_sum([n_nationkey, NULL, n_regionkey]) AS s,"
+        " list_avg([n_nationkey, n_regionkey]) AS a,"
+        " list_count([n_nationkey, NULL]) AS c,"
+        " list_product([1 + n_regionkey, 2]) AS p"
+        " FROM nation ORDER BY n_nationkey",
+        # empty and all-NULL inputs -> NULL, matching DuckDB
+        "SELECT list_sum(CAST([] AS INT[])) AS s0,"
+        " list_sum([CAST(NULL AS INT)]) AS sn, list_count([]) AS c0",
+    ]:
+        wv = ws.to_wvlet(sql)
+        sdf = ws.run(wv)
+        got = [tuple(r) for r in sdf.collect()]
+        exp = duck.execute(sql).fetchall()
+        assert len(got) == len(exp), sql
+        for g, e in zip(got, exp):
+            for gv, ev in zip(g, e):
+                if gv is None or ev is None:
+                    assert gv is None and ev is None, (sql, g, e)
+                else:
+                    assert math.isclose(float(gv), float(ev),
+                                        rel_tol=1e-9), (sql, g, e)

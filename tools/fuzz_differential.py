@@ -450,6 +450,75 @@ def shape_arrayfns(rng):
             f"order by p_partkey")
 
 
+_MJ_EDGES = [
+    # (table_a, table_b, predicate) — the TPC-H-ish join graph
+    ("customer", "orders", "c_custkey = o_custkey"),
+    ("orders", "lineitem", "o_orderkey = l_orderkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+
+_MJ_FILTERS = {
+    "customer": ["c_mktsegment = 'BUILDING'", "c_acctbal > 1000",
+                 "c_custkey <= 800"],
+    "orders": ["o_orderdate >= '1996-01-01'::date",
+               "o_orderdate < '1996-07-01'::date",
+               "o_orderstatus = 'F'", "o_orderkey <= 3000"],
+    "lineitem": ["l_returnflag = 'R'", "l_quantity > 25",
+                 "l_shipdate > '1995-06-01'::date"],
+    "supplier": ["s_acctbal > 2000", "s_suppkey <= 60"],
+    "part": ["p_size < 25", "p_partkey <= 900"],
+    "nation": ["n_nationkey < 20"],
+    "region": ["r_name = 'ASIA'"],
+}
+
+_MJ_GROUP = {
+    "customer": "c_mktsegment", "orders": "o_orderpriority",
+    "lineitem": "l_returnflag", "supplier": "s_nationkey",
+    "part": "p_size", "nation": "n_name", "region": "r_name",
+}
+
+
+def shape_multijoin(rng):
+    """Random connected comma-join over 3-5 tables (the join-order pass's
+    differential guard: DuckDB's CBO picks its own order, so any order
+    the reorderer emits must produce identical rows).  Sometimes the
+    connecting predicate chain is transitive-only (the TPC-H Q5 shape)
+    and sometimes a table joins twice under aliases."""
+    start = rng.choice([t for t, _, _ in _MJ_EDGES])
+    tables = {start}
+    preds = []
+    target = rng.randint(3, 5)
+    edges = _MJ_EDGES[:]
+    rng.shuffle(edges)
+    while len(tables) < target:
+        grown = False
+        for (a, b, p) in edges:
+            if (a in tables) != (b in tables):
+                tables.add(a if b in tables else b)
+                preds.append(p)
+                grown = True
+                break
+        if not grown:
+            break
+    # transitive twist: customer-supplier nationkey equality instead of
+    # (or in addition to) the direct nation edges
+    if "customer" in tables and "supplier" in tables and rng.random() < 0.5:
+        preds.append("c_nationkey = s_nationkey")
+    for t in sorted(tables):
+        if rng.random() < 0.45:
+            preds.append(rng.choice(_MJ_FILTERS[t]))
+    key = _MJ_GROUP[rng.choice(sorted(tables))]
+    froms = ", ".join(sorted(tables))
+    return (f"from {froms}\nwhere {' and '.join(preds)}\n"
+            f"group by {key}\n"
+            f"agg n = _.count\n"
+            f"order by {key}")
+
+
 # ---- SQL-first families: generate DuckDB-native SQL using constructs
 # the repo's own DuckDB emitter never produces (QUALIFY, DISTINCT ON,
 # star EXCLUDE/REPLACE, GROUP BY ALL, arg_max), execute it in DuckDB as
@@ -895,9 +964,37 @@ def sqlshape_newfns(rng):
             f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
 
 
+def sqlshape_struct_chain(rng):
+    """Nested struct/list access chains (round-6 verdict family): struct
+    literals built from live columns, then dotted-field + list-index +
+    function chains over them.  Output is projected to atomic columns so
+    row comparison stays engine-neutral."""
+    lim = rng.randint(20, 200)
+    pick = rng.randrange(4)
+    if pick == 0:
+        return (f"SELECT n_nationkey, "
+                f"{{'k': n_nationkey, 'nm': n_name}}.nm AS nm, "
+                f"{{'a': {{'b': n_regionkey + 1}}}}.a.b AS ab "
+                f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
+    if pick == 1:
+        return (f"SELECT o_orderkey, "
+                f"[o_orderkey % 7, o_custkey % 5, 3][2] AS el, "
+                f"len([o_orderkey, o_custkey]) AS ln "
+                f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    if pick == 2:
+        return (f"SELECT n_nationkey, "
+                f"{{'xs': [n_nationkey, n_regionkey]}}.xs[1] AS x1, "
+                f"list_sum({{'xs': [n_nationkey, n_regionkey]}}.xs) AS sm "
+                f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
+    return (f"SELECT o_orderkey, "
+            f"[{{'v': o_orderkey % 9}}, {{'v': o_custkey % 9}}][1].v AS v1 "
+            f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+
+
 SQL_SHAPES = {
     "sql_quantifiers": sqlshape_quantifiers,
     "sql_lateral_corr": sqlshape_lateral_corr,
+    "sql_struct_chain": sqlshape_struct_chain,
     "sql_groupsets_window": sqlshape_groupsets_window,
     "sql_interval_grid": sqlshape_interval_grid,
     "sql_newfns": sqlshape_newfns,
@@ -939,6 +1036,7 @@ SHAPES = {
     "scalar_sub": shape_scalar_sub,
     "condagg": shape_condagg,
     "arrayfns": shape_arrayfns,
+    "multijoin": shape_multijoin,
 }
 
 

@@ -2001,6 +2001,31 @@ class SqlGenerator:
                 for i, a in enumerate(args))
             core = (f"slice(transform(sequence(1, {n} + 1), "
                     f"__i -> named_struct({fields})), 1, {n})")
+        elif e.name.lower() in ("list_sum", "list_avg", "list_count",
+                                "list_product") and self.dialect == SPARK \
+                and len(e.args) == 1:
+            # DuckDB list aggregates (list_aggregate shorthands): skip
+            # NULL elements, return NULL for empty/NULL input (measured:
+            # list_sum([1,NULL,3])=4, list_sum([])=NULL).  Spark folds
+            # over the NULL-filtered array; numeric results use a DOUBLE
+            # accumulator (Spark's aggregate() needs one stable
+            # accumulator type across int/double element inputs).
+            a = self.expr(e.args[0])
+            nn = f"filter({a}, __v -> __v is not null)"
+            name = e.name.lower()
+            if name == "list_count":
+                core = (f"(case when {a} is null then null "
+                        f"else cast(size({nn}) as bigint) end)")
+            else:
+                init, op = {"list_sum": ("0.0d", "+"),
+                            "list_product": ("1.0d", "*"),
+                            "list_avg": ("0.0d", "+")}[name]
+                fold = (f"aggregate({nn}, cast({init} as double), "
+                        f"(__a, __v) -> __a {op} __v)")
+                if name == "list_avg":
+                    fold = f"({fold} / size({nn}))"
+                core = (f"(case when {a} is null or size({nn}) = 0 "
+                        f"then null else {fold} end)")
         elif e.name.lower() == "entropy" and self.dialect == SPARK \
                 and len(e.args) == 1:
             # DuckDB-native Shannon entropy (log2) of the value
