@@ -1401,3 +1401,33 @@ def test_list_aggregate_shorthands(spark, duck):
                 else:
                     assert math.isclose(float(gv), float(ev),
                                         rel_tol=1e-9), (sql, g, e)
+
+
+def test_limit_percent(spark, duck):
+    """Round-6 conversion: LIMIT n% under ORDER BY becomes a row_number
+    prefix filter keeping floor(count * p / 100) rows (measured DuckDB
+    semantics: 7 rows LIMIT 25.5% -> 1, 43% -> 3, 99.9% -> 6).  Without
+    ORDER BY the prefix is arbitrary rows — typed reject."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT o_orderkey FROM orders WHERE o_orderkey <= 100 "
+        "ORDER BY o_orderkey LIMIT 30%",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 50 "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 12.5%",
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT 99.9%",
+        "SELECT n_name FROM nation WHERE n_nationkey < 0 "
+        "ORDER BY n_name LIMIT 50%",
+    ]:
+        got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+    with pytest.raises(SqlImportError, match="ORDER BY"):
+        ws.to_wvlet("SELECT o_orderkey FROM orders LIMIT 10%")
+    with pytest.raises(SqlImportError, match="OFFSET"):
+        ws.to_wvlet("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                    "LIMIT 10% OFFSET 2")

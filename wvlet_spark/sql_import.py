@@ -1367,6 +1367,7 @@ def _has_aggregate(node) -> bool:
 
 def _modifiers(node: dict) -> list[str]:
     lines = []
+    order_parts: list[str] = []
     for m in node.get("modifiers") or []:
         if m["type"] == "ORDER_MODIFIER":
             parts = []
@@ -1382,7 +1383,32 @@ def _modifiers(node: dict) -> list[str]:
                     parts += [f"{i + 1}{sfx}" for i in range(len(items))]
                 else:
                     parts.append(_order_item(o))
+            order_parts = parts
             lines.append("order by " + ", ".join(parts))
+        elif m["type"] == "LIMIT_PERCENT_MODIFIER":
+            # LIMIT p%: keep floor(count * p / 100) rows (measured: 7
+            # rows LIMIT 25.5% -> 1, 43% -> 3, 99.9% -> 6).  Only
+            # deterministic under ORDER BY — rank the same ordering with
+            # row_number, count via max(rn) over the whole partition,
+            # filter, and re-sort (the percent pipeline stages BEFORE
+            # the final order-by line so the output ordering survives).
+            if not order_parts:
+                raise SqlImportError(
+                    "LIMIT n% without ORDER BY selects arbitrary rows — "
+                    "add an ORDER BY to make the prefix deterministic")
+            if m.get("offset"):
+                raise SqlImportError(
+                    "LIMIT n% combined with OFFSET is not supported")
+            pct = _expr(m["limit"])
+            ob = ", ".join(order_parts)
+            pre = [
+                f"add __pct_rn = row_number() over (order by {ob})",
+                "add __pct_tot = max(__pct_rn) over ()",
+                f"where __pct_rn <= floor(__pct_tot * ({pct}) / 100.0)",
+                "exclude __pct_rn, __pct_tot",
+            ]
+            # insert before the order-by line emitted above
+            lines = lines[:-1] + pre + lines[-1:]
         elif m["type"] == "LIMIT_MODIFIER":
             lim = m.get("limit")
             if lim is not None and not (
