@@ -345,6 +345,18 @@ def _subset_rows(subset_bits: int, est, ndv, classes) -> float:
     return max(rows, 1.0)
 
 
+def order_cost(order: list[int], est, ndv, classes) -> float:
+    """C_out of a left-deep order: sum of every >=2-relation prefix's
+    estimated cardinality."""
+    total = 0.0
+    bits = 0
+    for k, i in enumerate(order):
+        bits |= 1 << i
+        if k >= 1:
+            total += _subset_rows(bits, est, ndv, classes)
+    return total
+
+
 def _best_order(leaves: list[Leaf], local: dict[int, list],
                 edges: list[tuple[int, str, int, str]]) -> list[int]:
     """Join order minimizing the sum of intermediate result sizes (C_out).
@@ -485,6 +497,16 @@ def _try_reorder(node: N.Relation, schema_of, stats_of) -> N.Relation:
 
     order = _best_order(leaves, local, edges)
     if order == list(range(len(leaves))):
+        return node
+    # tie guard: rewrite only when the model says the new order is
+    # STRICTLY cheaper than the written one.  Symmetric prefixes give
+    # exact ties (customer><orders vs orders><customer visit identical
+    # subsets), and sf100 measurement showed a tie-rewrite can still
+    # shift physical shuffle order for no modeled gain (q18 +10%).
+    est, ndv = _cardinalities(leaves, local, edges)
+    classes = _equiv_classes(edges)
+    if order_cost(order, est, ndv, classes) >= \
+            0.999 * order_cost(list(range(len(leaves))), est, ndv, classes):
         return node
 
     # Derived transitive equalities: every step of the chosen order needs a
