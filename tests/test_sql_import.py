@@ -1431,3 +1431,86 @@ def test_limit_percent(spark, duck):
     with pytest.raises(SqlImportError, match="OFFSET"):
         ws.to_wvlet("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
                     "LIMIT 10% OFFSET 2")
+
+
+def test_step_slices(spark, duck):
+    """Round-6 conversion (previously a typed reject): `l[lo:hi:step]`
+    with a positive literal step.  DuckDB semantics: 1-based INCLUSIVE
+    bounds, negatives count from the end, the begin bound clamps to 1
+    BEFORE stepping (so the phase starts at the clamped bound), NULL
+    list or bound -> NULL.  Negative (reversing) and non-literal steps
+    stay typed rejects."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = ("SELECT ([1,2,3,4,5,6,7,8,9])[2:8:2] AS a, "
+           "([1,2,3,4,5,6,7,8,9])[2:100:3] AS b, "
+           "([1,2,3,4,5,6,7,8,9])[: :2] AS c, "
+           "([1,2,3,4,5,6,7,8,9])[-5:-1:2] AS d, "
+           "([1,2,3,4,5,6])[-10:6:3] AS e, "       # clamp shifts phase
+           "([1,2,3,4,5,6])[0:6:2] AS f, "
+           "([1,2,3,4,5,6])[8:9:2] AS g, "          # out of range -> []
+           "([1,2,3,4,5,6])[NULL:6:2] AS h")
+    wv = ws.to_wvlet(sql)
+
+    def norm(row):
+        return [list(x) if x is not None else None for x in row]
+
+    got = norm(ws.run(wv).collect()[0])
+    assert got == norm(duck.execute(sql).fetchone())
+    # the DuckDB dialect rendering (4-arg list_slice) agrees too
+    assert got == norm(duck.execute(ws.oracle_sql(wv)).fetchone())
+    for bad in ["SELECT ([1,2,3])[3:1:-1]", "SELECT ([1,2,3])[1:3:0]"]:
+        with pytest.raises(SqlImportError, match="step"):
+            ws.to_wvlet(bad)
+
+
+def test_pivot_statement(spark, duck):
+    """Round-6 conversion (previously a typed reject): the DuckDB PIVOT
+    statement with an explicit IN list.  Implicit grouping (no GROUP BY
+    -> every column not referenced by the pivot column or aggregates)
+    lowers to the engine's `pivot ... group by *`; output-column naming
+    follows DuckDB (`value` for a single unaliased aggregate,
+    `value_alias` otherwise)."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    src = ("(SELECT o_orderstatus st, o_orderpriority pr, "
+           "o_totalprice v FROM orders)")
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            out.append(tuple(
+                round(float(x), 2) if isinstance(x, (int, float))
+                and not isinstance(x, bool) else
+                (str(x) if x is not None else None) for x in r))
+        return sorted(out)
+
+    for sql in [
+        f"PIVOT {src} ON st IN ('F','O','P') USING sum(v) GROUP BY pr",
+        f"PIVOT {src} ON st IN ('F','O','P') USING sum(v)",
+        f"PIVOT {src} ON st IN ('F','O') USING sum(v) AS s, count(*) AS c",
+        f"PIVOT {src} ON st IN ('F','O') USING sum(v) AS tot",
+        # base-table source with implicit grouping over a slim table
+        "PIVOT (SELECT r_regionkey % 2 AS odd, r_name FROM region) "
+        "ON odd IN (0, 1) USING count(r_name)",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = ws.run(wv)
+        r = duck.execute(sql)
+        exp_cols, exp = [d[0] for d in r.description], norm(r.fetchall())
+        assert got.columns == exp_cols, sql
+        assert norm([tuple(x) for x in got.collect()]) == exp, sql
+        # DuckDB-dialect rendering of the converted pipeline agrees
+        assert norm(duck.execute(ws.oracle_sql(wv)).fetchall()) == exp, sql
+    with pytest.raises(SqlImportError, match="alias each"):
+        ws.to_wvlet(f"PIVOT {src} ON st IN ('F') USING sum(v), count(*)")
+    with pytest.raises(SqlImportError, match="IN entry"):
+        ws.to_wvlet(f"PIVOT {src} ON st IN ('F' AS eff) USING sum(v)")

@@ -1292,9 +1292,23 @@ class SqlGenerator:
             probe_sql = f"SELECT DISTINCT {pivot_sql} AS v FROM {b.source} ORDER BY v LIMIT 1000"
             values = [N.Literal(v, _literal_kind(v)) for v in self.ctx.prober(probe_sql)]
         agg_items = rel.agg_items or [N.NamedExpr(N.MethodCall(N.Underscore(), "count"), None)]
+        group_by = rel.group_by
+        if getattr(rel, "group_all_others", False):
+            # `group by *` — every input column not referenced by the
+            # pivot column or the aggregates (DuckDB PIVOT-statement
+            # implicit grouping; input order preserved)
+            if b.columns is None:
+                raise CompileError(
+                    "pivot group by * requires known input columns")
+            used: set[str] = set()
+            _collect_expr_idents(rel.pivot_col, used)
+            for it in agg_items:
+                _collect_expr_idents(it.expr, used)
+            group_by = [N.NamedExpr(N.Ident(c), None)
+                        for c in b.columns if c.lower() not in used]
         sel: list[str] = []
         names: list[str] = []
-        for k in rel.group_by:
+        for k in group_by:
             ksql = self.expr(k.expr)
             kname = k.alias or self._derived_name(k.expr)
             sel.append(f"{ksql} AS {self.q(kname)}" if k.alias else ksql)
@@ -1307,7 +1321,7 @@ class SqlGenerator:
                 label = vname if len(agg_items) == 1 else f"{vname}_{self._item_name(it)}"
                 sel.append(f"{fn_sql} AS {self.q(label)}")
                 names.append(label)
-        b.group_keys = list(rel.group_by)
+        b.group_keys = list(group_by)
         b.select = sel
         b.columns = names
         return b
@@ -1910,6 +1924,36 @@ class SqlGenerator:
                     lo, hi = self.expr(lo_e), self.expr(hi_e)
                     core = (f"slice({a}, greatest({lo}, 1), "
                             f"greatest(({hi}) - greatest({lo}, 1) + 1, 0))")
+        elif e.name.lower() in ("array_slice", "list_slice") \
+                and len(e.args) == 4:
+            # step slice `l[lo:hi:step]` — DuckDB semantics: 1-based
+            # INCLUSIVE bounds, negative indexes count from the end, the
+            # begin bound clamps to 1 BEFORE stepping (so the phase
+            # starts at the clamped bound: [-10:6:3] over 6 elements is
+            # [1, 4]), NULL list or NULL bound -> NULL.  The importer
+            # admits only positive literal steps; negative (reversing)
+            # steps stay a typed reject there.  Spark lowering filters
+            # the 1..size position sequence (always ascending — a direct
+            # sequence(lo, hi) throws when lo > hi) and maps positions
+            # through element_at.
+            a = self.expr(e.args[0])
+            lo = self.expr(e.args[1])
+            hi = self.expr(e.args[2])
+            step = self.expr(e.args[3])
+            if self.dialect != SPARK:
+                core = f"list_slice({a}, {lo}, {hi}, {step})"
+            else:
+                lo_c = (f"greatest(if(({lo}) < 0, size({a}) + ({lo}) + 1,"
+                        f" ({lo})), 1)")
+                hi_n = f"if(({hi}) < 0, size({a}) + ({hi}) + 1, ({hi}))"
+                core = (
+                    f"(case when ({a}) is null or ({lo}) is null"
+                    f" or ({hi}) is null then null"
+                    f" when size({a}) = 0 then {a}"
+                    f" else transform(filter(sequence(1, size({a})),"
+                    f" __i -> __i >= {lo_c} and __i <= {hi_n}"
+                    f" and (__i - {lo_c}) % ({step}) = 0),"
+                    f" __i -> element_at({a}, __i)) end)")
         elif e.name.lower() in ("array_position", "list_position") \
                 and self.dialect != SPARK and len(e.args) == 2:
             # Spark's array_position returns 0 when absent; DuckDB's
@@ -2401,6 +2445,29 @@ _RESERVED = {
     "partition", "values", "table", "create", "insert", "update", "delete",
     "default", "current_date", "current_time", "current_timestamp", "user",
 }
+
+
+def _collect_expr_idents(e, out: set) -> None:
+    """Lowercased names of every column an expression references — bare
+    Idents plus the tail of alias-qualified Refs (pivot `group by *`
+    uses this to exclude referenced columns from the implicit keys)."""
+    import dataclasses
+
+    if isinstance(e, N.Ident):
+        out.add(e.name.lower())
+        return
+    if isinstance(e, N.Ref):
+        out.add(e.name.lower())
+        if not isinstance(e.qualifier, N.Ident):
+            _collect_expr_idents(e.qualifier, out)
+        return
+    if dataclasses.is_dataclass(e) and not isinstance(e, type):
+        for f in dataclasses.fields(e):
+            _collect_expr_idents(getattr(e, f.name), out)
+        return
+    if isinstance(e, (list, tuple)):
+        for x in e:
+            _collect_expr_idents(x, out)
 
 
 def _block_dirty(b: "SqlGenerator.Block") -> bool:

@@ -514,6 +514,11 @@ class Pivot(Relation):
     values: list[Expr] | None
     group_by: list[NamedExpr]
     agg_items: list[NamedExpr]
+    # `group by *`: group by every input column not referenced by the
+    # pivot column or the aggregate items — DuckDB PIVOT-statement
+    # implicit-grouping semantics (expanded at generation time, where
+    # the input schema is known)
+    group_all_others: bool = False
 
 
 @dataclass

@@ -1552,15 +1552,24 @@ class Parser:
                 values.append(self.parse_expr())
             self.expect_op(")")
         group_by: list[N.NamedExpr] = []
+        group_all_others = False
         agg_items: list[N.NamedExpr] = []
         if self.at_kw("group") and self.at_kw("by", offset=1):
             self.next()
             self.next()
-            group_by = self.parse_named_expr_list()
+            if self.at_op("*"):
+                # `group by *`: every input column not referenced by the
+                # pivot column / aggregates (DuckDB PIVOT-statement
+                # implicit grouping; expanded at generation time)
+                self.next()
+                group_all_others = True
+            else:
+                group_by = self.parse_named_expr_list()
         if self.at_kw("agg"):
             self.next()
             agg_items = self.parse_named_expr_list()
-        return N.Pivot(rel, pivot_col, values, group_by, agg_items)
+        return N.Pivot(rel, pivot_col, values, group_by, agg_items,
+                       group_all_others)
 
     def parse_unpivot(self, rel: N.Relation) -> N.Relation:
         self.expect_kw("unpivot")

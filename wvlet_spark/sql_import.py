@@ -1552,10 +1552,88 @@ def _from_relation(rel: dict) -> list[str]:
             line += f" on {_expr(rel['condition'])}"
         left.append(line)
         return left
+    if t == "PIVOT":
+        return _pivot_relation(rel)
     lines = [f"from {_rel_ref(rel)}"]
     if rel.get("sample"):
         # table-level TABLESAMPLE
         lines.append(_sample_clause(rel["sample"]))
+    return lines
+
+
+def _pivot_relation(rel: dict) -> list[str]:
+    """DuckDB `PIVOT src ON col IN (...) USING aggs [GROUP BY ...]`
+    (serializable once the IN list is explicit) -> wvlet pivot pipes.
+    Without GROUP BY, DuckDB groups by every column not referenced by
+    the pivot column or the aggregates — wvlet's `group by *` mirrors
+    that at generation time, where the input schema is known.  DuckDB
+    output-column naming: single unaliased aggregate -> the pivot value
+    itself; otherwise `<value>_<agg alias>` — the engine's pivot labels
+    match the first two forms directly and the single-ALIASED-aggregate
+    form via a trailing rename pipe."""
+    if rel.get("unpivot_names"):
+        raise SqlImportError(
+            "UNPIVOT statement form is not supported — use the "
+            "UNPIVOT relation syntax (FROM t UNPIVOT ...) instead")
+    if rel.get("include_nulls"):
+        raise SqlImportError("PIVOT/UNPIVOT INCLUDE NULLS is not supported")
+    if rel.get("alias"):
+        raise SqlImportError("aliased PIVOT relations are not supported")
+    pivots = rel.get("pivots") or []
+    if len(pivots) != 1 \
+            or len(pivots[0].get("pivot_expressions") or []) != 1:
+        raise SqlImportError(
+            "PIVOT with multiple pivot columns is not supported")
+    entries = pivots[0].get("entries") or []
+    if not entries:
+        # a missing IN list never reaches here (json_serialize_sql
+        # rejects it upstream) — guard anyway
+        raise SqlImportError(
+            "PIVOT without an IN value list is not supported")
+    vals: list[str] = []        # rendered literals for `in (...)`
+    val_names: list[str] = []   # DuckDB output-column names
+    for en in entries:
+        if en.get("star_expr") or en.get("alias") \
+                or len(en.get("values") or []) != 1:
+            raise SqlImportError(
+                "PIVOT IN entry aliases/expressions are not supported")
+        v = en["values"][0]
+        if v.get("is_null"):
+            raise SqlImportError("NULL PIVOT IN values are not supported")
+        vals.append(_constant(v))
+        val_names.append(str(v["value"]))
+    aggs = rel.get("aggregates") or []
+    if not aggs:
+        raise SqlImportError(
+            "PIVOT without USING aggregates is not supported")
+    if len(aggs) > 1 and not all(a.get("alias") for a in aggs):
+        raise SqlImportError(
+            "PIVOT with multiple unaliased USING aggregates is not "
+            "supported — alias each aggregate (USING sum(x) AS s, ...)")
+    lines = _from_relation(rel["source"])
+    pivot_col = _expr(pivots[0]["pivot_expressions"][0])
+    lines.append(f"pivot on {pivot_col} in (" + ", ".join(vals) + ")")
+    groups = rel.get("groups") or []
+    if groups:
+        lines.append("group by " + ", ".join(_name(g) for g in groups))
+    else:
+        lines.append("group by *")
+    items = []
+    for a in aggs:
+        s = _expr(a)
+        if len(aggs) > 1:
+            # wvlet labels multi-agg pivots `<value>_<item name>` — the
+            # (mandatory) alias reproduces DuckDB's `<value>_<alias>`
+            items.append(f"{_name(a['alias'])} = {s}")
+        else:
+            items.append(s)
+    lines.append("agg " + ", ".join(items))
+    if len(aggs) == 1 and aggs[0].get("alias"):
+        # single ALIASED aggregate: wvlet names the column after the
+        # value alone; DuckDB appends the alias
+        al = aggs[0]["alias"]
+        lines.append("rename " + ", ".join(
+            f"{_name(v)} as {_name(v + '_' + al)}" for v in val_names))
     return lines
 
 
@@ -1934,9 +2012,21 @@ def _operator(e: dict) -> str:
     if t == "ARRAY_EXTRACT":
         return f"{_maybe_paren(ch[0])}[{_expr(ch[1])}]"
     if t == "ARRAY_SLICE":
-        if len(ch) > 3:
+        step = None
+        if len(ch) == 4:
+            # step slice `l[lo:hi:step]` — positive literal steps only
+            # (a negative step REVERSES the slice; no single JVM-side
+            # rendering covers that without an extra reverse() whose
+            # bound arithmetic differs — typed reject, round 6)
+            sv = _peel_int(ch[3])
+            if sv is None or sv <= 0:
+                raise SqlImportError(
+                    "ARRAY_SLICE with a non-literal or non-positive "
+                    "step is not supported")
+            step = str(sv)
+        elif len(ch) > 4:
             raise SqlImportError(
-                "ARRAY_SLICE with a step is not supported")
+                f"unsupported ARRAY_SLICE arity {len(ch)}")
 
         def _bound(c, default):
             # a missing bound serializes as an empty-LIST constant
@@ -1948,6 +2038,9 @@ def _operator(e: dict) -> str:
 
         lo = _bound(ch[1], "1")
         hi = _bound(ch[2], "-1")
+        if step is not None:
+            return (f"array_slice({_maybe_paren(ch[0])}, {lo}, {hi}, "
+                    f"{step})")
         return f"array_slice({_maybe_paren(ch[0])}, {lo}, {hi})"
     if t == "STRUCT_EXTRACT":
         # string-subscript form: `.name` postfix parses as a METHOD call
