@@ -1514,3 +1514,33 @@ def test_pivot_statement(spark, duck):
         ws.to_wvlet(f"PIVOT {src} ON st IN ('F') USING sum(v), count(*)")
     with pytest.raises(SqlImportError, match="IN entry"):
         ws.to_wvlet(f"PIVOT {src} ON st IN ('F' AS eff) USING sum(v)")
+
+
+def test_slice_nulls_outofrange_and_scalar_series(spark, duck):
+    """Round-6 sql_slicestep fuzz finds on PLAIN (stepless) slices and
+    scalar series generators:
+    - NULL bounds returned a value instead of NULL (greatest(NULL, 1)
+      IGNORES the null on Spark);
+    - out-of-range negative bounds ([-100:-2]) returned [] on Spark
+      where DuckDB clamps to the list;
+    - scalar range()/generate_series() passed through verbatim (Spark
+      has no such routine), and crossed bounds (range(2,2)) would have
+      DESCENDED through Spark's sequence().
+    """
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = ("SELECT ([1,2,3,4])[-100:-2] AS a, ([1,2,3,4,5])[-100:-5] AS b, "
+           "([1,2,3])[NULL:1] AS c, ([1,2,3])[2:NULL] AS d, "
+           "range(5) AS e, generate_series(5) AS f, "
+           "range(2, 9, 3) AS g, range(9, 2, -3) AS h, "
+           "range(2, 2) AS i, generate_series(5, 1) AS j, "
+           "range(NULL, 3) AS k, len(range(2, 7)) AS ln")
+    wv = ws.to_wvlet(sql)
+
+    def norm(row):
+        return [list(x) if isinstance(x, (list, tuple)) else x for x in row]
+
+    got = norm(ws.run(wv).collect()[0])
+    assert got == norm(duck.execute(sql).fetchone())
+    assert got == norm(duck.execute(ws.oracle_sql(wv)).fetchone())

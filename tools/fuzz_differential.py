@@ -991,7 +991,123 @@ def sqlshape_struct_chain(rng):
             f"FROM orders WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
 
 
+def sqlshape_slicestep(rng):
+    """Array slice grid (round-6 feature): plain and step slices with
+    every bound-sign combination, missing bounds, out-of-range bounds,
+    and NULL bounds, over arrays built from live columns."""
+    arr = rng.choice([
+        "[n_nationkey, n_regionkey, n_nationkey + 10, 7]",
+        "[o_orderkey % 9, o_custkey % 7, 5, o_orderkey % 3, 1]",
+        "range(1, 9)",
+        "[n_nationkey]",
+    ])
+    tbl, key = (("nation", "n_nationkey") if "n_" in arr
+                else ("orders", "o_orderkey"))
+    lim = rng.randint(5, 40)
+
+    def bound():
+        return rng.choice(["", "1", "2", "3", "-1", "-2", "-5", "0",
+                           "100", "-100", "NULL"])
+
+    lo, hi = bound(), bound()
+    step = rng.choice(["", "1", "2", "3", "4"])
+    # an empty hi before a step must keep a space (`[2: :3]`) — a bare
+    # `::` parses as a cast
+    sl = f"[{lo}:{hi or ' '}" + (f":{step}]" if step else "]")
+    where = f"WHERE o_orderkey <= {lim * 40} " if tbl == "orders" else ""
+    return (f"SELECT {key}, ({arr}){sl} AS s, "
+            f"len(({arr}){sl}) AS ln "
+            f"FROM {tbl} {where}ORDER BY {key} LIMIT {lim}")
+
+
+def sqlshape_pivot(rng):
+    """PIVOT statement grid (round-6 feature): explicit IN lists over
+    live low-cardinality columns, single/multiple (aliased) USING
+    aggregates, explicit GROUP BY vs implicit group-by-all-others."""
+    vals = rng.sample(["'F'", "'O'", "'P'"], k=rng.randint(2, 3))
+    src = ("(SELECT o_orderstatus st, o_orderpriority pr, "
+           "o_orderkey % 5 AS grp, o_totalprice v FROM orders "
+           f"WHERE o_orderkey <= {rng.randint(200, 4000)})")
+    using = rng.choice([
+        "USING count(*)",
+        "USING sum(v)",
+        "USING min(v) AS lo, max(v) AS hi",
+        "USING sum(v) AS s, count(*) AS c",
+        "USING max(v) AS m",
+    ])
+    group = rng.choice(["GROUP BY pr", "GROUP BY grp",
+                        "GROUP BY pr, grp", ""])
+    return f"PIVOT {src} ON st IN ({', '.join(vals)}) {using} {group}"
+
+
+def sqlshape_case_exists(rng):
+    """CASE interacting with subqueries: searched/simple CASE whose arms
+    contain EXISTS / IN / scalar subqueries, nested CASE, and NULL
+    passthrough — exercises predicate staging inside expressions."""
+    lim = rng.randint(10, 60)
+    pick = rng.randrange(4)
+    if pick == 0:
+        return (f"SELECT n_nationkey, CASE WHEN EXISTS (SELECT 1 FROM "
+                f"customer WHERE c_nationkey = n_nationkey AND "
+                f"c_acctbal > {rng.randint(0, 9000)}) THEN 'rich' "
+                f"ELSE 'poor' END AS tag "
+                f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
+    if pick == 1:
+        return (f"SELECT o_orderkey, CASE o_orderstatus WHEN 'F' THEN "
+                f"(SELECT max(n_nationkey) FROM nation) WHEN 'O' THEN "
+                f"o_orderkey % {rng.randint(2, 9)} ELSE NULL END AS v "
+                f"FROM orders WHERE o_orderkey <= {lim * 30} "
+                f"ORDER BY o_orderkey")
+    if pick == 2:
+        return (f"SELECT n_nationkey, CASE WHEN n_regionkey IN (SELECT "
+                f"r_regionkey FROM region WHERE r_name LIKE '{rng.choice('AEM')}%') "
+                f"THEN CASE WHEN n_nationkey % 2 = 0 THEN 'e' ELSE 'o' END "
+                f"ELSE 'x' END AS tag "
+                f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
+    return (f"SELECT o_orderkey, CASE WHEN o_totalprice > (SELECT "
+            f"avg(o_totalprice) FROM orders) THEN 1 WHEN o_orderstatus "
+            f"= 'P' THEN 2 END AS band "
+            f"FROM orders WHERE o_orderkey <= {lim * 30} "
+            f"ORDER BY o_orderkey")
+
+
+def sqlshape_numeric_grid(rng):
+    """Numeric-operator parity grid: integer division //, modulo with
+    negative operands, round with negative digits, ceil/floor/sign,
+    greatest/least with NULL, power/sqrt/ln domains."""
+    lim = rng.randint(10, 60)
+    a = rng.choice(["o_orderkey", "o_custkey", "o_orderkey - o_custkey"])
+    d = rng.randint(2, 13)
+    pick = rng.randrange(4)
+    if pick == 0:
+        return (f"SELECT o_orderkey, ({a}) // {d} AS idiv, "
+                f"({a}) % {d} AS m, (-({a})) % {d} AS nm, "
+                f"({a}) % (-{d}) AS mn "
+                f"FROM orders WHERE o_orderkey <= {lim * 30} "
+                f"ORDER BY o_orderkey")
+    if pick == 1:
+        return (f"SELECT o_orderkey, round(o_totalprice, "
+                f"{rng.randint(-3, 2)}) AS r, ceil(o_totalprice / {d}) "
+                f"AS c, floor(o_totalprice / {d}) AS f, "
+                f"sign(o_orderkey - o_custkey) AS sg "
+                f"FROM orders WHERE o_orderkey <= {lim * 30} "
+                f"ORDER BY o_orderkey")
+    if pick == 2:
+        return (f"SELECT n_nationkey, greatest(n_nationkey, n_regionkey, "
+                f"NULL) AS g, least(n_nationkey, {d}, NULL) AS l, "
+                f"greatest(n_nationkey, n_regionkey * {d}) AS g2 "
+                f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
+    return (f"SELECT n_nationkey, power(n_nationkey, 2) AS p, "
+            f"sqrt(n_nationkey * {d}) AS sq, "
+            f"ln(n_nationkey + 1) AS lg, exp(n_regionkey % 3) AS ex "
+            f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
+
+
 SQL_SHAPES = {
+    "sql_slicestep": sqlshape_slicestep,
+    "sql_pivot": sqlshape_pivot,
+    "sql_case_exists": sqlshape_case_exists,
+    "sql_numeric_grid": sqlshape_numeric_grid,
     "sql_quantifiers": sqlshape_quantifiers,
     "sql_lateral_corr": sqlshape_lateral_corr,
     "sql_struct_chain": sqlshape_struct_chain,

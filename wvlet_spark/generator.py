@@ -1812,6 +1812,47 @@ class SqlGenerator:
             # DuckDB side so both dialects agree (a no-op inside grouped
             # aggregation, where every group has rows)
             core = f"coalesce(array_agg({self.expr(e.args[0])}), [])"
+        elif e.name.lower() == "sequence" and len(e.args) in (2, 3) \
+                and e.window is None:
+            # inclusive series.  DuckDB has no sequence() — its
+            # equivalent is generate_series (inclusive both ends, [] on
+            # crossed bounds, NULL on NULL input).  Spark's sequence
+            # diverges on crossed INTEGER bounds: 2-arg DESCENDS
+            # (sequence(2, 1) = [2, 1]) and 3-arg with a wrong-sign step
+            # THROWS — guard both to empty (slice of a 1-element
+            # sequence; least() keeps the branch typed when one bound is
+            # a bare NULL literal).  A bare-NULL argument renders as a
+            # typed constant NULL: sequence(NULL, NULL) does not even
+            # analyze.  Date/timestamp series (interval or non-literal
+            # step) keep plain sequence — the sign arithmetic only
+            # exists for integers, and date bounds cross legitimately.
+            args = [self.expr(x) for x in e.args]
+            if self.dialect != SPARK:
+                core = f"generate_series({', '.join(args)})"
+            else:
+                a, b2 = args[0], args[1]
+
+                def _null_lit(x):
+                    return isinstance(x, N.Literal) and x.kind == "null"
+
+                empty = (f"slice(sequence(least({a}, {b2}), "
+                         f"least({a}, {b2})), 1, 0)")
+                if any(_null_lit(x) for x in e.args):
+                    core = "cast(null as array<int>)"
+                elif len(args) == 2:
+                    cond = (f"(({a}) is null) or (({b2}) is null) "
+                            f"or (({a}) <= ({b2}))")
+                    core = (f"(case when {cond} then sequence({a}, {b2})"
+                            f" else {empty} end)")
+                elif _int_literal(e.args[2]) is not None:
+                    s = args[2]
+                    cond = (f"(({a}) is null) or (({b2}) is null) or "
+                            f"(((({b2}) - ({a})) * ({s})) >= 0)")
+                    core = (f"(case when {cond} then "
+                            f"sequence({a}, {b2}, {s})"
+                            f" else {empty} end)")
+                else:
+                    core = f"sequence({', '.join(args)})"
         elif e.name.lower() in ("shiftleft", "shiftright") \
                 and len(e.args) == 2 and self.dialect == DUCKDB:
             # Spark names the shifts; DuckDB only has the operators
@@ -1887,9 +1928,16 @@ class SqlGenerator:
                 and len(e.args) == 3:
             # wvlet array_slice(arr, lo, hi): DuckDB [lo:hi] semantics —
             # 1-based INCLUSIVE bounds, negative indexes count from the
-            # end, -1 = last element.  Spark's slice() takes a LENGTH, so
-            # the Spark lowering derives it per sign combination of the
-            # literal bounds; non-literal bounds assume positive indexes.
+            # end (clamped to the list), NULL bound -> NULL.  The hot
+            # common case — both bounds NON-NEGATIVE literals — keeps
+            # the native slice() fast path (start clamps to 1; a start
+            # past the end yields [] on both engines).  Everything else
+            # (negative or non-literal bounds) routes through the robust
+            # position-filter form: the per-sign slice() arithmetic
+            # mis-handled out-of-range negatives (slice(a, -100, ...)
+            # is [] on Spark but clamps on DuckDB) and NULL bounds
+            # (greatest(NULL, 1) IGNORES the null) — both round-6
+            # sql_slicestep fuzz finds.
             a = self.expr(e.args[0])
             lo_e, hi_e = e.args[1], e.args[2]
 
@@ -1907,23 +1955,12 @@ class SqlGenerator:
                         f"{self.expr(hi_e)})")
             else:
                 L, H = _ilit(lo_e), _ilit(hi_e)
-                if L is not None and H is not None:
-                    if L >= 0 and H >= 0:
-                        start = max(L, 1)
-                        core = f"slice({a}, {start}, {max(H - start + 1, 0)})"
-                    elif L < 0 and H < 0:
-                        core = f"slice({a}, {L}, {max(H - L + 1, 0)})"
-                    elif L >= 0:            # positive lo, negative hi
-                        start = max(L, 1)
-                        core = (f"slice({a}, {start}, greatest(size({a})"
-                                f" + {H} - {start} + 2, 0))")
-                    else:                   # negative lo, positive hi
-                        core = (f"slice({a}, {L}, greatest({H} - {L}"
-                                f" - size({a}), 0))")
+                if L is not None and H is not None and L >= 0 and H >= 0:
+                    start = max(L, 1)
+                    core = f"slice({a}, {start}, {max(H - start + 1, 0)})"
                 else:
-                    lo, hi = self.expr(lo_e), self.expr(hi_e)
-                    core = (f"slice({a}, greatest({lo}, 1), "
-                            f"greatest(({hi}) - greatest({lo}, 1) + 1, 0))")
+                    core = _spark_slice_robust(
+                        a, self.expr(lo_e), self.expr(hi_e), "1")
         elif e.name.lower() in ("array_slice", "list_slice") \
                 and len(e.args) == 4:
             # step slice `l[lo:hi:step]` — DuckDB semantics: 1-based
@@ -1943,17 +1980,7 @@ class SqlGenerator:
             if self.dialect != SPARK:
                 core = f"list_slice({a}, {lo}, {hi}, {step})"
             else:
-                lo_c = (f"greatest(if(({lo}) < 0, size({a}) + ({lo}) + 1,"
-                        f" ({lo})), 1)")
-                hi_n = f"if(({hi}) < 0, size({a}) + ({hi}) + 1, ({hi}))"
-                core = (
-                    f"(case when ({a}) is null or ({lo}) is null"
-                    f" or ({hi}) is null then null"
-                    f" when size({a}) = 0 then {a}"
-                    f" else transform(filter(sequence(1, size({a})),"
-                    f" __i -> __i >= {lo_c} and __i <= {hi_n}"
-                    f" and (__i - {lo_c}) % ({step}) = 0),"
-                    f" __i -> element_at({a}, __i)) end)")
+                core = _spark_slice_robust(a, lo, hi, step)
         elif e.name.lower() in ("array_position", "list_position") \
                 and self.dialect != SPARK and len(e.args) == 2:
             # Spark's array_position returns 0 when absent; DuckDB's
@@ -2445,6 +2472,35 @@ _RESERVED = {
     "partition", "values", "table", "create", "insert", "update", "delete",
     "default", "current_date", "current_time", "current_timestamp", "user",
 }
+
+
+def _int_literal(x):
+    """Integer value of a (possibly negated) int literal, else None."""
+    if isinstance(x, N.Literal) and x.kind == "int":
+        return int(x.value)
+    if isinstance(x, N.UnaryOp) and x.op == "-" \
+            and isinstance(x.expr, N.Literal) and x.expr.kind == "int":
+        return -int(x.expr.value)
+    return None
+
+
+def _spark_slice_robust(a: str, lo: str, hi: str, step: str) -> str:
+    """Spark rendering of DuckDB list-slice semantics for arbitrary
+    bounds: 1-based INCLUSIVE, negative indexes count from the end, the
+    begin bound clamps to 1 BEFORE stepping (phase starts at the clamped
+    bound), out-of-range bounds clamp, NULL list or NULL bound -> NULL.
+    Formulated as a filter over the 1..size position sequence (always
+    ascending) + element_at, because slice()'s start argument cannot
+    express clamped negatives."""
+    lo_c = f"greatest(if(({lo}) < 0, size({a}) + ({lo}) + 1, ({lo})), 1)"
+    hi_n = f"if(({hi}) < 0, size({a}) + ({hi}) + 1, ({hi}))"
+    return (f"(case when ({a}) is null or ({lo}) is null"
+            f" or ({hi}) is null then null"
+            f" when size({a}) = 0 then {a}"
+            f" else transform(filter(sequence(1, size({a})),"
+            f" __i -> __i >= {lo_c} and __i <= {hi_n}"
+            f" and (__i - {lo_c}) % ({step}) = 0),"
+            f" __i -> element_at({a}, __i)) end)")
 
 
 def _collect_expr_idents(e, out: set) -> None:

@@ -2166,6 +2166,31 @@ def _function(e: dict) -> str:
         raise SqlImportError(
             "string_split with a non-literal separator cannot be "
             "converted to a regex split at compile time")
+    if fn in ("range", "generate_series") and 1 <= len(ch) <= 3 \
+            and not e.get("filter") and e.get("window") is None:
+        # scalar list generators (round-6 sql_slicestep fuzz find:
+        # previously passed through verbatim; Spark has no range()).
+        # DuckDB: generate_series is inclusive both ends, range excludes
+        # the stop (shift by the literal step's sign); both yield [] on
+        # crossed bounds and NULL on NULL input — the engine's sequence()
+        # rendering reproduces exactly that on both targets.
+        args = [_expr(c) for c in ch]
+        if len(ch) == 1:
+            lo, hi, step = "0", args[0], None
+        else:
+            lo, hi = args[0], args[1]
+            step = args[2] if len(ch) == 3 else None
+        if fn == "range":
+            sgn = 1
+            if len(ch) == 3:
+                sv = _peel_int(ch[2])
+                if sv is None:
+                    raise SqlImportError(
+                        "range() with a non-literal step is not "
+                        "supported")
+                sgn = 1 if sv >= 0 else -1
+            hi = f"({hi}) - 1" if sgn > 0 else f"({hi}) + 1"
+        return f"sequence({lo}, {hi}" + (f", {step})" if step else ")")
     if fn == "trunc" and len(ch) == 1:
         # numeric truncation toward zero; Spark's trunc is date-only, so
         # lower to sign-aware floor/ceil (double result, like DuckDB)
