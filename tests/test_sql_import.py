@@ -1544,3 +1544,26 @@ def test_slice_nulls_outofrange_and_scalar_series(spark, duck):
     got = norm(ws.run(wv).collect()[0])
     assert got == norm(duck.execute(sql).fetchone())
     assert got == norm(duck.execute(ws.oracle_sql(wv)).fetchone())
+
+
+def test_describe_show_summarize_statements(spark):
+    """Round-6 conversion: DESCRIBE <query|table> and SHOW TABLES
+    (serialized as SHOW_REF relations) lower to the engine's describe
+    pipe / show tables; SUMMARIZE stays a pointed typed reject naming
+    the profiler tool.  Internal __wv_* staging views are excluded from
+    show tables output."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    rows = ws.run(ws.to_wvlet("DESCRIBE SELECT 1 AS x, 'a' AS y")).collect()
+    assert [(r[0], r[1]) for r in rows] == [("x", "int"), ("y", "string")]
+    rows = ws.run(ws.to_wvlet("DESCRIBE nation")).collect()
+    assert rows[0][0] == "n_nationkey"
+    names = [r[0] for r in ws.run(ws.to_wvlet("SHOW TABLES")).collect()]
+    assert "nation" in names and "orders" in names
+    assert not [n for n in names if n.startswith("__wv_")]
+    with pytest.raises(SqlImportError, match="profile_numeric"):
+        ws.to_wvlet("SUMMARIZE SELECT 1 AS x")

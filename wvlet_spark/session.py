@@ -622,7 +622,9 @@ class WvletSession:
         if kind == "tables":
             target = node.in_target.split(".")[-1] if node.in_target else None
             try:
-                rows = [(t.name,) for t in spark.catalog.listTables(target)]
+                # internal staging views (__wv_*) are not user tables
+                rows = [(t.name,) for t in spark.catalog.listTables(target)
+                        if not t.name.startswith("__wv_")]
             except Exception:
                 # `show tables in memory.main` — unknown schema lists empty
                 rows = []

@@ -1554,6 +1554,23 @@ def _from_relation(rel: dict) -> list[str]:
         return left
     if t == "PIVOT":
         return _pivot_relation(rel)
+    if t == "SHOW_REF":
+        # DESCRIBE / SHOW TABLES / SUMMARIZE all serialize as SHOW_REF
+        st = (rel.get("show_type") or "").upper()
+        if st == "SUMMARY":
+            raise SqlImportError(
+                "SUMMARIZE is not supported — the engine analogue is "
+                "the profile_numeric pipeline tool "
+                "(call profile_numeric)")
+        tn = (rel.get("table_name") or "").strip('"')
+        if rel.get("query"):
+            body = "{\n" + _indent(_query_node(rel["query"])) + "\n}"
+            return [f"from {body}", "describe"]
+        if tn == "TABLES":
+            return ["show tables"]
+        if tn and not tn.startswith("__"):
+            return [f"from {_name(tn)}", "describe"]
+        raise SqlImportError(f"unsupported SHOW form {tn!r}")
     lines = [f"from {_rel_ref(rel)}"]
     if rel.get("sample"):
         # table-level TABLESAMPLE
