@@ -841,6 +841,30 @@ ORDER BY o_orderpriority
 """,
 )
 
+# pivot with implicit grouping (`group by *` = every input column not
+# referenced by the pivot column / aggregates — the lowering DuckDB's
+# PIVOT statement imports onto; round-6 continuation)
+q(
+    "pivot_group_all",
+    """
+from orders
+select o_orderpriority, o_orderstatus
+pivot on o_orderstatus in ('F', 'O', 'P')
+group by *
+agg _.count
+order by o_orderpriority
+""",
+    """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
 # unpivot
 q(
     "unpivot_part",
