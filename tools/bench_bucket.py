@@ -33,6 +33,7 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
 
 QUERIES = {
     # the §20 relational floor: bare group-by on the fact key
@@ -54,12 +55,13 @@ QUERIES = {
         FROM {li} l JOIN {od} o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderstatus = 'F'
     """,
-    # q21-flavored self join on the bucket key
+    # q21-flavored self join on the bucket key (testdata lineitem has no
+    # receipt/commit dates — the returnflag filter plays their role)
     "li_self_join": """
         SELECT count(*) AS n FROM {li} l1 JOIN {li} l2
         ON l1.l_orderkey = l2.l_orderkey
         AND l1.l_suppkey <> l2.l_suppkey
-        WHERE l1.l_receiptdate > l1.l_commitdate
+        WHERE l1.l_returnflag = 'R'
     """,
 }
 
