@@ -1567,3 +1567,32 @@ def test_describe_show_summarize_statements(spark):
     assert not [n for n in names if n.startswith("__wv_")]
     with pytest.raises(SqlImportError, match="profile_numeric"):
         ws.to_wvlet("SUMMARIZE SELECT 1 AS x")
+
+
+def test_json_arrow_chains(spark, duck):
+    """Round-6: `->` chains ending in `->>` flatten into one
+    json_extract_string path (DuckDB serializes the -> JSON operator as
+    LAMBDA nodes — indistinguishable from lambdas except by context, so
+    genuine lambdas are now marked at their HOF call sites).  Bare `->`
+    in value position stays a pointed reject: its JSON-typed result
+    (quoted strings, raw objects) has no Spark analogue."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    sql = ("""SELECT '{"a": {"b": [10, 20]}}' -> 'a' -> 'b' ->> 1 AS v, """
+           """'{"a": {"b": "txt"}}' -> 'a' ->> 'b' AS w, """
+           "list_transform([1,2,3], x -> x * 2) AS l, "
+           "list_reduce([1,2,3,4], (a, b) -> a + b) AS r")
+    wv = ws.to_wvlet(sql)
+
+    def norm(row):
+        return [list(x) if isinstance(x, (list, tuple)) else x for x in row]
+
+    got = norm(ws.run(wv).collect()[0])
+    assert got == norm(duck.execute(sql).fetchone())
+    assert got == norm(duck.execute(ws.oracle_sql(wv)).fetchone())
+    with pytest.raises(SqlImportError, match="value position"):
+        ws.to_wvlet("""SELECT '{"a": 1}'::json -> 'a' AS v""")

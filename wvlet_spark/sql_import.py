@@ -1881,6 +1881,24 @@ def _expr(e: dict) -> str:
             f"WHOLE comparison's semantics — fold both operands "
             f"explicitly, e.g. lower(a) = lower(b))")
     if cls == "LAMBDA":
+        if e.get("__hof_lambda__") or e.get("__ix_lambda__"):
+            return _lambda(e)
+        # an unmarked LAMBDA with a literal rhs in value position is the
+        # -> JSON operator (DuckDB serializes both identically).  Its
+        # result is JSON-typed — quoted strings, raw objects — which
+        # Spark's text extraction cannot reproduce, so the bare form is
+        # a pointed reject; chains ENDING in ->> convert exactly.
+        try:
+            _json_path_segment(e["expr"], "->")
+            is_arrow = True
+        except SqlImportError:
+            is_arrow = False
+        if is_arrow:
+            raise SqlImportError(
+                "the -> JSON operator is not supported in value "
+                "position (its JSON-typed result — quoted strings, raw "
+                "objects — has no Spark analogue); use ->> for text "
+                "extraction, including after a -> chain")
         return _lambda(e)
     raise SqlImportError(f"unsupported expression {cls}/{t}")
 
@@ -1949,6 +1967,41 @@ def _subst_aliases(node, amap: dict):
     if isinstance(node, list):
         return [_subst_aliases(v, amap) for v in node]
     return node
+
+
+def _json_path_segment(e: dict, op: str) -> tuple[str, str]:
+    """One `->`/`->>` operand as a JSON path piece: ("seg", ".key") /
+    ("seg", "[n]"), or ("abs", "$...") for a full $-path literal."""
+    key = _literal_str(e)
+    if key is not None:
+        if key.startswith("$"):
+            return ("abs", key)
+        return ("seg", f".{key}")
+    idx = _peel_int(e)
+    if idx is None:
+        raise SqlImportError(
+            f"{op} with a non-literal path is not supported")
+    return ("seg", f"[{idx}]")
+
+
+def _peel_json_arrows(e: dict) -> tuple[dict, list[str]]:
+    """Unwind a `->` chain (nested LAMBDA nodes whose rhs is a literal
+    key/index — DuckDB's parser cannot distinguish the JSON operator
+    from a lambda, so it serializes both identically) into the base
+    expression and path segments in evaluation order."""
+    segs: list[str] = []
+    while isinstance(e, dict) and e.get("class") == "LAMBDA" \
+            and not e.get("__hof_lambda__") and not e.get("__ix_lambda__"):
+        try:
+            kind, s = _json_path_segment(e["expr"], "->")
+        except SqlImportError:
+            break
+        if kind != "seg":
+            break
+        segs.append(s)
+        e = e["lhs"]
+    segs.reverse()
+    return e, segs
 
 
 def _lambda(e: dict) -> str:
@@ -2073,6 +2126,18 @@ def _operator(e: dict) -> str:
     raise SqlImportError(f"unsupported operator {t}")
 
 
+# functions whose lambda arguments are GENUINE lambdas (everywhere else
+# a LAMBDA node is the serialized -> JSON operator)
+_HOF_FNS = {
+    "list_transform", "list_filter", "array_transform", "array_filter",
+    "list_apply", "apply", "transform", "filter", "list_reduce",
+    "reduce", "aggregate", "list_aggregate", "fold", "list_sort",
+    "list_any", "list_all", "any_match", "all_match", "none_match",
+    "map_transform", "transform_keys", "transform_values", "map_filter",
+    "zip_with", "list_zip_with", "list_where",
+}
+
+
 def _function(e: dict) -> str:
     fn = e["function_name"]
     ch = e.get("children") or []
@@ -2083,6 +2148,15 @@ def _function(e: dict) -> str:
         for c in ch:
             if isinstance(c, dict) and c.get("class") == "LAMBDA":
                 c["__ix_lambda__"] = True
+    if fn in _HOF_FNS:
+        # mark GENUINE lambdas (direct arguments of higher-order
+        # functions).  Everywhere else a LAMBDA node is DuckDB's
+        # serialization of the -> JSON operator — the parser cannot
+        # distinguish them (round-6: x -> 'a' previously converted as a
+        # bogus one-parameter lambda in value position)
+        for c in ch:
+            if isinstance(c, dict) and c.get("class") == "LAMBDA":
+                c["__hof_lambda__"] = True
     if e.get("is_operator"):
         if fn == "~~":
             return f"{_maybe_paren(ch[0])}.like({_expr(ch[1])})"
@@ -2092,18 +2166,22 @@ def _function(e: dict) -> str:
             # JSON text-extraction operator: normalize a bare key /
             # array index to a $-path for the engine's
             # json_extract_string (round-5 probe find: passed through
-            # verbatim and broke the wvlet parser)
-            key = _literal_str(ch[1])
-            if key is not None:
-                path = key if key.startswith("$") else f"$.{key}"
-            else:
-                idx = _peel_int(ch[1])
-                if idx is None:
+            # verbatim and broke the wvlet parser).  A `->` chain
+            # feeding the terminal ->> (j -> 'a' -> 1 ->> 'c', which
+            # DuckDB serializes as nested LAMBDA nodes) flattens into
+            # one path — text semantics are exact on both engines.
+            kind, s = _json_path_segment(ch[1], "->>")
+            base, segs = _peel_json_arrows(ch[0])
+            if kind == "abs":
+                if segs:
                     raise SqlImportError(
-                        "->> with a non-literal path is not supported")
-                path = f"$[{idx}]"
+                        "->> with a $-path after a -> chain is not "
+                        "supported")
+                path = s
+            else:
+                path = "$" + "".join(segs) + s
             p = path.replace("'", "''")
-            return f"json_extract_string({_expr(ch[0])}, '{p}')"
+            return f"json_extract_string({_expr(base)}, '{p}')"
         if fn in ("<<", ">>") and len(ch) == 2:
             # bit shifts — named functions (the wvlet grammar has no
             # bitwise operators); the generator renders them as infix
