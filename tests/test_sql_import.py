@@ -500,8 +500,8 @@ def test_star_exclude_replace_group_by_all(spark, duck):
     exclude/transform pipes; GROUP BY ALL infers keys from non-aggregate
     select items; ORDER BY ALL expands positionally; qualified `t.*`
     keeps its qualifier (it previously widened to every join column);
-    arg_max/arg_min map to max_by/min_by; columns() regex is a typed
-    reject."""
+    arg_max/arg_min map to max_by/min_by.  columns() regex converts
+    since the round-6 continuation (see test_columns_regex_select)."""
     from wvlet_spark import WvletSession
     from wvlet_spark.sql_import import SqlImportError
 
@@ -524,8 +524,8 @@ def test_star_exclude_replace_group_by_all(spark, duck):
         got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
         exp = [tuple(r) for r in duck.execute(sql).fetchall()]
         assert sorted(map(str, got)) == sorted(map(str, exp)), sql
-    with pytest.raises(SqlImportError):
-        ws.to_wvlet("SELECT columns('n_.*key') FROM nation")
+    assert "columns_matching" in ws.to_wvlet(
+        "SELECT columns('n_.*key') FROM nation")
 
 
 def test_qualify_with_distinct_on(spark, duck):
@@ -1596,3 +1596,35 @@ def test_json_arrow_chains(spark, duck):
     assert got == norm(duck.execute(ws.oracle_sql(wv)).fetchone())
     with pytest.raises(SqlImportError, match="value position"):
         ws.to_wvlet("""SELECT '{"a": 1}'::json -> 'a' AS v""")
+
+
+def test_columns_regex_select(spark, duck):
+    """Round-6 conversion (previously a typed reject): columns('regex')
+    lowers to the engine's columns_matching(), expanded at generation
+    time against the input schema (same late-binding pattern as pivot
+    `group by *`).  Lambda / renaming forms stay pointed rejects."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+    from wvlet_spark.generator import CompileError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT columns('n_.*key') FROM nation ORDER BY n_nationkey "
+        "LIMIT 5",
+        "SELECT n_name, columns('regionkey') FROM nation "
+        "ORDER BY n_name LIMIT 4",
+        "SELECT columns('^r_') FROM region ORDER BY r_regionkey",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = ws.run(wv)
+        r = duck.execute(sql)
+        assert got.columns == [d[0] for d in r.description], sql
+        exp = r.fetchall()
+        assert [tuple(x) for x in got.collect()] == exp, sql
+        assert duck.execute(ws.oracle_sql(wv)).fetchall() == exp, sql
+    with pytest.raises(SqlImportError, match="columns"):
+        ws.to_wvlet("SELECT columns(c -> c LIKE 'n%') FROM nation")
+    with pytest.raises(CompileError, match="matched no"):
+        ws.run(ws.to_wvlet("SELECT columns('zzz') FROM nation"))

@@ -838,6 +838,11 @@ class SqlGenerator:
                     sel_items.extend(key_items)
                     names.extend(key_names)
                     continue
+                cm = self._expand_columns_matching(it, b)
+                if cm is not None:
+                    sel_items.extend(self.q(c) for c in cm)
+                    names.extend(cm)
+                    continue
                 sel_items.append(self._select_item(it, group_keys=b.group_keys))
                 names.append(self._item_name(it))
             b.select = sel_items
@@ -875,6 +880,11 @@ class SqlGenerator:
                 sel.append("*" if not it.qualifier else f"{self.q(it.qualifier)}.*")
                 if b.columns:
                     names.extend(b.columns)
+                continue
+            cm = self._expand_columns_matching(it, b)
+            if cm is not None:
+                sel.extend(self.q(c) for c in cm)
+                names.extend(cm)
                 continue
             sel.append(self._select_item(it))
             names.append(self._item_name(it))
@@ -927,6 +937,32 @@ class SqlGenerator:
         name = k.alias or self._derived_name(e)
         sql = self.expr(e)
         return [(f"{sql} AS {self.q(name)}" if k.alias else sql, name)]
+
+    def _expand_columns_matching(self, it, b) -> list[str] | None:
+        """Child columns matched by a `columns_matching('regex')` select
+        item (the lowering DuckDB's columns() imports onto; expanded
+        here, where the input schema is known), else None."""
+        e = it.expr if isinstance(it, N.NamedExpr) else None
+        if not isinstance(e, N.FunctionApply) \
+                or e.name.lower() != "columns_matching" \
+                or len(e.args) != 1 \
+                or not isinstance(e.args[0], N.Literal) \
+                or e.args[0].kind != "string":
+            return None
+        if it.alias:
+            raise CompileError(
+                "columns_matching() cannot be aliased (DuckDB renames "
+                "via regex capture groups — not supported)")
+        if b.columns is None:
+            raise CompileError(
+                "columns_matching() requires known input columns")
+        rx = re.compile(str(e.args[0].value))
+        cols = [c for c in b.columns if rx.search(c)]
+        if not cols:
+            raise CompileError(
+                f"columns_matching({e.args[0].value!r}) matched no "
+                f"input columns")
+        return cols
 
     def _select_item(self, it: N.NamedExpr, group_keys=None) -> str:
         # a bare identifier naming an aliased group key resolves to that

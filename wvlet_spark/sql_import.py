@@ -1186,7 +1186,9 @@ def _select_node(node: dict) -> list[str]:
         covers_all = False
         for it in node.get("select_list") or []:
             if it.get("class") == "STAR":
-                if not it.get("relation_name"):
+                # a columns('regex') STAR projects a SUBSET — it never
+                # covers every qualify reference
+                if not it.get("relation_name") and not it.get("columns"):
                     covers_all = True
             elif it.get("alias"):
                 projected.add(it["alias"])
@@ -1428,6 +1430,20 @@ def _modifiers(node: dict) -> list[str]:
 
 def _select_item(e: dict) -> str:
     alias = e.get("alias") or ""
+    if e.get("class") == "STAR" and e.get("columns"):
+        # columns('regex') — dynamic column selection.  Lowers to the
+        # engine's columns_matching(), expanded at generation time where
+        # the input schema is known (round-6; previously a typed
+        # reject).  Lambda / renaming forms stay rejected.
+        ex = e.get("expr") or {}
+        rx = _literal_str(ex)
+        if rx is None or alias or e.get("exclude_list") \
+                or e.get("replace_list"):
+            raise SqlImportError(
+                "columns() with a lambda, alias, or EXCLUDE/REPLACE "
+                "is not supported — only columns('regex')")
+        esc = rx.replace("\\", "\\\\").replace("'", "\\'")
+        return f"columns_matching('{esc}')"
     s = _expr(e)
     if alias:
         return f"{_name(alias)} = {s}"
