@@ -56,7 +56,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/wv/sf1")
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma list to generate only some tables "
+                         "(e.g. documents,embeddings for a doc-ops "
+                         "scale corpus without the 17 GB TPC-H side)")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
+
+    def wanted(t: str) -> bool:
+        return only is None or t in only
     os.makedirs(args.out, exist_ok=True)
 
     import duckdb
@@ -74,11 +82,15 @@ def main() -> None:
 
     # fixed dimensions
     for t in ("region", "nation"):
+        if not wanted(t):
+            continue
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                     f"TO '{args.out}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 131072)")
 
     # key-shifted replicas, one COPY per table (replica id from range())
     for t, shifts in SHIFTS.items():
+        if not wanted(t):
+            continue
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
         sel = ", ".join(
@@ -93,12 +105,12 @@ def main() -> None:
     # one replica at a time through a ParquetWriter — at --replicas 1000
     # (sf100) the old accumulate-everything dict held ~5 GB of Python
     # strings before the single write.
-    rows = con.execute(
+    rows = [] if not wanted("documents") else con.execute(
         f"SELECT doc_id, text, lang, source, n_chars "
         f"FROM '{SRC}/documents.parquet' ORDER BY doc_id").fetchall()
-    stride_d = max(r[0] for r in rows) + 1
+    stride_d = max((r[0] for r in rows), default=0) + 1
     dwriter = None
-    for rep in range(args.replicas):
+    for rep in range(args.replicas if rows else 0):
         out = {"doc_id": [], "text": [], "lang": [], "source": [],
                "n_chars": []}
         for doc_id, text, lang, source, n_chars in rows:
@@ -116,16 +128,17 @@ def main() -> None:
             dwriter = pq.ParquetWriter(f"{args.out}/documents.parquet",
                                        tbl.schema)
         dwriter.write_table(tbl, row_group_size=65536)
-    dwriter.close()
+    if dwriter is not None:
+        dwriter.close()
 
     # embeddings: deterministic per-replica noise
-    vecs = con.execute(
+    vecs = [] if not wanted("embeddings") else con.execute(
         f"SELECT vec_id, embedding, label "
         f"FROM '{SRC}/embeddings.parquet' ORDER BY vec_id").fetchall()
-    stride_v = max(r[0] for r in vecs) + 1
-    dim = len(vecs[0][1])
+    stride_v = max((r[0] for r in vecs), default=0) + 1
+    dim = len(vecs[0][1]) if vecs else 0
     vwriter = None
-    for rep in range(args.replicas):
+    for rep in range(args.replicas if vecs else 0):
         rng = np.random.RandomState(rep)
         ids, embs, labels = [], [], []
         for vec_id, emb, label in vecs:
@@ -142,7 +155,8 @@ def main() -> None:
             vwriter = pq.ParquetWriter(f"{args.out}/embeddings.parquet",
                                        tbl.schema)
         vwriter.write_table(tbl, row_group_size=65536)
-    vwriter.close()
+    if vwriter is not None:
+        vwriter.close()
 
     for f in sorted(os.listdir(args.out)):
         n = con.execute(
