@@ -300,46 +300,45 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         ])).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # materialize the banded table: it feeds the hot-bucket aggregate AND
-    # both sides of the self-join — without this the explode + per-band
-    # xxhash64 over (docs x bands) rows is recomputed 3x (measured 12 s
-    # per evaluation at sf10).  (id, band, bucket) is 24 B/row, far
-    # smaller than the inputs; at cluster scale this is "write the banded
-    # table, then join", the same staging as the signature table above.
-    banded = banded.localCheckpoint()
-
-    # ELIGIBLE buckets in one aggregation: a bucket feeds the candidate
-    # join only when it actually collides (count >= 2) and is not
-    # degenerate (count <= max_bucket_size — the 100 TB hot-bucket guard:
-    # a boilerplate/empty-doc shingle can put millions of docs in one
-    # bucket = quadratic blowup; dropping it loses only pairs that
-    # collide NOWHERE else, the standard LSH trade).  In organic corpora
-    # almost every banded row is a singleton, so this filter shrinks the
-    # self-join inputs from |docs x bands| to ~|colliding docs| — AQE
-    # sees the post-join size at runtime and picks broadcast when small.
-    counts = banded.groupBy("band", "bucket").count()
-    eligible = counts.filter(F.col("count") >= 2)
+    # candidate pairs in ONE shuffle: gather each (band, bucket)'s member
+    # ids and explode the in-bucket combinations with JVM array
+    # expressions.  The previous shape (count aggregate -> join eligible
+    # buckets back -> bucket self-join) shuffled the 24 B/row banded
+    # table THREE times and needed it checkpointed; this shape shuffles
+    # it once into collect_list and reads it never again (round-6 5M-doc
+    # profile: candidate stage 79 s -> ~25 s, banded checkpoint — 42 s
+    # of write — deleted).  The hot-bucket guard is unchanged: a bucket
+    # larger than max_bucket_size is dropped BEFORE pair explosion (at
+    # 100 TB a degenerate shingle bucket is quadratic; dropping it loses
+    # only pairs that collide nowhere else — the standard LSH trade).
+    # The per-group list is bounded by that same cap (5000 ids = 40 KB),
+    # so collect_list cannot blow an executor.
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.collect_list(id_col).alias("__ids")))
+    buckets = buckets.filter(F.size("__ids") >= 2)
     if max_bucket_size is not None:
-        eligible = eligible.filter(F.col("count") <= max_bucket_size)
-    kept = banded.join(eligible.select("band", "bucket"),
-                       on=["band", "bucket"])
-
-    left = kept.alias("l")
-    right = kept.alias("r")
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    ids_s = F.array_sort("__ids")
+    pair_arr = F.flatten(F.transform(
+        ids_s,
+        lambda x, i: F.transform(
+            F.slice(ids_s, i + F.lit(2),
+                    F.greatest(F.size(ids_s) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
     cand = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # materialize the candidate set before re-attaching signatures: the
+    # two sig joins below otherwise RECOMPUTE the banded self-join
+    # lineage (round-6 5M-doc profile: verify 147 s lazy vs 12 s
+    # materialized), and the checkpoint also gives AQE the true (small)
+    # size so it broadcasts the candidates instead of shuffling the
+    # signature table
+    cand = cand.localCheckpoint()
+    cand = (
+        cand
         .join(sigs.select(F.col(id_col).alias("id_a"),
                           F.col("minhash").alias("sig_a")), on="id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"),
