@@ -1025,6 +1025,51 @@ LIMIT 200
 """,
 )
 
+# step slices (round-6 continuation: l[lo:hi:step] with DuckDB clamping
+# semantics — the Spark dialect filters the 1..size position sequence,
+# the DuckDB dialect uses 4-arg list_slice)
+q(
+    "array_step_slice",
+    """
+from lineitem
+where l_orderkey <= 2000
+select
+  l_orderkey,
+  l_linenumber,
+  s1 = to_json(array_slice([l_linenumber, l_partkey % 7, l_suppkey % 5, 4, 5, 6], 2, 6, 2)),
+  s2 = to_json(array_slice(sequence(1, l_linenumber + 6), -4, -1, 3)),
+  s3 = to_json(array_slice([1, 2, 3], -100, 100, 2))
+order by l_orderkey, l_linenumber
+""",
+    """
+SELECT l_orderkey, l_linenumber,
+  to_json(list_slice([l_linenumber, l_partkey % 7, l_suppkey % 5, 4, 5, 6], 2, 6, 2))::varchar AS s1,
+  to_json(list_slice(generate_series(1, l_linenumber + 6), -4, -1, 3))::varchar AS s2,
+  to_json(list_slice([1, 2, 3], -100, 100, 2))::varchar AS s3
+FROM lineitem
+WHERE l_orderkey <= 2000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+
+# columns_matching (round-6 continuation: schema-expanded regex column
+# selection — DuckDB's columns() imports onto this)
+q(
+    "columns_regex",
+    """
+from lineitem
+where l_orderkey <= 1000
+select l_orderkey, l_linenumber, columns_matching('^l_.*(price|disc)')
+order by l_orderkey, l_linenumber
+""",
+    """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+
 
 # ---------------------------------------------------------------------------
 # TPC-H remainder (adapted to the slim testdata schema: no partsupp,
