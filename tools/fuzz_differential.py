@@ -937,9 +937,31 @@ def sqlshape_interval_grid(rng):
 
 def sqlshape_newfns(rng):
     """Round-6 conversions under fuzz: entropy / gcd / lcm / list_zip /
-    NULL-skipping product over live table columns."""
+    NULL-skipping product / columns('regex') / -> chains ending in ->>
+    over live table columns."""
     lim = rng.randint(100, 1200)
-    pick = rng.randrange(4)
+    pick = rng.randrange(6)
+    if pick == 4:
+        rx = rng.choice(["^o_.*key", "status|priority", "o_.*date",
+                         "key$", "^o_(?!c)"])
+        # (?!...) is a lookahead neither RE2 nor Python re rejects;
+        # keep patterns both engines accept
+        if "(?!" in rx:
+            rx = "^o_t"
+        return (f"SELECT o_orderkey, columns('{rx}') FROM orders "
+                f"WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    if pick == 5:
+        key = rng.choice(["device", "plan", "country"])
+        idx = rng.randint(0, 2)
+        form = rng.randrange(3)
+        if form == 0:
+            e = f"props ->> '{key}'"
+        elif form == 1:
+            e = f"('{{\"a\": {{\"b\": [5, 6, 7]}}}}' -> 'a' -> 'b') ->> {idx}"
+        else:
+            e = f"('{{\"k\": {{\"x\": 1}}}}' -> 'k') ->> 'x'"
+        return (f"SELECT event_id, {e} AS v FROM events "
+                f"WHERE event_id <= {lim} ORDER BY event_id")
     if pick == 0:
         col = rng.choice(["o_orderstatus", "o_orderpriority",
                           "o_custkey % 9", "year(o_orderdate)"])
