@@ -183,17 +183,51 @@ def test_env_kill_switch(monkeypatch):
 
 
 def test_q5_compiles_reordered_and_matches(ws, duck):
-    """End-to-end: the session compiles Q5 with the dimension chain first
-    and the result still hash-matches the DuckDB oracle."""
+    """End-to-end: with broadcast disabled (so the test data's toy scale
+    is costed like a shuffle-bound cluster), the session compiles Q5 with
+    the dimension chain first and the result still hash-matches the
+    DuckDB oracle."""
     from wvlet_spark.oracle import compare
     from wvlet_spark.suite import SUITE
 
     wv, osql = SUITE["tpch_q5"]
-    sql = ws.compile_to_sql(wv)
-    body = sql.split(" WHERE ")[0]
-    assert body.index("region") < body.index("lineitem")
-    good, msg = compare(ws.run(wv), duck, osql)
-    assert good, msg
+    old = ws.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ws.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sql = ws.compile_to_sql(wv)
+        body = sql.split(" WHERE ")[0]
+        assert body.index("region") < body.index("lineitem")
+        good, msg = compare(ws.run(wv), duck, osql)
+        assert good, msg
+    finally:
+        ws.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_all_broadcast_chain_is_never_rewritten():
+    """Round-7 regression pin (round-6 verdict: sf1 q7 +38% from a
+    reorder that turned a BroadcastHashJoin into a SortMergeJoin).  At a
+    scale where every relation but one fits the broadcast threshold the
+    written order is already shuffle-free, so the reorderer must leave
+    it alone even when C_out says another order has smaller
+    intermediates."""
+    stats = _tpch_stats(scale=10)   # sf ~0.001: every table tiny
+    tree = _q5_tree()
+    out = reorder_joins(tree, SCHEMAS.get, stats.get,
+                        broadcast_bytes=10 << 20)
+    assert out is tree
+
+
+def test_shuffle_scale_still_reorders_with_broadcast_threshold():
+    """The sf100-shaped win must survive the broadcast gate: with the
+    default 10 MB threshold and sf100-sized stats, written-order Q5
+    shuffles two fact tables first and the reorderer still fires."""
+    stats = _tpch_stats()           # sf100-ish: facts far above threshold
+    rel = reorder_joins(_q5_tree(), SCHEMAS.get, stats.get,
+                        broadcast_bytes=10 << 20)
+    assert isinstance(rel, N.Filter)
+    order = _leaf_order(rel.child)
+    assert order[0] in ("region", "nation")
+    assert order.index("lineitem") >= 3
 
 
 # ---------------------------------------------------------------- on/off

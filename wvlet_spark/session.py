@@ -236,7 +236,19 @@ class WvletSession:
         conjunct and only permutes inner/cross chain operands."""
         from wvlet_spark.joinorder import reorder_joins
 
-        return reorder_joins(plan, self.table_columns, self._table_stats)
+        return reorder_joins(plan, self.table_columns, self._table_stats,
+                             broadcast_bytes=self._broadcast_threshold())
+
+    def _broadcast_threshold(self):
+        """The session's autoBroadcastJoinThreshold in bytes (None when
+        unreadable -> joinorder falls back to Spark's 10 MB default).
+        The cost model treats a join step whose smaller side fits this
+        as shuffle-free, matching what AQE does at runtime."""
+        try:
+            v = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        except Exception:
+            return None
+        return _parse_byte_conf(v)
 
     def _table_stats(self, name: str):
         """Footer stats for a bare-scan table/view; None disqualifies the
@@ -1356,6 +1368,24 @@ class WvletSession:
     def oracle_sql(self, text: str) -> str:
         """DuckDB-dialect SQL for the same query (for cross-checking)."""
         return self.compile_to_sql(text, dialect=DUCKDB)
+
+
+def _parse_byte_conf(v) -> int | None:
+    """Spark size-conf string -> bytes ("10485760", "10MB", "10m", "-1");
+    None when unparseable.  Bare numbers are bytes (Spark's convention
+    for autoBroadcastJoinThreshold)."""
+    import re
+
+    if v is None:
+        return None
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([kmgtp]?b?)", s)
+    if m is None:
+        return None
+    n = int(m.group(1))
+    unit = m.group(2).rstrip("b")
+    shift = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}[unit]
+    return n << shift if n >= 0 else n
 
 
 def _tree_contains(rel, types: tuple) -> bool:
