@@ -342,3 +342,35 @@ def test_imported_index_lambda_shifts_to_zero_base(ws, duck):
     assert got == exp
     assert got[0][1] == ["a", "c"]          # DuckDB 1-based: i%2=1 -> 1st, 3rd
     assert got[0][2] == ["p1", "q2"]
+
+
+def test_sequence_nonliteral_and_interval_step_guards(ws, duck):
+    """Round-7 ADVICE fixes: (a) a wrong-sign NON-literal step used to
+    THROW on Spark where DuckDB's generate_series returns [] — the
+    type-agnostic (s - s) zero guard converts it; (b) the same guard
+    covers interval steps over dates; (c) a bare-NULL bound borrows its
+    element type from the non-null bound instead of hardcoding
+    array<int> (sequence(NULL, date) used to render cast(null as
+    array<int>))."""
+    q = ("from [[3], [0-3]] as t(x)\n"
+         "select x, a = sequence(1, 5, x), b = sequence(5, 1, x),\n"
+         "  c = sequence(4, 4, x)\n"
+         "order by x")
+    got = [(r.x, list(r.a) if r.a is not None else None,
+            list(r.b) if r.b is not None else None,
+            list(r.c) if r.c is not None else None)
+           for r in ws.run(q).collect()]
+    assert got == [(-3, [], [5, 2], [4]), (3, [1, 4], [], [4])]
+
+    # interval step, wrong sign over dates: [] on both engines (no throw)
+    q2 = ("from [[1]] as t(x)\n"
+          "select n = size(sequence('2020-01-03'::date,"
+          " '2020-01-01'::date, interval 1 day))")
+    assert ws.run(q2).collect()[0].n == 0
+
+    # NULL bound typed from the other bound: result is a NULL array of
+    # DATE (not int) — combining with a date array must analyze
+    q3 = ("from [[1]] as t(x)\n"
+          "select v = concat(sequence(null, '2020-01-05'::date),\n"
+          "  sequence('2020-01-01'::date, '2020-01-02'::date))")
+    assert ws.run(q3).collect()[0].v is None  # concat(NULL, arr) = NULL

@@ -110,6 +110,36 @@ def test_minhash_shuffle_carries_slim_rows(spark):
         assert "text#" not in header, "document text crossed a shuffle"
 
 
+def test_minhash_candidate_stage_caps_before_collect_and_one_exchange(spark):
+    """Round-7 ADVICE fix pin: the hot-bucket cap must drop degenerate
+    (band, bucket) groups BEFORE collect_list (a 1M-id bucket would
+    otherwise build its whole list — and with the cap off, a quadratic
+    pair array — inside one unspillable aggregation buffer), and the
+    window count that enforces it must REUSE the aggregation's hash
+    partitioning: exactly one exchange in the candidate stage."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.dedup import _bucket_candidate_pairs
+
+    banded = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("band"),
+        (F.col("id") % 13).alias("bucket"))
+    cand = _bucket_candidate_pairs(banded, "doc_id", max_bucket_size=50)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange feeds window + aggregate (dropDuplicates adds its
+    # own over (id_a, id_b) — different keys, necessarily separate)
+    stage = plan.split("Window")[-1]
+    assert plan.count("Exchange hashpartitioning(band") == 1
+    assert plan.count("Window") == 1
+    # the cap filter consumes the window's __n BELOW the collect_list
+    # aggregate (executedPlan prints top-down: aggregate above window)
+    assert plan.index("collect_list") < plan.index("Window")
+    assert "collect_list" not in stage  # nothing aggregates below the window
+    rows = {(r.id_a, r.id_b) for r in cand.collect()}
+    # groups are (band,bucket) residue classes of size ~5 -> pairs exist
+    assert rows and all(a < b for a, b in rows)
+
+
 def test_filter_pushdown_on_file_scan(ws):
     plan = _plan(ws.run(
         "from lineitem where l_shipdate <= '1998-09-02'::date "

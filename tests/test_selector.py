@@ -95,3 +95,18 @@ def test_run_selection_preview(ws):
 def test_run_selection_multi(ws):
     df = ws.run_selection(MULTI, line=2, mode="single")
     assert df.columns == ["r_regionkey"]
+
+
+def test_columns_regex_lookahead_dialect_gap(ws, duck):
+    """Documented dialect divergence (round-7 ADVICE): the engine expands
+    columns('regex') with Python re, which accepts lookaheads; DuckDB's
+    COLUMNS() uses RE2, which rejects them.  Pin both behaviors so the
+    gap stays known — and keep lookaheads out of the differential fuzz
+    (tools/fuzz_differential.py sqlshape_newfns)."""
+    import duckdb
+
+    q = "from orders select columns_matching('^o_(?!c)') limit 1"
+    cols = set(ws.run(q).columns)
+    assert "o_orderkey" in cols and "o_custkey" not in cols
+    with pytest.raises(duckdb.Error):
+        duck.execute("SELECT COLUMNS('^o_(?!c)') FROM orders LIMIT 1")

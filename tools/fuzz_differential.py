@@ -942,12 +942,14 @@ def sqlshape_newfns(rng):
     lim = rng.randint(100, 1200)
     pick = rng.randrange(6)
     if pick == 4:
+        # lookaheads like (?!...) are EXCLUDED by construction: DuckDB's
+        # COLUMNS() regex engine is RE2, which rejects them, while the
+        # engine's _expand_columns_matching uses Python re, which accepts
+        # them — a real dialect divergence this differential fuzz cannot
+        # referee (the oracle side errors).  Pinned instead by
+        # test_selector.py::test_columns_regex_lookahead_dialect_gap.
         rx = rng.choice(["^o_.*key", "status|priority", "o_.*date",
-                         "key$", "^o_(?!c)"])
-        # (?!...) is a lookahead neither RE2 nor Python re rejects;
-        # keep patterns both engines accept
-        if "(?!" in rx:
-            rx = "^o_t"
+                         "key$", "^o_t"])
         return (f"SELECT o_orderkey, columns('{rx}') FROM orders "
                 f"WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
     if pick == 5:

@@ -1859,9 +1859,15 @@ class SqlGenerator:
             # sequence; least() keeps the branch typed when one bound is
             # a bare NULL literal).  A bare-NULL argument renders as a
             # typed constant NULL: sequence(NULL, NULL) does not even
-            # analyze.  Date/timestamp series (interval or non-literal
-            # step) keep plain sequence — the sign arithmetic only
-            # exists for integers, and date bounds cross legitimately.
+            # analyze — the null's ELEMENT type is borrowed from a
+            # non-null bound when one exists (case-null against a
+            # 1-element sequence of that bound; round-6 ADVICE: the
+            # earlier hardcoded array<int> broke date/bigint series
+            # combined with typed arrays).  Non-literal steps get a
+            # type-agnostic runtime sign guard: the step's zero is
+            # (s - s), which exists for integers AND intervals, so
+            # date/timestamp series are guarded too (wrong-sign
+            # non-literal step used to THROW where DuckDB returns []).
             args = [self.expr(x) for x in e.args]
             if self.dialect != SPARK:
                 core = f"generate_series({', '.join(args)})"
@@ -1874,7 +1880,14 @@ class SqlGenerator:
                 empty = (f"slice(sequence(least({a}, {b2}), "
                          f"least({a}, {b2})), 1, 0)")
                 if any(_null_lit(x) for x in e.args):
-                    core = "cast(null as array<int>)"
+                    bound = next(
+                        (v for x, v in zip(e.args[:2], args[:2])
+                         if not _null_lit(x)), None)
+                    if bound is None:
+                        core = "cast(null as array<int>)"
+                    else:
+                        core = (f"(case when true then null else "
+                                f"sequence({bound}, {bound}) end)")
                 elif len(args) == 2:
                     cond = (f"(({a}) is null) or (({b2}) is null) "
                             f"or (({a}) <= ({b2}))")
@@ -1888,7 +1901,22 @@ class SqlGenerator:
                             f"sequence({a}, {b2}, {s})"
                             f" else {empty} end)")
                 else:
-                    core = f"sequence({', '.join(args)})"
+                    # non-literal / interval step: sign unknown at
+                    # compile time.  (s - s) is the zero of s's own type
+                    # (0 for integers, a zero interval for intervals),
+                    # so (b > a) = (s > zero) detects a wrong-sign step
+                    # without knowing the type; equal bounds accept any
+                    # sign (sequence(5,5,-1) = [5] on both engines), and
+                    # a NULL anywhere flows to sequence() which returns
+                    # NULL like generate_series.
+                    s = args[2]
+                    zero = f"(({s}) - ({s}))"
+                    cond = (f"(({a}) is null) or (({b2}) is null) or "
+                            f"(({s}) is null) or (({a}) = ({b2})) or "
+                            f"((({b2}) > ({a})) = (({s}) > {zero}))")
+                    core = (f"(case when {cond} then "
+                            f"sequence({a}, {b2}, {s})"
+                            f" else {empty} end)")
         elif e.name.lower() in ("shiftleft", "shiftright") \
                 and len(e.args) == 2 and self.dialect == DUCKDB:
             # Spark names the shifts; DuckDB only has the operators

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def _tokens(text_col: str):
@@ -233,6 +233,37 @@ def _minhash_signatures_portable(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
+def _bucket_candidate_pairs(banded: DataFrame, id_col: str,
+                            max_bucket_size: int | None) -> DataFrame:
+    """(id, band, bucket) rows -> distinct candidate (id_a, id_b) pairs,
+    id_a < id_b, in exactly one shuffle (plan-asserted in test_plans).
+
+    The hot-bucket cap is enforced with a window count over the same
+    (band, bucket) keys BEFORE collect_list: the window reuses the
+    aggregation's hash partitioning (no extra exchange) and its per-group
+    row buffer spills to disk, so a degenerate bucket is dropped without
+    ever building its id list in an unspillable aggregation buffer."""
+    w = W.partitionBy("band", "bucket")
+    sized = banded.withColumn("__n", F.count(F.lit(1)).over(w))
+    sized = sized.filter(F.col("__n") >= 2)
+    if max_bucket_size is not None:
+        sized = sized.filter(F.col("__n") <= max_bucket_size)
+    buckets = (sized.drop("__n").groupBy("band", "bucket")
+               .agg(F.collect_list(id_col).alias("__ids")))
+    ids_s = F.array_sort("__ids")
+    pair_arr = F.flatten(F.transform(
+        ids_s,
+        lambda x, i: F.transform(
+            F.slice(ids_s, i + F.lit(2),
+                    F.greatest(F.size(ids_s) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                            threshold: float = 0.7,
@@ -305,31 +336,22 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     # expressions.  The previous shape (count aggregate -> join eligible
     # buckets back -> bucket self-join) shuffled the 24 B/row banded
     # table THREE times and needed it checkpointed; this shape shuffles
-    # it once into collect_list and reads it never again (round-6 5M-doc
-    # profile: candidate stage 79 s -> ~25 s, banded checkpoint — 42 s
-    # of write — deleted).  The hot-bucket guard is unchanged: a bucket
-    # larger than max_bucket_size is dropped BEFORE pair explosion (at
-    # 100 TB a degenerate shingle bucket is quadratic; dropping it loses
-    # only pairs that collide nowhere else — the standard LSH trade).
-    # The per-group list is bounded by that same cap (5000 ids = 40 KB),
-    # so collect_list cannot blow an executor.
-    buckets = (banded.groupBy("band", "bucket")
-               .agg(F.collect_list(id_col).alias("__ids")))
-    buckets = buckets.filter(F.size("__ids") >= 2)
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
-    ids_s = F.array_sort("__ids")
-    pair_arr = F.flatten(F.transform(
-        ids_s,
-        lambda x, i: F.transform(
-            F.slice(ids_s, i + F.lit(2),
-                    F.greatest(F.size(ids_s) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # it once and reads it never again (round-6 5M-doc profile:
+    # candidate stage 79 s -> ~25 s, banded checkpoint — 42 s of write —
+    # deleted).  The hot-bucket guard runs BEFORE collect_list as a
+    # window count over the same (band, bucket) keys: the window shares
+    # the groupBy's hash partitioning (still exactly one exchange —
+    # plan-asserted in tests) and WindowExec's per-group row buffer
+    # spills to disk, so a degenerate million-member bucket is counted
+    # and DROPPED without ever materializing its id list in an
+    # aggregation buffer (which cannot spill within one group — a 1M-id
+    # bucket would otherwise build the full list, and with the cap off,
+    # a quadratic 5*10^11-struct pair array, in executor memory).
+    # Surviving groups are bounded by the cap (5000 ids = 40 KB), so the
+    # collect_list below is safe.  With max_bucket_size=None there is no
+    # bound — acceptable only for small exact-recall runs, as the
+    # docstring warns.
+    cand = _bucket_candidate_pairs(banded, id_col, max_bucket_size)
     # materialize the candidate set before re-attaching signatures: the
     # two sig joins below otherwise RECOMPUTE the banded self-join
     # lineage (round-6 5M-doc profile: verify 147 s lazy vs 12 s

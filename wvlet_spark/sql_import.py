@@ -1987,11 +1987,24 @@ def _subst_aliases(node, amap: dict):
 
 def _json_path_segment(e: dict, op: str) -> tuple[str, str]:
     """One `->`/`->>` operand as a JSON path piece: ("seg", ".key") /
-    ("seg", "[n]"), or ("abs", "$...") for a full $-path literal."""
+    ("seg", "[n]"), or ("abs", "$...") for a full $-path literal.
+
+    Keys are spliced into a dot-path consumed by BOTH targets (Spark
+    get_json_object, DuckDB json_extract_string), whose quoting syntaxes
+    are disjoint (Spark `$['a.b']` vs DuckDB `$."a.b"`) — so a key with
+    path metacharacters has no portable rendering and must be a typed
+    reject, not a silently wrong path (j ->> 'a.b' would otherwise read
+    the nested field b under a)."""
     key = _literal_str(e)
     if key is not None:
         if key.startswith("$"):
             return ("abs", key)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+            raise SqlImportError(
+                f"{op} key {key!r} contains JSON-path metacharacters; "
+                f"no path quoting works on both engines — rewrite with "
+                f"an explicit json_extract_string($-path) if the key is "
+                f"plain")
         return ("seg", f".{key}")
     idx = _peel_int(e)
     if idx is None:
@@ -2011,6 +2024,11 @@ def _peel_json_arrows(e: dict) -> tuple[dict, list[str]]:
         try:
             kind, s = _json_path_segment(e["expr"], "->")
         except SqlImportError:
+            if _literal_str(e["expr"]) is not None:
+                # a literal KEY that has no portable path rendering
+                # (metacharacters) — propagate the typed reject; breaking
+                # here would leak `x -> 'a.b'` verbatim into the output
+                raise
             break
         if kind != "seg":
             break
