@@ -1097,8 +1097,12 @@ def test_quantified_comparisons_and_positional_reject(spark, duck):
         got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
         exp = [tuple(r) for r in duck.execute(sql).fetchall()]
         assert got == exp, sql
-    with pytest.raises(SqlImportError, match="POSITIONAL"):
-        ws.to_wvlet("SELECT * FROM nation POSITIONAL JOIN region")
+    # POSITIONAL JOIN converts since round 7 (row_number zip) — the
+    # round-5 cartesian regression stays covered by the conversion test
+    psql = "SELECT * FROM nation POSITIONAL JOIN region"
+    got = sorted(map(str, (tuple(r)
+                           for r in ws.run(ws.to_wvlet(psql)).collect())))
+    assert got == sorted(map(str, duck.execute(psql).fetchall()))
 
 
 def test_ilike_operators(spark, duck):
@@ -1628,3 +1632,85 @@ def test_columns_regex_select(spark, duck):
         ws.to_wvlet("SELECT columns(c -> c LIKE 'n%') FROM nation")
     with pytest.raises(CompileError, match="matched no"):
         ws.run(ws.to_wvlet("SELECT columns('zzz') FROM nation"))
+
+
+def test_positional_join_converts(spark, duck):
+    """Round-7 conversion (previously a typed reject): POSITIONAL JOIN
+    lowers to a row_number zip — each side numbered in scan order
+    (scan_position()), FULL-joined on the position so the shorter side
+    NULL-pads like DuckDB.  Qualified references and star projections
+    both survive; chaining with another join stays a pointed reject."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        # aligned subqueries (the canonical use: zip two ordered columns)
+        "SELECT n_name, r_name FROM (SELECT n_name FROM nation "
+        "ORDER BY n_nationkey LIMIT 5) a POSITIONAL JOIN "
+        "(SELECT r_name FROM region ORDER BY r_regionkey) b",
+        # unequal lengths -> NULL padding + qualified refs
+        "SELECT a.n_name, b.r_name FROM (SELECT n_name FROM nation "
+        "ORDER BY n_nationkey LIMIT 7) a POSITIONAL JOIN "
+        "(SELECT r_name FROM region ORDER BY r_regionkey) b",
+        # base tables, table-name qualifiers
+        "SELECT nation.n_name, r.r_name FROM nation POSITIONAL JOIN "
+        "region r",
+        # star projection must not leak the __pos helper
+        "SELECT * FROM (SELECT n_name FROM nation ORDER BY n_nationkey "
+        "LIMIT 3) a POSITIONAL JOIN (SELECT r_name FROM region "
+        "ORDER BY r_regionkey LIMIT 3) b",
+        # WHERE with a qualified ref before the projection
+        "SELECT n_name, r_name FROM nation POSITIONAL JOIN region "
+        "WHERE region.r_regionkey >= 1",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = sorted(map(str, (tuple(r) for r in ws.run(wv).collect())))
+        exp = sorted(map(str, duck.execute(sql).fetchall()))
+        assert got == exp, sql
+        # the zip is also expressible in the DuckDB dialect (oracle path)
+        osql = ws.oracle_sql(wv)
+        assert sorted(map(str, duck.execute(osql).fetchall())) == exp, sql
+    with pytest.raises(SqlImportError, match="POSITIONAL"):
+        ws.to_wvlet("SELECT 1 FROM nation POSITIONAL JOIN region "
+                    "POSITIONAL JOIN customer")
+
+
+def test_summarize_converts(spark, duck):
+    """Round-7 conversion (previously a typed reject): SUMMARIZE tbl ->
+    call profile_numeric(table='tbl') — one row per column with exact
+    count / nulls / distinct / min / max / mean.  Exact columns are
+    oracle-pinned against DuckDB aggregates and DuckDB's own SUMMARIZE;
+    the subquery form stays a pointed reject."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    wv = ws.to_wvlet("SUMMARIZE nation")
+    rows = {r.col_name: r for r in ws.run(wv).collect()}
+    assert set(rows) == {"n_nationkey", "n_name", "n_regionkey",
+                         "n_comment"}
+    for c in ("n_nationkey", "n_regionkey"):
+        exp = duck.execute(
+            f"SELECT count({c}), count(*) - count({c}), "
+            f"count(distinct {c}), round(min({c}), 4), "
+            f"round(max({c}), 4), round(avg({c}), 4) FROM nation"
+        ).fetchone()
+        r = rows[c]
+        assert (r.n, r.nulls, r.n_distinct, r.min_v, r.max_v,
+                r.mean_v) == exp, c
+    # cross-check against DuckDB's own SUMMARIZE (count / min / max)
+    s = {x[0]: x for x in duck.execute("SUMMARIZE nation").fetchall()}
+    r = rows["n_nationkey"]
+    assert (str(int(r.min_v)), str(int(r.max_v)), r.n) == \
+        (s["n_nationkey"][2], s["n_nationkey"][3], s["n_nationkey"][-2])
+    # non-numeric columns profile row counts, not castable stats
+    assert rows["n_name"].n == 25 and rows["n_name"].nulls == 0 \
+        and rows["n_name"].n_distinct == 25 \
+        and rows["n_name"].min_v is None
+    with pytest.raises(SqlImportError, match="SUMMARIZE"):
+        ws.to_wvlet("SUMMARIZE SELECT * FROM nation")

@@ -1917,6 +1917,17 @@ class SqlGenerator:
                     core = (f"(case when {cond} then "
                             f"sequence({a}, {b2}, {s})"
                             f" else {empty} end)")
+        elif e.name.lower() == "scan_position" and not e.args \
+                and e.window is None:
+            # scan-order row position (the POSITIONAL JOIN import
+            # staging): Spark's monotonically_increasing_id is monotonic
+            # in (partition, row-in-partition) scan order — it cannot
+            # appear inside a window ORDER BY (nondeterministic), which
+            # is why the importer projects it first and row_numbers over
+            # the projected column.  DuckDB preserves row order, so a
+            # bare row_number() is the same position there.
+            core = ("monotonically_increasing_id()"
+                    if self.dialect == SPARK else "row_number() over ()")
         elif e.name.lower() in ("shiftleft", "shiftright") \
                 and len(e.args) == 2 and self.dialect == DUCKDB:
             # Spark names the shifts; DuckDB only has the operators

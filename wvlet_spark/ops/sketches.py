@@ -161,10 +161,16 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     aggs = []
     for c in cols:
-        x = F.col(c).cast("double")
+        # try_cast: non-numeric columns (SUMMARIZE profiles every column)
+        # yield NULL min/max/mean instead of an ANSI cast error; count /
+        # nulls / distinct stay exact for every type
+        x = F.col(c).try_cast("double")
         aggs += [
-            F.count(x).alias(f"__cnt_{c}"),
-            F.sum(F.when(x.isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            # count/nulls on the ORIGINAL column: a non-numeric column
+            # has 0 castable values but its row counts are still exact
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .alias(f"__nul_{c}"),
             F.count_distinct(F.col(c)).alias(f"__dst_{c}"),
             F.round(F.min(x), 4).alias(f"__min_{c}"),
             F.round(F.max(x), 4).alias(f"__max_{c}"),

@@ -438,9 +438,15 @@ class WvletSession:
                 kw["top_k"] = int(kw["top_k"])
             return sketches.skew_report(_df(table), cols, **kw)
 
-        def tool_profile(spark, table, cols):
-            names = [c.strip() for c in str(cols).split(",")]
-            return sketches.profile_numeric(_df(table), names)
+        def tool_profile(spark, table, cols=None):
+            # cols omitted / '*' -> every column (the SUMMARIZE import
+            # path has no schema access, so the default must be total)
+            df = _df(table)
+            if cols is None or str(cols).strip() in ("*", ""):
+                names = list(df.columns)
+            else:
+                names = [c.strip() for c in str(cols).split(",")]
+            return sketches.profile_numeric(df, names)
 
         def tool_funnel_latency(spark, table, steps, **kw):
             names = [s.strip() for s in str(steps).split(",")]
