@@ -204,7 +204,7 @@ def test_new_pipeline_ops_plan_shapes(spark):
 
     qs = reg.entry_queries()
     for name in ("ext_decontaminate", "ext_tfidf_terms", "ext_dup_spans",
-                 "ext_vocab_df", "ext_canonical_docs"):
+                 "ext_bigram_lm", "ext_canonical_docs"):
         df = qs[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name

@@ -379,28 +379,32 @@ def _step_cost(prev_bits: int, j: int, est, ndv, classes, widths,
     threshold executes as a BroadcastHashJoin — no shuffle of either side
     — so it costs ~0 (BROADCAST_EPS x output rows, a tiebreak that still
     prefers smaller intermediates among all-broadcast orders).  A
-    non-broadcastable step shuffles both sides and materializes the
-    output: rows_left + rows_right + rows_out.  Round-6 verdict: the pure
-    C_out model was blind to broadcastability and turned sf1 q7's
-    all-broadcast written order into a plan with a SortMergeJoin + extra
-    exchange (judge A/B +38%); costing broadcast steps ~0 makes any
-    all-broadcast order beat any shuffling one, and the strictly-cheaper
-    guard then keeps the written order at sub-broadcast scales."""
+    non-broadcastable step costs its OUTPUT rows — exactly the C_out
+    term, so among shuffle-bound plans the ordering is identical to the
+    round-6 model whose sf100 wins are the measured evidence (a first
+    attempt that added the input-row terms rows_left + rows_right flipped
+    q21's order into a 3-extra-exchange plan, +19% at sf100).  Round-6
+    verdict: the pure C_out model was blind to broadcastability and
+    turned sf1 q7's all-broadcast written order into a plan with a
+    SortMergeJoin + extra exchange (judge A/B +38%); costing broadcast
+    steps ~0 makes any all-broadcast order beat any shuffling one, and
+    the strictly-cheaper guard then keeps the written order at
+    sub-broadcast scales."""
     cost, _is_bcast = _step(prev_bits, j, est, ndv, classes, widths, bcast)
     return cost
 
 
 def _step(prev_bits: int, j: int, est, ndv, classes, widths,
           bcast: float) -> tuple[float, bool]:
-    rows_prev = _subset_rows(prev_bits, est, ndv, classes)
     out_bits = prev_bits | (1 << j)
     rows_out = _subset_rows(out_bits, est, ndv, classes)
     if bcast > 0:
+        rows_prev = _subset_rows(prev_bits, est, ndv, classes)
         bytes_prev = _subset_bytes(prev_bits, rows_prev, widths)
         bytes_j = est[j] * widths[j]
         if min(bytes_prev, bytes_j) <= bcast:
             return BROADCAST_EPS * rows_out, True
-    return rows_prev + est[j] + rows_out, False
+    return rows_out, False
 
 
 def order_cost(order: list[int], est, ndv, classes, widths,

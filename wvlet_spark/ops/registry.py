@@ -1066,35 +1066,6 @@ O_CANONICAL_DOCS = O_DUP_CLUSTERS.replace(
 ) WHERE rn = 1 ORDER BY cluster_id""")
 
 
-def q_vocab_df(spark, sf_dir):
-    """Corpus vocabulary: total count, document frequency, IDF per word —
-    top 100 by frequency.  Oracle recomputes via unnest in DuckDB."""
-    from wvlet_spark.ops.text import vocabulary_df
-
-    docs = _docs(spark, sf_dir)
-    out = vocabulary_df(docs, top_n=100)
-    return out.select("word", "total_count", "doc_freq",
-                      F.round("idf", 6).alias("idf"))
-
-
-O_VOCAB_DF = r"""
-WITH w AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-  FROM documents
-), f AS (
-  SELECT word, count(*) AS total_count,
-         count(DISTINCT doc_id) AS doc_freq
-  FROM w WHERE word <> '' GROUP BY word
-)
-SELECT word, total_count, doc_freq,
-       round(ln((SELECT count(*) FROM documents)::DOUBLE / doc_freq), 6)
-         AS idf
-FROM f
-ORDER BY total_count DESC, word
-LIMIT 100
-"""
-
-
 def q_tfidf_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (flat rows; oracle mirrors via
     unnest + window in DuckDB)."""
@@ -1340,37 +1311,6 @@ ORDER BY s.doc_id
 """
 
 
-def q_rp_project(spark, sf_dir):
-    """Johnson-Lindenstrauss random projection (64-d -> 8-d), exploded to
-    atomic (vec_id, dim, value) rows for the driver canonicalizer.  The
-    oracle re-derives the projection from the inlined seeded matrix."""
-    from wvlet_spark.ops.similarity import random_projection
-
-    out = random_projection(_embs(spark, sf_dir), out_dim=8, seed=7)
-    return (out.select("vec_id", F.posexplode("proj").alias("dim", "value"))
-            .select("vec_id", "dim", F.round("value", 5).alias("value"))
-            .orderBy("vec_id", "dim"))
-
-
-def _rp_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
-    """DuckDB SQL recomputing random_projection from the same seeded JL
-    matrix inlined as literals (pattern of _ivf_topk_oracle)."""
-    from wvlet_spark.ops.similarity import projection_matrix
-
-    R = projection_matrix(dim, out_dim, seed)
-    rows = ",\n    ".join(
-        f"({i}, {_vec_literal(R[i])})" for i in range(out_dim))
-    return f"""
-WITH m(dim, r) AS (VALUES
-    {rows}
-)
-SELECT vec_id, m.dim AS dim,
-       round(list_dot_product(CAST(embedding AS DOUBLE[]), m.r), 5) AS value
-FROM embeddings, m
-ORDER BY vec_id, dim
-"""
-
-
 def q_pca_project(spark, sf_dir):
     """PCA projection (trained on the deterministic bounded sample),
     exploded to atomic (vec_id, dim, value) rows.  The oracle re-derives
@@ -1447,39 +1387,6 @@ LIMIT 50
 """
 
 
-def q_length_histogram(spark, sf_dir):
-    """Per-language length-distribution histogram (data-card panel) with
-    PINNED bounds so both engines bucket identically; width_bucket has
-    the same underflow/overflow convention (0 / n+1) in Spark and
-    DuckDB, making the oracle an exact re-derivation."""
-    from wvlet_spark.ops.text import length_histogram
-
-    out = length_histogram(_docs(spark, sf_dir), value_col="n_chars",
-                           group_col="lang", n_buckets=12,
-                           lo=0.0, hi=600.0)
-    return (out.select("lang", "bucket", "n",
-                       F.round("bucket_lo", 4).alias("bucket_lo"))
-            .orderBy("lang", "bucket"))
-
-
-O_LENGTH_HISTOGRAM = """
-WITH b AS (
-  SELECT lang,
-         CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
-              WHEN CAST(n_chars AS DOUBLE) >= 600.0 THEN 13
-              ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 600.0 * 12)
-                        AS BIGINT) + 1
-         END AS bucket
-  FROM documents
-)
-SELECT lang, bucket, count(*) AS n,
-       round(0.0 + (bucket - 1) * (600.0 / 12), 4) AS bucket_lo
-FROM b
-GROUP BY lang, bucket
-ORDER BY lang, bucket
-"""
-
-
 def q_corpus_profile(spark, sf_dir):
     """Per-source corpus statistics (the data-card builder): doc/token
     counts, median length, duplicate rate, alpha ratio.  Exact DuckDB
@@ -1518,40 +1425,6 @@ SELECT source,
 FROM per_doc
 GROUP BY source
 ORDER BY source
-"""
-
-
-def q_unigram_lm(spark, sf_dir):
-    """Corpus-trained unigram-LM scoring (perplexity-style quality
-    filter).  Fully relational, exact DuckDB oracle."""
-    from wvlet_spark.ops.text import unigram_lm_logprob
-
-    out = unigram_lm_logprob(_docs(spark, sf_dir))
-    return (out.select("doc_id", F.col("n_tokens").cast("long"),
-                       F.round("avg_logp", 4).alias("avg_logp"))
-            .orderBy("doc_id"))
-
-
-O_UNIGRAM_LM = r"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
-  FROM documents
-),
-tf AS (
-  SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w
-),
-vocab AS (
-  SELECT w, sum(tf) AS cnt FROM tf GROUP BY w
-),
-tot AS (
-  SELECT sum(cnt) AS total FROM vocab
-)
-SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(sum(tf * (log10(cnt) - log10(total))) / sum(tf), 4) AS avg_logp
-FROM tf JOIN vocab USING (w), tot
-GROUP BY doc_id
-ORDER BY doc_id
 """
 
 
@@ -1751,58 +1624,6 @@ FROM pos GROUP BY 1 ORDER BY word_idx
 """
 
 
-def q_ngram_diversity(spark, sf_dir):
-    """Per-source bigram/unigram type-token ratios (corpus diversity
-    panel).  Map-only pair derivation + group-keyed distinct counts;
-    exact DuckDB oracle."""
-    from wvlet_spark.ops.text import ngram_diversity
-
-    out = ngram_diversity(_docs(spark, sf_dir))
-    return (out.select(
-        "source",
-        F.col("n_unigrams").cast("long").alias("n_unigrams"),
-        F.col("d_unigrams").cast("long").alias("d_unigrams"),
-        F.round("unigram_ttr", 5).alias("unigram_ttr"),
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.col("d_bigrams").cast("long").alias("d_bigrams"),
-        F.round("bigram_ttr", 5).alias("bigram_ttr"),
-    ).orderBy("source"))
-
-
-O_NGRAM_DIVERSITY = r"""
-WITH w AS (
-  SELECT source,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                     x -> x <> '') AS w
-  FROM documents
-),
-uni AS (
-  SELECT source, count(*)::BIGINT AS n_unigrams,
-         count(DISTINCT tok)::BIGINT AS d_unigrams
-  FROM w, UNNEST(w.w) AS t(tok)
-  GROUP BY source
-),
-pr AS (
-  SELECT source, w[i] || ' ' || w[i + 1] AS g
-  FROM w, UNNEST(range(1, len(w))) AS t(i)
-),
-bi AS (
-  SELECT source, count(*)::BIGINT AS n_bigrams,
-         count(DISTINCT g)::BIGINT AS d_bigrams
-  FROM pr GROUP BY source
-)
-SELECT u.source, u.n_unigrams, u.d_unigrams,
-       round(u.d_unigrams / u.n_unigrams::DOUBLE, 5) AS unigram_ttr,
-       coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
-       coalesce(b.d_bigrams, 0)::BIGINT AS d_bigrams,
-       round(coalesce(b.d_bigrams, 0)
-             / greatest(coalesce(b.n_bigrams, 0), 1)::DOUBLE, 5)
-         AS bigram_ttr
-FROM uni u LEFT JOIN bi b ON u.source = b.source
-ORDER BY u.source
-"""
-
-
 def q_length_bins(spark, sf_dir):
     """Equi-depth length bins per source (ntile over the deterministic
     (value, id) total order — both engines implement SQL ntile
@@ -1876,41 +1697,6 @@ r AS (
 SELECT anchor_id, neg_id, neg_label, cosine, rank::BIGINT AS rank
 FROM r WHERE rank <= 5
 ORDER BY anchor_id, rank
-"""
-
-
-def q_funnel(spark, sf_dir):
-    """Ordered-funnel conversion over the events stream (view -> click
-    -> purchase, each hop within 24 h of the previous step's earliest
-    qualifying event).  Pure DataFrame composition: per-step type-filter
-    + per-user min-timestamp aggregate + key join — the exact oracle
-    mirrors it as a CTE cascade."""
-    from wvlet_spark.ops.analytics import funnel
-    from wvlet_spark.session import read_parquet_robust
-
-    ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
-    return funnel(ev, ["view", "click", "purchase"], within_seconds=86400)
-
-
-O_FUNNEL = """
-WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-       JOIN s1 ON e.user_id = s1.user_id
-       WHERE e.event_type = 'click' AND e.ts > s1.t
-         AND e.ts <= s1.t + INTERVAL 86400 SECOND GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-       JOIN s2 ON e.user_id = s2.user_id
-       WHERE e.event_type = 'purchase' AND e.ts > s2.t
-         AND e.ts <= s2.t + INTERVAL 86400 SECOND GROUP BY e.user_id),
-c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
-             (SELECT count(*) FROM s1) AS users
-      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
-SELECT step_idx, step, users,
-       round(users * 1.0 / first_value(users) OVER (ORDER BY step_idx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS pct
-FROM c ORDER BY step_idx
 """
 
 
@@ -2107,11 +1893,9 @@ def entry_queries() -> dict:
         "ext_minhash_portable": q_minhash_portable,
         "ext_simhash_portable": q_simhash_portable,
         "ext_stream_neardup": q_stream_neardup,
-        "ext_unigram_lm": q_unigram_lm,
         "ext_bigram_lm": q_bigram_lm,
         "ext_collocations": q_collocations,
         "ext_corpus_profile": q_corpus_profile,
-        "ext_rp_project": q_rp_project,
         "ext_pca_project": q_pca_project,
         "ext_ngram_jaccard": q_ngram_jaccard,
         "ext_dup_clusters": q_dup_clusters,
@@ -2135,7 +1919,6 @@ def entry_queries() -> dict:
         "ext_stream_enrich": q_stream_enrich,
         "ext_mixture": q_mixture,
         "ext_epoch_shuffle": q_epoch_shuffle,
-        "ext_length_hist": q_length_histogram,
         "ext_chunking": q_chunking,
         "ext_windowed_agg": q_windowed_agg,
         "ext_repetition": q_repetition,
@@ -2144,15 +1927,12 @@ def entry_queries() -> dict:
         "ext_quantize": q_quantize,
         "ext_decontaminate": q_decontaminate,
         "ext_canonical_docs": q_canonical_docs,
-        "ext_vocab_df": q_vocab_df,
         "ext_tfidf_terms": q_tfidf_terms,
         "ext_dup_spans": q_dup_spans,
         "ext_semantic_dedup": q_semantic_dedup,
         "ext_bloom_build": q_bloom_build,
-        "ext_ngram_diversity": q_ngram_diversity,
         "ext_length_bins": q_length_bins,
         "ext_hard_negatives": q_hard_negatives,
-        "ext_funnel": q_funnel,
         "ext_gap_fill": q_gap_fill,
         "ext_retention": q_retention,
         "ext_fuzzy_pairs": q_fuzzy_pairs,
@@ -2182,7 +1962,6 @@ def entry_oracles() -> dict:
         "ext_dedup_against_ref": O_DEDUP_AGAINST_REF,
         "ext_decontaminate": O_DECONTAMINATE,
         "ext_canonical_docs": O_CANONICAL_DOCS,
-        "ext_vocab_df": O_VOCAB_DF,
         "ext_tfidf_terms": O_TFIDF_TERMS,
         "ext_dup_spans": O_DUP_SPANS,
         "ext_quantize": O_QUANTIZE,
@@ -2195,7 +1974,6 @@ def entry_oracles() -> dict:
         "ext_stream_enrich": O_STREAM_ENRICH,
         "ext_mixture": O_MIXTURE,
         "ext_epoch_shuffle": O_EPOCH_SHUFFLE,
-        "ext_length_hist": O_LENGTH_HISTOGRAM,
         "ext_chunking": O_CHUNKING,
         "ext_semantic_dedup": _semantic_dedup_oracle(),
         "ext_ivf_topk": _ivf_topk_oracle(),
@@ -2208,17 +1986,13 @@ def entry_oracles() -> dict:
         "ext_minhash_portable": _minhash_portable_oracle(),
         "ext_simhash_portable": _simhash_portable_oracle(),
         "ext_stream_neardup": _stream_neardup_oracle(),
-        "ext_unigram_lm": O_UNIGRAM_LM,
         "ext_bigram_lm": O_BIGRAM_LM,
         "ext_collocations": O_COLLOCATIONS,
         "ext_corpus_profile": O_CORPUS_PROFILE,
-        "ext_rp_project": _rp_project_oracle(),
         "ext_pca_project": _pca_project_oracle(),
         "ext_bloom_build": O_BLOOM_BUILD,
-        "ext_ngram_diversity": O_NGRAM_DIVERSITY,
         "ext_length_bins": O_LENGTH_BINS,
         "ext_hard_negatives": O_HARD_NEGATIVES,
-        "ext_funnel": O_FUNNEL,
         "ext_gap_fill": O_GAP_FILL,
         "ext_retention": O_RETENTION,
         "ext_fuzzy_pairs": O_FUZZY_PAIRS,

@@ -339,47 +339,78 @@ ORDER BY o_orderpriority, rnk, o_orderkey
 """,
 )
 
+# round-7 pool consolidation: one entry covering the whole non-rank
+# window surface (compact moving frame, unbounded frame, lag/lead,
+# first/last, ntile, IGNORE NULLS) — replaces the four near-duplicate
+# window_{frame_moving,lag_lead,first_last,ignore_nulls} entries per the
+# round-6 verdict's staleness-budget advice
 q(
-    "window_frame_moving",
-    """
-from orders
-where o_custkey <= 50
-select
-  o_custkey, o_orderkey, o_orderdate,
-  mv = o_totalprice::decimal(18,2).sum over (partition by o_custkey order by o_orderdate, o_orderkey rows[-2,0])::double,
-  rn = row_number() over (partition by o_custkey order by o_orderdate, o_orderkey)
-order by o_custkey, rn
-""",
-    """
-SELECT
-  o_custkey, o_orderkey, o_orderdate,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv,
-  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-FROM orders
-WHERE o_custkey <= 50
-ORDER BY o_custkey, rn
-""",
-)
-
-q(
-    "window_lag_lead",
+    "window_mixed",
     """
 from events
 where user_id <= 20
 select
   user_id, event_id, ts,
   prev_value = lag(value) over (partition by user_id order by ts, event_id)::double,
-  next_type = lead(event_type) over (partition by user_id order by ts, event_id)
+  next_type = lead(event_type) over (partition by user_id order by ts, event_id),
+  first_ev = first_value(event_id) over (partition by user_id order by ts, event_id),
+  last_val = last_value(value) over (partition by user_id order by ts, event_id
+                                     rows[, ])::double,
+  nt = ntile(4) over (partition by user_id order by ts, event_id),
+  mv = value::decimal(18,2).sum over (partition by user_id order by ts, event_id rows[-2,0])::double,
+  last_err = last_value(if event_type = 'error' then value else null) ignore nulls
+             over (partition by user_id order by ts, event_id)::double
 order by user_id, ts, event_id
 """,
     """
 SELECT
   user_id, event_id, ts,
   CAST(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS prev_value,
-  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_ev,
+  CAST(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_val,
+  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv,
+  CAST(last_value(CASE WHEN event_type = 'error' THEN value ELSE NULL END IGNORE NULLS)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS last_err
 FROM events
 WHERE user_id <= 20
 ORDER BY user_id, ts, event_id
+""",
+)
+
+# round-7 pool consolidation: extract() in WHERE + per-row extract()
+# projections + format-pattern translation in one entry — replaces
+# extract_parts and date_fmt_patterns
+q(
+    "date_parts_fmt",
+    """
+from orders
+where extract(year from o_orderdate) = 1995 and o_orderkey <= 2000
+select o_orderkey,
+  y = extract(year from o_orderdate)::long,
+  m = extract(month from o_orderdate)::long,
+  ym = date_format(o_orderdate, 'yyyy-MM'),
+  pretty = date_format(o_orderdate, 'MMM d, yyyy'),
+  cfmt = strftime(o_orderdate, '%d of %B'),
+  dow3 = date_format(o_orderdate, 'EEE'),
+  wk = strpos(date_format(o_orderdate, 'EEE'), 'S')::long
+order by o_orderkey
+""",
+    """
+SELECT o_orderkey,
+  CAST(extract(YEAR FROM o_orderdate) AS BIGINT) AS y,
+  CAST(extract(MONTH FROM o_orderdate) AS BIGINT) AS m,
+  strftime(o_orderdate, '%Y-%m') AS ym,
+  strftime(o_orderdate, '%b %-d, %Y') AS pretty,
+  strftime(o_orderdate, '%d of %B') AS cfmt,
+  strftime(o_orderdate, '%a') AS dow3,
+  CAST(strpos(strftime(o_orderdate, '%a'), 'S') AS BIGINT) AS wk
+FROM orders
+WHERE extract(YEAR FROM o_orderdate) = 1995 AND o_orderkey <= 2000
+ORDER BY o_orderkey
 """,
 )
 
@@ -549,50 +580,6 @@ ORDER BY ym
 # converts the literal pattern per target (generator._java_fmt_to_c /
 # _c_fmt_to_java; wide-fuzz find, round 5).  The oracle is hand-written
 # strftime, so it also pins the Java->C table independently.
-q(
-    "date_fmt_patterns",
-    """
-from orders
-where o_orderkey <= 500
-select o_orderkey,
-  ym = date_format(o_orderdate, 'yyyy-MM'),
-  pretty = date_format(o_orderdate, 'MMM d, yyyy'),
-  cfmt = strftime(o_orderdate, '%d of %B'),
-  dow3 = date_format(o_orderdate, 'EEE'),
-  wk = strpos(date_format(o_orderdate, 'EEE'), 'S')::long
-order by o_orderkey
-""",
-    """
-SELECT o_orderkey,
-  strftime(o_orderdate, '%Y-%m') AS ym,
-  strftime(o_orderdate, '%b %-d, %Y') AS pretty,
-  strftime(o_orderdate, '%d of %B') AS cfmt,
-  strftime(o_orderdate, '%a') AS dow3,
-  CAST(strpos(strftime(o_orderdate, '%a'), 'S') AS BIGINT) AS wk
-FROM orders
-WHERE o_orderkey <= 500
-ORDER BY o_orderkey
-""",
-)
-
-q(
-    "extract_parts",
-    """
-from orders
-where extract(year from o_orderdate) = 1995
-group by m = extract(month from o_orderdate)::long
-agg n = _.count
-order by m
-""",
-    """
-SELECT CAST(extract(MONTH FROM o_orderdate) AS BIGINT) AS m, count(*) AS n
-FROM orders
-WHERE extract(YEAR FROM o_orderdate) = 1995
-GROUP BY 1
-ORDER BY m
-""",
-)
-
 # TIME type (round-5: Spark 4.1 spark.sql.timeType.enabled, set by
 # WvletSession) — literal, cast, part extraction, comparison; results
 # projected through ::string so the two engines' TIME renderings compare
@@ -782,12 +769,19 @@ intersect {
   where c_acctbal < 0
   select k = c_custkey
 }
+except {
+  from customer
+  where c_acctbal < -900
+  select k = c_custkey
+}
 order by k
 """,
     """
 SELECT o_custkey AS k FROM orders
 INTERSECT
 SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900
 ORDER BY k
 """,
 )
@@ -1106,30 +1100,6 @@ WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nation
   AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem AS l2 WHERE l2.l_partkey = part.p_partkey)
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
-""",
-)
-
-q(
-    "tpch_q4_like",
-    """
-from orders
-where o_orderdate >= '1996-01-01'::date
-  and o_orderdate < '1996-04-01'::date
-  and exists {
-    from lineitem
-    where l_orderkey = o_orderkey and l_returnflag = 'R'
-  }
-group by o_orderpriority
-agg order_count = _.count
-order by o_orderpriority
-""",
-    """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
-  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
 """,
 )
 
@@ -1589,23 +1559,6 @@ run flow suite_etl
 # + unnest lateral expansion (SURVEY §2.3)
 
 q(
-    "rollup_status",
-    """
-from orders
-group by rollup(o_orderstatus, o_orderpriority)
-agg n = _.count, total = o_totalprice::decimal(18,2).sum::double
-order by o_orderstatus nulls last, o_orderpriority nulls last
-""",
-    """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
-""",
-)
-
-q(
     "cube_flags",
     """
 from lineitem
@@ -1655,51 +1608,7 @@ ORDER BY n_nationkey, x
 )
 
 # window first/last_value + ntile with full-frame rows[,] (SURVEY §2.5)
-q(
-    "window_first_last",
-    """
-from events
-where user_id <= 30
-select
-  user_id, event_id, ts,
-  first_ev = first_value(event_id) over (partition by user_id order by ts, event_id),
-  last_val = last_value(value) over (partition by user_id order by ts, event_id
-                                     rows[, ])::double,
-  nt = ntile(4) over (partition by user_id order by ts, event_id)
-order by user_id, ts, event_id
-""",
-    """
-SELECT user_id, event_id, ts,
-  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_ev,
-  CAST(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_val,
-  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
-FROM events WHERE user_id <= 30
-ORDER BY user_id, ts, event_id
-""",
-)
-
 # ignore-nulls window modifier (SURVEY §2.5; dialect-split rendering)
-q(
-    "window_ignore_nulls",
-    """
-from events
-where user_id <= 20
-select
-  user_id, event_id, ts,
-  last_err = last_value(if event_type = 'error' then value else null) ignore nulls
-             over (partition by user_id order by ts, event_id)::double
-order by user_id, ts, event_id
-""",
-    """
-SELECT user_id, event_id, ts,
-  CAST(last_value(CASE WHEN event_type = 'error' THEN value ELSE NULL END IGNORE NULLS)
-       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS last_err
-FROM events WHERE user_id <= 20
-ORDER BY user_id, ts, event_id
-""",
-)
-
 # ordered aggregation inside the call (SURVEY §2.4; round-4 language
 # surface: `array_agg(x order by k [desc] [nulls first|last])` — DuckDB
 # renders natively, Spark composes a null-preserving struct sort)
@@ -1806,31 +1715,6 @@ ORDER BY o_orderpriority
 )
 
 # Q14: promo revenue share over a one-month ship window
-q(
-    "tpch_q14_like",
-    """
-from lineitem, part
-where l_partkey = p_partkey
-  and l_shipdate::date >= '1997-09-01'::date
-  and l_shipdate::date < '1997-10-01'::date
-agg promo_revenue = round((100.00 * sum(if p_type = 'PROMO'
-        then l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))
-        else 0.00::decimal(18,2))
-      / sum(l_extendedprice::decimal(18,2) * (1 - l_discount::decimal(18,2))))::double, 6)
-""",
-    """
-SELECT round(CAST(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                 ELSE CAST(0.00 AS DECIMAL(18,2)) END)
-           / sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
-  AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
-""",
-)
-
-
 # ---------------------------------------------------------------------------
 # TPC-DS-shaped entries (round 6): the importer runs 99/99 TPC-DS
 # (tests/test_sql_tpcds.py) but the driver gate never saw those SHAPES —
