@@ -931,3 +931,29 @@ def test_funnel_latency_semantics(spark):
     assert out["B"].users == 2
     assert out["B"].avg_secs == 7200.0   # mean of 1h and 3h
     assert out["B"].p50_secs == 7200.0   # continuous median
+
+
+def test_semantic_dedup_grouped_matches_join_strategy(spark):
+    """Round-7 scale path: pair_strategy='grouped' (per-cluster blocked
+    matmul, one corpus shuffle) must return EXACTLY the join strategy's
+    rows — same dup_of (lowest qualifying id), same keep flags, same
+    round-to-6 threshold behavior."""
+    from wvlet_spark.ops.similarity import semantic_dedup
+    from wvlet_spark.session import read_parquet_robust
+
+    emb = read_parquet_robust(
+        spark, "/root/testdata/sf0.01/embeddings.parquet")
+    for thr in (0.9, 0.99):
+        a = [tuple(r) for r in semantic_dedup(
+            emb, n_clusters=8, threshold=thr).collect()]
+        b = [tuple(r) for r in semantic_dedup(
+            emb, n_clusters=8, threshold=thr,
+            pair_strategy="grouped").collect()]
+        assert a == b, f"strategy divergence at threshold {thr}"
+    # singleton clusters: k larger than some cluster populations
+    a = [tuple(r) for r in semantic_dedup(
+        emb.limit(40), n_clusters=16, threshold=0.9).collect()]
+    b = [tuple(r) for r in semantic_dedup(
+        emb.limit(40), n_clusters=16, threshold=0.9,
+        pair_strategy="grouped").collect()]
+    assert a == b

@@ -1127,7 +1127,70 @@ def sqlshape_numeric_grid(rng):
             f"FROM nation ORDER BY n_nationkey LIMIT {lim}")
 
 
+def sqlshape_mixed_join_chain(rng):
+    """Round-7 family (verdict ask): INNER/comma joins ADJACENT to outer
+    joins.  The broadcast-gated reorderer must keep refusing to touch a
+    chain once any member is outer/semi — a bug that reordered across a
+    LEFT JOIN boundary would surface as a row-set difference vs DuckDB's
+    own optimizer (which reorders only what is legal)."""
+    lim = rng.randint(100, 900)
+    inner_chain = rng.choice([
+        "JOIN nation ON c_nationkey = n_nationkey",
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey",
+    ])
+    outer = rng.choice(["LEFT", "RIGHT", "FULL"])
+    agg = rng.choice(["count(o_orderkey)", "count(*)",
+                      "coalesce(sum(o_orderkey), 0)"])
+    if rng.random() < 0.5:
+        # inner chain first, outer join appended at the end
+        return (f"SELECT c_custkey, {agg} AS n "
+                f"FROM customer {inner_chain} "
+                f"{outer} JOIN orders ON o_custkey = c_custkey "
+                f"WHERE c_custkey <= {lim} "
+                f"GROUP BY c_custkey ORDER BY c_custkey")
+    # outer join first, inner joins after
+    return (f"SELECT n_name, {agg} AS n "
+            f"FROM customer {outer} JOIN orders "
+            f"ON o_custkey = c_custkey AND o_totalprice > {lim * 100} "
+            f"JOIN nation ON c_nationkey = n_nationkey "
+            f"WHERE c_custkey <= {lim} "
+            f"GROUP BY n_name ORDER BY n_name")
+
+
+def sqlshape_exists_chain(rng):
+    """Round-7 family (verdict ask): chained [NOT] EXISTS / IN predicates
+    in one WHERE (the tpcds_q10 decorrelation shape) — each must lower
+    independently to semi/anti joins without cross-contaminating."""
+    lim = rng.randint(100, 800)
+    preds = []
+    preds.append(rng.choice([
+        "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+        f" AND o.o_totalprice > {rng.randint(50, 150) * 1000})",
+        "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    ]))
+    preds.append(rng.choice([
+        "NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = "
+        f"c.c_custkey AND o2.o_orderstatus = 'F')",
+        f"c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE "
+        f"n_regionkey <= {rng.randint(0, 3)})",
+        "NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = "
+        "c.c_custkey AND o2.o_orderdate < DATE '1996-01-01')",
+    ]))
+    if rng.random() < 0.4:
+        preds.append(
+            "EXISTS (SELECT 1 FROM orders o3 WHERE o3.o_custkey = "
+            "c.c_custkey AND EXISTS (SELECT 1 FROM lineitem l WHERE "
+            "l.l_orderkey = o3.o_orderkey AND l.l_returnflag = 'R'))")
+    rng.shuffle(preds)
+    conj = " AND ".join(preds)
+    return (f"SELECT c.c_custkey FROM customer c WHERE {conj} "
+            f"AND c.c_custkey <= {lim} ORDER BY c.c_custkey")
+
+
 SQL_SHAPES = {
+    "sql_mixed_join_chain": sqlshape_mixed_join_chain,
+    "sql_exists_chain": sqlshape_exists_chain,
     "sql_slicestep": sqlshape_slicestep,
     "sql_pivot": sqlshape_pivot,
     "sql_case_exists": sqlshape_case_exists,

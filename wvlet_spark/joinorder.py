@@ -43,10 +43,6 @@ MIN_FRACTION = 0.001
 # Spark's spark.sql.autoBroadcastJoinThreshold default; the session passes
 # the live conf value instead (bench tunes it per scale).
 DEFAULT_BROADCAST_BYTES = 10 << 20
-# Weight of a broadcast-able join step: non-zero so that among all-broadcast
-# orders the model still prefers smaller intermediates, but small enough
-# that no sum of broadcast steps ever outweighs one shuffle step.
-BROADCAST_EPS = 1e-9
 
 
 # --------------------------------------------------------------- expr utils
@@ -373,23 +369,17 @@ def _subset_bytes(subset_bits: int, rows: float, widths) -> float:
 
 def _step_cost(prev_bits: int, j: int, est, ndv, classes, widths,
                bcast: float) -> float:
-    """Shuffle-aware cost of joining relation j into the subset prev_bits.
-
-    A step whose smaller side's estimated BYTES fit the broadcast
-    threshold executes as a BroadcastHashJoin — no shuffle of either side
-    — so it costs ~0 (BROADCAST_EPS x output rows, a tiebreak that still
-    prefers smaller intermediates among all-broadcast orders).  A
-    non-broadcastable step costs its OUTPUT rows — exactly the C_out
-    term, so among shuffle-bound plans the ordering is identical to the
-    round-6 model whose sf100 wins are the measured evidence (a first
-    attempt that added the input-row terms rows_left + rows_right flipped
-    q21's order into a 3-extra-exchange plan, +19% at sf100).  Round-6
-    verdict: the pure C_out model was blind to broadcastability and
-    turned sf1 q7's all-broadcast written order into a plan with a
-    SortMergeJoin + extra exchange (judge A/B +38%); costing broadcast
-    steps ~0 makes any all-broadcast order beat any shuffling one, and
-    the strictly-cheaper guard then keeps the written order at
-    sub-broadcast scales."""
+    """C_out cost of joining relation j into the subset prev_bits: its
+    OUTPUT rows.  Every step pays its output — including broadcastable
+    ones — because a broadcast join avoids shuffling its INPUTS, never
+    its output volume: round-7 found that costing broadcast steps ~0
+    made the DP append a 5.6 MB supplier via the many-to-many nationkey
+    equality at sf100 ("free" step, 2e11-row output, ENOSPC).  Pure
+    C_out is also exactly the round-6 model whose sf100 wins are the
+    measured evidence.  Broadcastability enters ONLY through the guard
+    (order_shuffle_cost): broadcast steps contribute nothing there, so
+    an all-broadcast written order (sf1 q7, judge A/B +38% before the
+    gate) can never be "improved" by a rewrite."""
     cost, _is_bcast = _step(prev_bits, j, est, ndv, classes, widths, bcast)
     return cost
 
@@ -403,7 +393,7 @@ def _step(prev_bits: int, j: int, est, ndv, classes, widths,
         bytes_prev = _subset_bytes(prev_bits, rows_prev, widths)
         bytes_j = est[j] * widths[j]
         if min(bytes_prev, bytes_j) <= bcast:
-            return BROADCAST_EPS * rows_out, True
+            return rows_out, True
     return rows_out, False
 
 

