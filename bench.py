@@ -91,12 +91,13 @@ def _knobs(sf_dir: str, cpus: int) -> tuple[int, int, int, bool]:
         # shuffle partitions scale with DATA, not just cores: cores-wide
         # buckets at sf100 (17 GB, 600 M lineitem) put ~19 M aggregation
         # groups in one task's hash state and starved the JVM (GCLocker
-        # retry OOM, round-6 measured); one bucket per ~256 MB of input
-        # keeps per-task state bounded while AQE coalesces any excess at
-        # runtime.  Below ~8.5 GB this stays cores-wide — identical to
-        # every previous round's measurement.
+        # retry OOM, round-6 measured).  One bucket per ~128 MB of input
+        # (round-7: q21-on 62.0 -> 33.9 s at sf100, min-of-2 interleaved
+        # isolated JVMs — the 30 GB self-join spills at 256 MB buckets;
+        # AQE coalesces the excess for small stages).  Below ~4 GB this
+        # stays cores-wide — earlier-round sf<=10 measurements hold.
         bcast = 10
-        shuffle = max(max(8, cpus), min(256, int(total_bytes) >> 28))
+        shuffle = max(max(8, cpus), min(256, int(total_bytes) >> 27))
         aqe = True
     max_part = int(os.environ.get("SPARK_GRAFT_MAXPART_MB", max_part))
     bcast = int(os.environ.get("SPARK_GRAFT_BCAST_MB", bcast))
@@ -233,8 +234,18 @@ def _measure_spark(spark, sf_dir: str, names: list[str],
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    def flush_shuffles() -> None:
+        # finished-job shuffle files persist in spark.local.dir until the
+        # ContextCleaner GCs their RDDs; a full sf100 pass accumulates
+        # >60 GB and died on ENOSPC twice in round 7 (SCALE.md §30).
+        # Forcing a JVM GC between QUERIES (never inside a timed run)
+        # lets the cleaner reap them; periodicGC.interval=2min in
+        # _make_spark is the backstop.
+        spark.sparkContext._jvm.System.gc()
+
     for name in names:  # warm-up: JVM/codegen + file footers, untimed
         run_once(name)
+        flush_shuffles()
     per_query: dict[str, float] = {}
     for name in names:
         times = []
@@ -243,6 +254,7 @@ def _measure_spark(spark, sf_dir: str, names: list[str],
             run_once(name)
             times.append(time.perf_counter() - t0)
         per_query[name] = round(min(times), 4)
+        flush_shuffles()
 
     # SPARK-SIDE CANARY (round-4 verdict: the DuckDB canary only guards
     # the DuckDB side; JVM-local spikes — GC, shuffle-service warmup —
@@ -283,6 +295,11 @@ def _make_spark(sf_dir: str, cpus: int):
                 os.environ.get("SPARK_GRAFT_DRIVER_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # NB: do NOT set spark.cleaner.periodicGC.interval low here — a
+        # 2min interval fired full 96 g-heap GC pauses INSIDE timed runs
+        # (round-7 sf100 pass: with_cte and ext_exact_dedup each +7 s).
+        # The explicit flush_shuffles() between queries is the disk
+        # guard (blockmgr stayed <= 4 GB across the whole sf100 pass).
         .config("spark.sql.files.maxPartitionBytes",
                 str(max_part * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))

@@ -423,8 +423,8 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float,
         if n <= 1:
             return pd.DataFrame({
                 id_col: ids, "sem_cluster": pdf["sem_cluster"].to_numpy(),
-                "keep": np.ones(n, dtype=bool),
-                "dup_of": pd.array([None] * n, dtype="Int64")})
+                "dup_of": pd.array([None] * n, dtype="Int64"),
+                "keep": np.ones(n, dtype=bool)})
         V = _mat(pdf["__v"])
         nrm = np.linalg.norm(V, axis=1)
         nrm[nrm == 0] = 1.0
@@ -442,13 +442,13 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float,
             dup[j0 + sel] = ids[first[sel]]
         return pd.DataFrame({
             id_col: ids, "sem_cluster": pdf["sem_cluster"].to_numpy(),
-            "keep": dup < 0,
             "dup_of": pd.array([None if d < 0 else int(d) for d in dup],
-                               dtype="Int64")})
+                               dtype="Int64"),
+            "keep": dup < 0})
 
     return (v.select(id_col, "sem_cluster", "__v")
             .groupBy("sem_cluster").applyInPandas(fn, out_schema)
-            .select(id_col, "sem_cluster", "keep", "dup_of")
+            .select(id_col, "sem_cluster", "dup_of", "keep")
             .orderBy(id_col))
 
 
