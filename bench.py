@@ -239,8 +239,10 @@ def _measure_spark(spark, sf_dir: str, names: list[str],
         # ContextCleaner GCs their RDDs; a full sf100 pass accumulates
         # >60 GB and died on ENOSPC twice in round 7 (SCALE.md §30).
         # Forcing a JVM GC between QUERIES (never inside a timed run)
-        # lets the cleaner reap them; periodicGC.interval=2min in
-        # _make_spark is the backstop.
+        # lets the cleaner reap them.  This explicit flush is the ONLY
+        # disk guard — periodicGC was measured and removed (see the
+        # _make_spark note: 2min intervals fired 96 g-heap GC pauses
+        # inside timed runs).
         spark.sparkContext._jvm.System.gc()
 
     for name in names:  # warm-up: JVM/codegen + file footers, untimed

@@ -957,3 +957,37 @@ def test_semantic_dedup_grouped_matches_join_strategy(spark):
         emb.limit(40), n_clusters=16, threshold=0.9,
         pair_strategy="grouped").collect()]
     assert a == b
+
+def test_semantic_dedup_grouped_bounds_degenerate_clusters(spark):
+    """Round-8 advisor fix pin: applyInPandas materializes a whole group
+    as one pandas frame, so an all-identical-embeddings corpus (every
+    vector lands in ONE cluster) must be sub-split by the secondary id
+    hash before the group-by — otherwise a degenerate clustering puts the
+    entire corpus in one worker's memory.  With the cap forced tiny the
+    groups stay bounded and each sub-group keeps exactly its lowest id;
+    with the default cap the single cluster dedups to one keeper."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.similarity import semantic_dedup
+
+    n = 300
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in (1.0, 2.0, 3.0, 4.0)])
+        .alias("embedding"))
+    # default cap: one cluster, one keeper, everyone else dups to id 0
+    out = semantic_dedup(df, n_clusters=4, threshold=0.99,
+                         pair_strategy="grouped").collect()
+    assert sum(r.keep for r in out) == 1
+    assert all(r.dup_of == 0 for r in out if not r.keep)
+    # tiny cap: sub-splitting fires -> ceil(300/64) = 5 hash sub-groups;
+    # each keeps exactly its own lowest id (cross-sub pairs uncompared by
+    # design), so keepers = number of non-empty sub-groups and every dup
+    # points to a keeper in its own sub-group
+    out = semantic_dedup(df, n_clusters=4, threshold=0.99,
+                         pair_strategy="grouped",
+                         max_group_rows=64).collect()
+    keepers = {r.vec_id for r in out if r.keep}
+    assert 2 <= len(keepers) <= 5
+    assert all(r.dup_of in keepers for r in out if not r.keep)
+    assert len(out) == n

@@ -194,10 +194,36 @@ order by bk_left.id
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def _assert_bnlj_builds_are_scalar(plan: str, name: str):
+    """BroadcastNestedLoopJoin is allowed ONLY for the 1-row scalar-attach
+    idiom (`crossJoin(F.broadcast(total))` where `total` is a keyless
+    aggregate): the build side broadcasts via IdentityBroadcastMode and its
+    child is a HashAggregate with keys=[], so the "loop" runs exactly one
+    build row per probe row — same cost as BHJ.  A lit(1)-key equi-join was
+    measured as an alternative and REJECTED: Catalyst constant-folds the
+    `1 = 1` condition to `true` and plans the very same BNLJ, so the strict
+    no-BNLJ assertion is unsatisfiable for scalar attaches.  Any BNLJ whose
+    build side is NOT a keyless aggregate (a real multi-row nested loop)
+    still fails here."""
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj == 0:
+        return
+    segs = plan.split("BroadcastExchange IdentityBroadcastMode")[1:]
+    assert len(segs) == n_bnlj, (
+        f"{name}: {n_bnlj} BNLJ but {len(segs)} identity broadcasts")
+    for seg in segs:
+        # first aggregate below the broadcast must be keyless (1 row)
+        i = seg.find("HashAggregate(keys=[]")
+        j = seg.find("HashAggregate(")
+        assert i != -1 and i == j, (
+            f"{name}: BNLJ build side is not a 1-row scalar aggregate")
+
+
 def test_new_pipeline_ops_plan_shapes(spark):
     """Round-4 ops keep the relational invariants: no cartesian
     products, no Python in the plan (pure JVM expressions), joins are
-    equi joins."""
+    equi joins — except the documented 1-row scalar broadcast attach
+    (see _assert_bnlj_builds_are_scalar)."""
     from tests.conftest import SF_DIR
 
     import wvlet_spark.ops.registry as reg
@@ -209,7 +235,7 @@ def test_new_pipeline_ops_plan_shapes(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "Python" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        _assert_bnlj_builds_are_scalar(plan, name)
 
 
 def test_multi_ref_aggregate_cte_staged_once(spark):

@@ -1274,19 +1274,20 @@ def test_generate_series_range_table_functions(spark, duck):
         ws.to_wvlet("SELECT * FROM range(1, 9, 1 + 1) AS t(r)")
 
 
-def test_window_frame_exclude_rejected(spark):
+def test_window_frame_exclude_not_dropped(spark, duck):
     """Round-5 probe find: frame EXCLUDE CURRENT ROW was silently
     DROPPED (wrong window aggregates — Spark has no EXCLUDE clause);
-    it is now a typed reject."""
+    round 5 made it a typed reject, round 8 lowers sum/count/avg to a
+    subtracting window pair (test_window_frame_exclude_converts).  This
+    pin keeps the original probe query CORRECT, never silently wrong."""
     from wvlet_spark import WvletSession
-    from wvlet_spark.sql_import import SqlImportError
 
     ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
-    with pytest.raises(SqlImportError, match="EXCLUDE"):
-        ws.to_wvlet(
-            "SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey "
-            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
-            "EXCLUDE CURRENT ROW) AS s FROM nation")
+    sql = ("SELECT sum(n_regionkey) OVER (ORDER BY n_nationkey "
+           "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+           "EXCLUDE CURRENT ROW) AS s FROM nation ORDER BY s")
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    assert got == duck.execute(sql).fetchall()
 
 
 def test_recursive_cte_with_column_list(spark, duck):
@@ -1411,7 +1412,9 @@ def test_limit_percent(spark, duck):
     """Round-6 conversion: LIMIT n% under ORDER BY becomes a row_number
     prefix filter keeping floor(count * p / 100) rows (measured DuckDB
     semantics: 7 rows LIMIT 25.5% -> 1, 43% -> 3, 99.9% -> 6).  Without
-    ORDER BY the prefix is arbitrary rows — typed reject."""
+    ORDER BY it converts too since round 8 (scan-order prefix — see
+    test_limit_percent_without_order_by_converts); n% + OFFSET stays a
+    typed reject."""
     import pytest
 
     from wvlet_spark import WvletSession
@@ -1430,8 +1433,6 @@ def test_limit_percent(spark, duck):
         got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
         exp = duck.execute(sql).fetchall()
         assert got == exp, sql
-    with pytest.raises(SqlImportError, match="ORDER BY"):
-        ws.to_wvlet("SELECT o_orderkey FROM orders LIMIT 10%")
     with pytest.raises(SqlImportError, match="OFFSET"):
         ws.to_wvlet("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
                     "LIMIT 10% OFFSET 2")
@@ -1714,3 +1715,151 @@ def test_summarize_converts(spark, duck):
         and rows["n_name"].min_v is None
     with pytest.raises(SqlImportError, match="SUMMARIZE"):
         ws.to_wvlet("SUMMARIZE SELECT * FROM nation")
+
+def test_positional_flag_resets_after_failed_import(spark):
+    """Round-8 advisor fix pin: a SqlImportError raised between the
+    POSITIONAL lowering's flag-set and _select_node's consume point must
+    not leak into the next import on the same thread — previously
+    'SELECT * FROM customer' converted to 'from customer\\nexclude __pos'
+    after a failed positional import."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    with pytest.raises(SqlImportError):
+        # WHERE-expr reject AFTER the positional lowering sets the flag
+        ws.to_wvlet("SELECT * FROM nation POSITIONAL JOIN region "
+                    "WHERE n_name COLLATE NOCASE = 'x'")
+    wv = ws.to_wvlet("SELECT * FROM nation")
+    assert "__pos" not in wv, wv
+
+
+def test_distinct_star_over_positional_join(spark, duck):
+    """Round-8 advisor fix pin: SELECT DISTINCT * over a POSITIONAL JOIN
+    must drop the per-row-unique __pos zip key BEFORE deduping —
+    previously 'dedup' ran with __pos aboard and was a silent no-op, so
+    duplicate zipped rows survived."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    # both sides constant -> every zipped row identical -> DISTINCT
+    # collapses to ONE row
+    sql = ("SELECT DISTINCT * FROM (SELECT r_regionkey % 1 AS k FROM "
+           "region ORDER BY r_regionkey) a POSITIONAL JOIN "
+           "(SELECT r_regionkey % 1 AS j FROM region "
+           "ORDER BY r_regionkey) b")
+    wv = ws.to_wvlet(sql)
+    got = sorted(map(str, (tuple(r) for r in ws.run(wv).collect())))
+    exp = sorted(map(str, duck.execute(sql).fetchall()))
+    assert got == exp == ["(0, 0)"]
+    osql = ws.oracle_sql(wv)
+    assert sorted(map(str, duck.execute(osql).fetchall())) == exp
+
+
+def test_summarize_nonidentifier_target_rejects(spark):
+    """Round-8 advisor fix pin: the SUMMARIZE target splices into a
+    single-quoted call argument — a quoted identifier containing a quote
+    must be a typed reject, not a malformed call."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    with pytest.raises(SqlImportError, match="SUMMARIZE"):
+        ws.to_wvlet("SUMMARIZE \"na'tion\"")
+    with pytest.raises(SqlImportError, match="SUMMARIZE"):
+        ws.to_wvlet('SUMMARIZE "na tion"')
+    # plain and schema-qualified names still convert (quoted parts
+    # unquote; DuckDB serializes main.nation as "main"."nation")
+    assert "profile_numeric(table='nation')" in \
+        ws.to_wvlet("SUMMARIZE nation")
+    assert "profile_numeric(table='main.nation')" in \
+        ws.to_wvlet("SUMMARIZE main.nation")
+
+def test_window_frame_exclude_converts(spark, duck):
+    """Round-8 conversion (previously a typed reject): frame EXCLUDE
+    CURRENT ROW / GROUP / TIES on sum/count/avg lowers to a
+    self-subtracting window pair with a count-guard (NULL when the
+    exclusion empties the frame); the peer group comes from a second
+    window with `range between current row and current row`.
+    Non-subtractable aggregates and frames that may not contain the
+    excluded rows stay pointed rejects."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        # CURRENT ROW over the default-equivalent RANGE frame
+        "SELECT n_nationkey, sum(n_nationkey) OVER (PARTITION BY "
+        "n_regionkey ORDER BY n_name RANGE BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM nation "
+        "ORDER BY n_nationkey",
+        # CURRENT ROW over an explicit ROWS frame; count(*)
+        "SELECT n_nationkey, count(*) OVER (ORDER BY n_name ROWS "
+        "BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS c "
+        "FROM nation ORDER BY n_nationkey",
+        # GROUP / TIES with real ties on the order key
+        "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_regionkey "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE "
+        "GROUP) AS s FROM nation ORDER BY n_nationkey",
+        "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_regionkey "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE "
+        "TIES) AS s FROM nation ORDER BY n_nationkey",
+        # avg, unbounded-both frame
+        "SELECT n_nationkey, round(avg(n_nationkey) OVER (ORDER BY "
+        "n_regionkey RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+        "FOLLOWING EXCLUDE GROUP), 6) AS a FROM nation "
+        "ORDER BY n_nationkey",
+        # count(x) with NULLs in play
+        "SELECT n_nationkey, count(CASE WHEN n_nationkey % 3 = 0 THEN "
+        "n_nationkey END) OVER (ORDER BY n_name ROWS BETWEEN 1 "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS c "
+        "FROM nation ORDER BY n_nationkey",
+        # emptied frame -> NULL (not 0): frame = current row, excluded
+        "SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_name "
+        "ROWS BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) "
+        "AS s FROM nation ORDER BY n_nationkey",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+    # rejects: non-subtractable agg; frame without the current row;
+    # ROWS frame cannot prove peer coverage for GROUP/TIES
+    for sql in [
+        "SELECT min(n_nationkey) OVER (ORDER BY n_name ROWS BETWEEN 2 "
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) FROM nation",
+        "SELECT sum(n_nationkey) OVER (ORDER BY n_name ROWS BETWEEN 2 "
+        "PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM nation",
+        "SELECT sum(n_nationkey) OVER (ORDER BY n_name ROWS BETWEEN 2 "
+        "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM nation",
+    ]:
+        with pytest.raises(SqlImportError, match="EXCLUDE"):
+            ws.to_wvlet(sql)
+
+
+def test_limit_percent_without_order_by_converts(spark, duck):
+    """Round-8 conversion (previously a typed reject): LIMIT n% without
+    ORDER BY takes a scan-order prefix via scan_position() ranking —
+    deterministic for a fixed single-scan layout (the POSITIONAL JOIN
+    caveat), exact row count on any input; DuckDB's own arbitrary-n%
+    takes the same file-order prefix at test scale."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in ["SELECT * FROM nation LIMIT 40%",
+                "SELECT n_name FROM nation WHERE n_regionkey = 1 "
+                "LIMIT 50%",
+                "SELECT r_name FROM region LIMIT 99.9%"]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+        osql = ws.oracle_sql(wv)
+        assert sorted(map(str, duck.execute(osql).fetchall())) == \
+            sorted(map(str, got)), sql

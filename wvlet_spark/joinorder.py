@@ -397,17 +397,6 @@ def _step(prev_bits: int, j: int, est, ndv, classes, widths,
     return rows_out, False
 
 
-def order_cost(order: list[int], est, ndv, classes, widths,
-               bcast: float) -> float:
-    """Total shuffle-aware cost of a left-deep order (sum of step costs)."""
-    total = 0.0
-    bits = 1 << order[0]
-    for i in order[1:]:
-        total += _step_cost(bits, i, est, ndv, classes, widths, bcast)
-        bits |= 1 << i
-    return total
-
-
 def order_shuffle_cost(order: list[int], est, ndv, classes, widths,
                        bcast: float) -> float:
     """Shuffle-step cost only (broadcast steps contribute nothing).

@@ -397,8 +397,8 @@ def ivf_search_index(spark, path: str, query_vec: list[float], k: int = 10,
             .limit(k))
 
 
-def _semantic_dedup_grouped(v: DataFrame, threshold: float,
-                            id_col: str) -> DataFrame:
+def _semantic_dedup_grouped(v: DataFrame, threshold: float, id_col: str,
+                            max_group_rows: int = 100_000) -> DataFrame:
     """Per-cluster matmul pair pass for semantic_dedup (the 2M-vector
     scale path).  The join strategy explodes candidate PAIRS through a
     shuffle — ~1 KB/pair with both 64-d vectors aboard, fine at graded
@@ -406,7 +406,25 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float,
     Here each cluster's vectors shuffle ONCE (bytes = corpus size), and
     the pairwise cosines are one blocked numpy matmul per cluster
     (SemDeDup's own GPU formulation, CPU-blocked): similarity blocks are
-    capped at ~32 MB so a skewed cluster cannot blow worker memory."""
+    capped at ~32 MB so a skewed cluster cannot blow worker memory.
+
+    Two bounded-memory guards (same class as the minhash hot-bucket cap):
+    the matmul BLOCKS are capped at 32 MB, and the per-group INPUT is
+    capped too — `applyInPandas` materializes a whole group as one pandas
+    frame, so a degenerate clustering (all-identical embeddings) could
+    put millions of vectors in one cluster and OOM a worker (advisor
+    find, round 7).  Clusters above `max_group_rows` are sub-split by a
+    secondary hash of the id BEFORE the group-by; pairs across sub-splits
+    of the same degenerate cluster are not compared (bounded recall loss
+    on pathological inputs only — a healthy SemDeDup clustering keeps
+    clusters ~corpus/n_clusters, far under the cap; budget ~= rows x dim
+    x 8 bytes, 100k x 64-d = 51 MB).
+
+    Cosine parity with the join path: both compute
+    round(dot(a, b) / (n_a * n_b), 6) from the SAME precomputed __n norms
+    (the matmul produces the raw dots; normalize-the-vectors-first was
+    measured to flip threshold-boundary rows via FP order — advisor
+    find, round 7)."""
     import pyspark.sql.types as T
 
     f = {x.name: x for x in v.schema.fields}
@@ -426,15 +444,17 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float,
                 "dup_of": pd.array([None] * n, dtype="Int64"),
                 "keep": np.ones(n, dtype=bool)})
         V = _mat(pdf["__v"])
-        nrm = np.linalg.norm(V, axis=1)
-        nrm[nrm == 0] = 1.0
-        U = V / nrm[:, None]
+        nrm = pdf["__n"].to_numpy(dtype=np.float64)
+        nrm = np.where(nrm == 0.0, 1.0, nrm)
         dup = np.full(n, -1, dtype=np.int64)
         step = max(1, (4 << 20) // n)      # block <= 32 MB of float64
         rows = np.arange(n)[:, None]
         for j0 in range(1, n, step):
             j1 = min(n, j0 + step)
-            S = np.round(U @ U[j0:j1].T, 6)   # match the join path's
+            # raw dots, then divide by the precomputed norm products —
+            # the join path's exact arithmetic — then round
+            S = np.round((V @ V[j0:j1].T)
+                         / (nrm[:, None] * nrm[None, j0:j1]), 6)
             m = (S >= threshold) & (rows < np.arange(j0, j1)[None, :])
             any_col = m.any(axis=0)
             first = m.argmax(axis=0)          # first True = lowest id
@@ -446,8 +466,21 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float,
                                dtype="Int64"),
             "keep": dup < 0})
 
-    return (v.select(id_col, "sem_cluster", "__v")
-            .groupBy("sem_cluster").applyInPandas(fn, out_schema)
+    # sub-split oversized clusters before the group-by: cluster sizes are
+    # one tiny aggregate (n_clusters rows) broadcast back; a healthy
+    # clustering gets __sub = 0 everywhere (single group per cluster)
+    sizes = v.groupBy("sem_cluster").agg(F.count(F.lit(1)).alias("__csz"))
+    keyed = (v.select(id_col, "sem_cluster", "__v", "__n")
+             .join(F.broadcast(sizes), "sem_cluster")
+             .withColumn(
+                 "__sub",
+                 F.when(F.col("__csz") <= max_group_rows, F.lit(0))
+                 .otherwise(F.pmod(
+                     F.xxhash64(F.col(id_col)),
+                     F.ceil(F.col("__csz") / max_group_rows)
+                     .cast("long")).cast("int"))))
+    return (keyed.groupBy("sem_cluster", "__sub")
+            .applyInPandas(fn, out_schema)
             .select(id_col, "sem_cluster", "dup_of", "keep")
             .orderBy(id_col))
 
@@ -455,7 +488,8 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float,
 def semantic_dedup(df: DataFrame, n_clusters: int = 16,
                    threshold: float = 0.95, seed: int = 42,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   pair_strategy: str = "join") -> DataFrame:
+                   pair_strategy: str = "join",
+                   max_group_rows: int = 100_000) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means-cluster the embeddings, then WITHIN each cluster drop every
     vector whose cosine to a lower-id cluster member is >= `threshold`.
@@ -489,7 +523,8 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
          .withColumn("__n", _norm_udf(F.col("__v"))))
     v = v.localCheckpoint()
     if pair_strategy == "grouped":
-        return _semantic_dedup_grouped(v, threshold, id_col)
+        return _semantic_dedup_grouped(v, threshold, id_col,
+                                       max_group_rows=max_group_rows)
     if pair_strategy != "join":
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     l, r_ = v.alias("l"), v.alias("r")

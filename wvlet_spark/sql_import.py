@@ -171,12 +171,18 @@ def _convert_query_sql(sql: str) -> str:
     norm = _normalize_stmt(sql)
     token = _LATERAL_HINT.set(
         bool(re.search(r"\blateral\b", norm, re.IGNORECASE)))
+    # reset-with-token like _LATERAL_HINT: a SqlImportError raised between
+    # the POSITIONAL lowering's set(True) and _select_node's consume point
+    # must not leak the flag into the next import on this thread (it would
+    # emit a spurious `exclude __pos` — advisor find, round 7)
+    pos_token = _POSITIONAL_POS.set(False)
     try:
         ast = parse_sql(norm)
         parts = [_query_node(s["node"], top=True) for s in ast["statements"]]
         return ";\n\n".join(parts)
     finally:
         _LATERAL_HINT.reset(token)
+        _POSITIONAL_POS.reset(pos_token)
 
 
 # Parse-level constructs the reference's hand-written SqlParser accepts
@@ -1212,6 +1218,18 @@ def _select_node(node: dict) -> list[str]:
     items = [_select_item(e) for e in node.get("select_list") or []]
     if having_post is not None:
         items.append(f"__having = {having_post}")
+    if has_from and _POSITIONAL_POS.get():
+        # POSITIONAL JOIN cleanup: drop the __pos zip key when a star
+        # projection would carry it through (explicit select lists drop it
+        # naturally; grouped queries aggregate it away).  Emitted BEFORE
+        # the select/dedup pipes: `SELECT DISTINCT *` must dedup the rows
+        # WITHOUT the per-row-unique zip key, or the dedup is a silent
+        # no-op (advisor find, round 7)
+        _POSITIONAL_POS.set(False)
+        star_out = any(i == "*" or i.endswith(".*") for i in items) \
+            or not items
+        if star_out and not groups and not sets:
+            lines.append("exclude __pos")
     kw = "select distinct" if distinct else "select"
     if not (len(items) == 1 and items[0] == "*" and has_from):
         lines.append(f"{kw} " + ", ".join(items))
@@ -1223,15 +1241,6 @@ def _select_node(node: dict) -> list[str]:
         # distinct must survive as the dedup pipe (SQL-import wide-fuzz
         # find, round 5 — it was silently dropped)
         lines.append("dedup")
-    if has_from and _POSITIONAL_POS.get():
-        # POSITIONAL JOIN cleanup: drop the __pos zip key when a star
-        # projection carries it through (explicit select lists already
-        # dropped it; grouped queries aggregate it away)
-        _POSITIONAL_POS.set(False)
-        star_out = any(i == "*" or i.endswith(".*") for i in items) \
-            or not items
-        if star_out and not groups and not sets:
-            lines.append("exclude __pos")
     for k, v in star_replace:
         lines.append(f"transform {_name(k)} = {_expr(v)}")
     if star_exclude:
@@ -1406,19 +1415,33 @@ def _modifiers(node: dict) -> list[str]:
             lines.append("order by " + ", ".join(parts))
         elif m["type"] == "LIMIT_PERCENT_MODIFIER":
             # LIMIT p%: keep floor(count * p / 100) rows (measured: 7
-            # rows LIMIT 25.5% -> 1, 43% -> 3, 99.9% -> 6).  Only
-            # deterministic under ORDER BY — rank the same ordering with
-            # row_number, count via max(rn) over the whole partition,
-            # filter, and re-sort (the percent pipeline stages BEFORE
-            # the final order-by line so the output ordering survives).
-            if not order_parts:
-                raise SqlImportError(
-                    "LIMIT n% without ORDER BY selects arbitrary rows — "
-                    "add an ORDER BY to make the prefix deterministic")
+            # rows LIMIT 25.5% -> 1, 43% -> 3, 99.9% -> 6).  Rank the
+            # prefix ordering with row_number, count via max(rn) over
+            # the whole partition, filter, and re-sort (under ORDER BY
+            # the percent pipeline stages BEFORE the final order-by
+            # line so the output ordering survives).
             if m.get("offset"):
                 raise SqlImportError(
                     "LIMIT n% combined with OFFSET is not supported")
             pct = _expr(m["limit"])
+            if not order_parts:
+                # no ORDER BY: SQL semantics are "an arbitrary p%" —
+                # DuckDB takes a scan-order prefix; mirror it with a
+                # scan_position() ranking (round-8; previously a typed
+                # reject).  Deterministic for a fixed layout on
+                # single-scan inputs — the POSITIONAL JOIN caveat —
+                # and the row COUNT is exact on any input.
+                lines += [
+                    "add __pct_mid = scan_position()",
+                    "add __pct_rn = row_number() over "
+                    "(order by __pct_mid)",
+                    "add __pct_tot = max(__pct_rn) over ()",
+                    f"where __pct_rn <= "
+                    f"floor(__pct_tot * ({pct}) / 100.0)",
+                    "order by __pct_mid",
+                    "exclude __pct_mid, __pct_rn, __pct_tot",
+                ]
+                continue
             ob = ", ".join(order_parts)
             pre = [
                 f"add __pct_rn = row_number() over (order by {ob})",
@@ -1631,13 +1654,32 @@ def _from_relation(rel: dict) -> list[str]:
             # DuckDB's extra SUMMARIZE columns (approx quantiles,
             # approx_unique, std) are sketch-approximate there and have
             # no exact cross-engine contract.
-            tn = (rel.get("table_name") or "").strip('"')
-            if rel.get("query") or not tn or tn.startswith("__"):
+            raw = rel.get("table_name") or ""
+            if rel.get("query") or not raw or raw.startswith("__"):
                 raise SqlImportError(
                     "SUMMARIZE over a subquery is not supported — "
                     "SUMMARIZE a named table, or call "
                     "profile_numeric(table=..., cols=...) directly")
-            return [f"call profile_numeric(table='{tn}')"]
+            # the name splices into a single-quoted call argument: accept
+            # plain or quoted (optionally schema-qualified, serialized as
+            # "a"."b") identifiers whose unquoted parts are themselves
+            # plain; reject anything else rather than emit a malformed
+            # call (advisor find, round 7 — a quoted name containing `'`
+            # broke the splice)
+            ident = r"[A-Za-z_][A-Za-z0-9_$]*"
+            quoted = r'"(?:[^"]|"")*"'
+            part = f"(?:{ident}|{quoted})"
+            if not re.fullmatch(rf"{part}(\.{part})*", raw):
+                raise SqlImportError(
+                    f"SUMMARIZE target {raw!r} is not a plain identifier "
+                    "— call profile_numeric(table=...) directly")
+            parts = [p[1:-1].replace('""', '"') if p.startswith('"') else p
+                     for p in re.findall(rf"{part}", raw)]
+            if not all(re.fullmatch(ident, p) for p in parts):
+                raise SqlImportError(
+                    f"SUMMARIZE target {raw!r} is not a plain identifier "
+                    "— call profile_numeric(table=...) directly")
+            return [f"call profile_numeric(table='{'.'.join(parts)}')"]
         tn = (rel.get("table_name") or "").strip('"')
         if rel.get("query"):
             body = "{\n" + _indent(_query_node(rel["query"])) + "\n}"
@@ -2605,10 +2647,14 @@ def _window(e: dict) -> str:
     t = e["type"]
     if e.get("exclude_clause") not in (None, "NO_OTHER"):
         # frame EXCLUDE (CURRENT ROW / GROUP / TIES) has no Spark
-        # equivalent — previously silently DROPPED (wrong window sums,
-        # round-5 probe find); reject loudly instead
-        raise SqlImportError(
-            f"window frame EXCLUDE {e['exclude_clause']} is not supported")
+        # equivalent — previously a typed reject (and before that
+        # silently DROPPED: wrong window sums, round-5 probe find).
+        # sum/count/avg lower to a self-subtracting window pair
+        # (round-8): agg(frame) minus agg(excluded rows), with a
+        # count-guard so an emptied frame yields NULL like the real
+        # exclusion would.  Non-subtractable aggregates (min/max/...)
+        # stay a typed reject.
+        return _window_exclude(e)
     named = {"WINDOW_RANK": "rank", "WINDOW_DENSE_RANK": "dense_rank",
              "WINDOW_ROW_NUMBER": "row_number",
              "WINDOW_PERCENT_RANK": "percent_rank",
@@ -2625,6 +2671,18 @@ def _window(e: dict) -> str:
         if e.get("default_expr"):
             ch.append(e["default_expr"])
     args = ", ".join(_expr(c) for c in ch)
+    over = _over_parts(e)
+    frame = _frame(e)
+    if frame:
+        over.append(frame)
+    call = f"{fn}({args})"
+    if e.get("ignore_nulls"):
+        call += " ignore nulls"
+    return f"{call} over ({' '.join(over)})"
+
+
+def _over_parts(e: dict) -> list[str]:
+    """partition by / order by lines of an OVER clause (no frame)."""
     over = []
     if e.get("partitions"):
         over.append("partition by "
@@ -2637,13 +2695,98 @@ def _window(e: dict) -> str:
                 s += " desc"
             parts.append(s)
         over.append("order by " + ", ".join(parts))
+    return over
+
+
+# frame-bound kinds that keep the CURRENT ROW inside the frame (start
+# side / end side) — a 0-ROWS bound serializes as CURRENT_ROW_ROWS
+_START_HAS_CURRENT = {"UNBOUNDED_PRECEDING", "EXPR_PRECEDING_ROWS",
+                      "CURRENT_ROW_ROWS", "CURRENT_ROW_RANGE", None}
+_END_HAS_CURRENT = {"UNBOUNDED_FOLLOWING", "EXPR_FOLLOWING_ROWS",
+                    "CURRENT_ROW_ROWS", "CURRENT_ROW_RANGE", None}
+# frames guaranteed to contain the WHOLE peer group of the current row
+# (RANGE bounds are inclusive order-key distances, so any RANGE frame
+# whose bounds straddle distance 0 covers every peer; ROWS frames can
+# cut a peer group anywhere)
+_PEER_COVERING_FRAMES = {
+    ("UNBOUNDED_PRECEDING", "CURRENT_ROW_RANGE"),
+    ("CURRENT_ROW_RANGE", "UNBOUNDED_FOLLOWING"),
+    ("UNBOUNDED_PRECEDING", "UNBOUNDED_FOLLOWING"),
+    (None, None), (None, "CURRENT_ROW_RANGE"), ("UNBOUNDED_PRECEDING", None),
+}
+
+
+def _window_exclude(e: dict) -> str:
+    """Lower `agg(...) OVER (... frame EXCLUDE CURRENT ROW|GROUP|TIES)`
+    to a self-subtracting window pair — Spark has no frame exclusion.
+
+        sum EXCLUDE X  =  sum(frame) - sum(excluded)   [NULL-guarded]
+        count EXCLUDE X = count(frame) - count(excluded)
+        avg EXCLUDE X  =  the ratio of the two
+
+    The excluded set is the current row (one indicator term) or the
+    current row's PEER GROUP, computed as a second window over the same
+    partition/order with `range between current row and current row`
+    (peers = rows at order-key distance 0 — exactly the SQL peer group).
+    A count-guard returns NULL when the exclusion empties the frame,
+    matching real exclusion semantics (sum over no rows is NULL, and
+    blind subtraction would return 0).
+
+    Soundness bounds (anything else stays a typed reject):
+    - EXCLUDE CURRENT ROW needs the current row INSIDE the frame
+      (subtraction would otherwise remove a row that was never there);
+    - EXCLUDE GROUP/TIES additionally needs the frame to contain the
+      whole peer group, which only RANGE frames straddling distance 0
+      guarantee (_PEER_COVERING_FRAMES);
+    - only sum/count/avg are subtractable (min/max are not).
+    Reference surface: wvlet-lang/.../parser/SqlParser.scala window
+    frames; DuckDB implements the full standard exclusion."""
+    excl = e["exclude_clause"]
+    fn = e.get("function_name")
+    ch = list(e.get("children") or [])
+    reject = SqlImportError(
+        f"window frame EXCLUDE {excl} on {fn} is not supported — only "
+        "sum/count/avg over a frame containing the excluded rows lower "
+        "to a subtracting window pair")
+    if e["type"] != "WINDOW_AGGREGATE" or fn not in ("sum", "count", "avg") \
+            or e.get("distinct") or e.get("filter") \
+            or e.get("ignore_nulls") or len(ch) > 1:
+        raise reject
+    start, end = e.get("start"), e.get("end")
+    if start not in _START_HAS_CURRENT or end not in _END_HAS_CURRENT:
+        raise reject
+    if excl in ("GROUP", "TIES"):
+        if (start, end) not in _PEER_COVERING_FRAMES or not e.get("orders"):
+            raise reject
+
+    over = _over_parts(e)
     frame = _frame(e)
-    if frame:
-        over.append(frame)
-    call = f"{fn}({args})"
-    if e.get("ignore_nulls"):
-        call += " ignore nulls"
-    return f"{call} over ({' '.join(over)})"
+    w = " ".join(over + ([frame] if frame else []))
+    wp = " ".join(over + ["range between current row and current row"])
+    x = _expr(ch[0]) if ch else None          # None = count(*)
+    cx = x if x is not None else "1"
+    ind = f"(if {x} is not null then 1 else 0)" if x is not None else "1"
+
+    cnt_w = f"count({cx}) over ({w})"
+    if excl == "CURRENT_ROW":
+        cnt_excl = f"({cnt_w}) - {ind}"
+        sum_excl = f"(sum({x}) over ({w})) - coalesce({x}, 0)" if x else None
+    else:
+        cnt_p = f"count({cx}) over ({wp})"
+        if excl == "GROUP":
+            cnt_excl = f"({cnt_w}) - ({cnt_p})"
+            sum_excl = (f"(sum({x}) over ({w}))"
+                        f" - coalesce(sum({x}) over ({wp}), 0)") if x else None
+        else:  # TIES: drop peers but keep the current row itself
+            cnt_excl = f"({cnt_w}) - ({cnt_p}) + {ind}"
+            sum_excl = (f"(sum({x}) over ({w}))"
+                        f" - coalesce(sum({x}) over ({wp}), 0)"
+                        f" + coalesce({x}, 0)") if x else None
+    if fn == "count":
+        return f"({cnt_excl})"
+    if fn == "sum":
+        return f"(if ({cnt_excl}) > 0 then {sum_excl} else null)"
+    return f"(if ({cnt_excl}) > 0 then ({sum_excl}) / ({cnt_excl}) else null)"
 
 
 def _frame(e: dict) -> str | None:
