@@ -64,11 +64,12 @@ def _suite_query(wv_text: str) -> Callable[[SparkSession, str], DataFrame]:
 #
 # STALENESS BUDGET (round-6 verdict ask): with P declared queries and
 # N=50 sampled per round, every entry is re-verified on code at most
-# ceil(P/N) rounds old — at P=125 (round-7 consolidation: 138 -> 125,
+# ceil(P/N) rounds old — at P=126 (round-7 consolidation: 138 -> 125,
 # four window entries merged into window_mixed, extract_parts +
 # date_fmt_patterns merged into date_parts_fmt, near-duplicate tpch
-# / ext twins dropped in favor of their richer sibling) that is a
-# 3-round cycle, the accepted
+# / ext twins dropped in favor of their richer sibling; round 8 added
+# ext_semdedup_grouped so the 2M-vector scale path carries its own
+# graded row) that is a 3-round cycle, the accepted
 # bound for this pool.  The oracle-mirror pytest
 # (tests/test_suite_oracle.py) re-runs EVERY oracled entry on current
 # code each session, so driver-row staleness never means untested code —

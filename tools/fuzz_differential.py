@@ -1188,7 +1188,173 @@ def sqlshape_exists_chain(rng):
             f"AND c.c_custkey <= {lim} ORDER BY c.c_custkey")
 
 
+def sqlshape_positional_zip(rng):
+    """Round-8 family (verdict ask): POSITIONAL JOIN zips — aligned
+    ordered subqueries (deterministic on both engines), unequal lengths
+    (NULL padding), DISTINCT over the zip, WHERE on qualified refs, and
+    aggregates consuming the zipped rows.  Sides are ORDER BY'd
+    subqueries so the zip is order-defined rather than layout-defined."""
+    n1, n2 = rng.randint(2, 20), rng.randint(2, 20)
+    la = f"(SELECT n_name, n_nationkey FROM nation ORDER BY n_nationkey LIMIT {n1}) a"
+    lb = f"(SELECT r_name, r_regionkey FROM region ORDER BY r_regionkey LIMIT {n2}) b"
+    pick = rng.randrange(4)
+    if pick == 0:
+        return (f"SELECT a.n_name, b.r_name FROM {la} POSITIONAL JOIN "
+                f"{lb} ORDER BY a.n_nationkey NULLS LAST, b.r_regionkey")
+    if pick == 1:
+        # constant sides -> DISTINCT must collapse (round-8 advisor fix)
+        k = rng.randint(1, 3)
+        return (f"SELECT DISTINCT * FROM (SELECT n_regionkey % {k} AS x "
+                f"FROM nation ORDER BY n_nationkey LIMIT {n1}) a "
+                f"POSITIONAL JOIN (SELECT r_regionkey % {k} AS y FROM "
+                f"region ORDER BY r_regionkey) b ORDER BY x NULLS LAST, "
+                f"y NULLS LAST")
+    if pick == 2:
+        lim = rng.randint(0, 4)
+        return (f"SELECT a.n_nationkey, b.r_regionkey FROM {la} "
+                f"POSITIONAL JOIN {lb} WHERE b.r_regionkey >= {lim} "
+                f"ORDER BY a.n_nationkey NULLS LAST")
+    return (f"SELECT count(*) AS n, count(b.r_name) AS nr, "
+            f"count(a.n_name) AS na FROM {la} POSITIONAL JOIN {lb}")
+
+
+def sqlshape_window_exclude(rng):
+    """Round-8 family: frame EXCLUDE CURRENT ROW / GROUP / TIES on
+    sum/count/avg (the new subtracting-pair lowering) across ROWS and
+    peer-covering RANGE frames, tie-heavy order keys, and NULL-bearing
+    aggregate arguments (the count-guard's NULL-on-emptied-frame path)."""
+    lim = rng.randint(10, 30)
+    fn = rng.choice(["sum", "count", "avg"])
+    x = rng.choice(["n_nationkey", "n_regionkey",
+                    "CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey END",
+                    "CASE WHEN n_regionkey > 1 THEN n_regionkey END"])
+    part = rng.choice(["", "PARTITION BY n_regionkey % 2 "])
+    if rng.random() < 0.5:
+        # RANGE frames straddle distance 0 -> all three exclusions legal
+        order = rng.choice(["n_regionkey", "n_nationkey % 4"])  # ties
+        frame = rng.choice([
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        ])
+        excl = rng.choice(["CURRENT ROW", "GROUP", "TIES"])
+    else:
+        # ROWS frames: only CURRENT ROW exclusion converts
+        order = rng.choice(["n_name", "n_nationkey"])
+        a, b = rng.randint(0, 3), rng.randint(0, 2)
+        frame = (f"ROWS BETWEEN {a} PRECEDING AND "
+                 + (f"{b} FOLLOWING" if rng.random() < 0.7
+                    else "CURRENT ROW"))
+        excl = "CURRENT ROW"
+    call = f"{fn}({x}) OVER ({part}ORDER BY {order} {frame} EXCLUDE {excl})"
+    if fn == "avg":
+        call = f"round({call}, 6)"
+    return (f"SELECT n_nationkey, {call} AS v FROM nation "
+            f"ORDER BY n_nationkey LIMIT {lim}")
+
+
+def sqlshape_ignore_nulls_frames(rng):
+    """Round-8 family (verdict ask): IGNORE NULLS offset/value window
+    functions crossed with explicit frames and NULL-bearing arguments —
+    lag/lead ignore frames entirely (Spark errors on one, dropped by the
+    generator) while first/last/nth_value honor them."""
+    lim = rng.randint(200, 900)
+    x = rng.choice([
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END",
+        "CASE WHEN o_orderstatus = 'F' THEN o_orderkey END",
+        "CASE WHEN o_custkey % 5 < 2 THEN o_custkey END",
+    ])
+    part = rng.choice(["", "PARTITION BY o_orderstatus "])
+    order = "o_orderkey"
+    pick = rng.randrange(4)
+    # NB: DuckDB only parses the in-parens form `fn(x IGNORE NULLS)`;
+    # the importer's normalize pass accepts both spellings
+    if pick == 0:
+        k = rng.randint(1, 3)
+        fn = rng.choice(["lag", "lead"])
+        call = f"{fn}({x}, {k} IGNORE NULLS) OVER ({part}ORDER BY {order})"
+    elif pick == 1:
+        a = rng.randint(1, 5)
+        fn = rng.choice(["first_value", "last_value"])
+        call = (f"{fn}({x} IGNORE NULLS) OVER ({part}ORDER BY {order} "
+                f"ROWS BETWEEN {a} PRECEDING AND CURRENT ROW)")
+    elif pick == 2:
+        a, b = rng.randint(0, 3), rng.randint(0, 3)
+        call = (f"last_value({x} IGNORE NULLS) OVER ({part}ORDER BY "
+                f"{order} ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING)")
+    else:
+        n = rng.randint(1, 3)
+        call = (f"nth_value({x}, {n} IGNORE NULLS) OVER ({part}ORDER BY "
+                f"{order} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                f"CURRENT ROW)")
+    return (f"SELECT o_orderkey, {call} AS v FROM orders "
+            f"WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+
+
+def sqlshape_limit_percent(rng):
+    """Round-8 family: LIMIT n% with and without ORDER BY (the new
+    scan-order-prefix lowering), fractional percents, boundary values,
+    and post-WHERE inputs — row count must be floor(count*p/100) and
+    values must match DuckDB's prefix on single-scan inputs."""
+    pct = rng.choice(["10", "25.5", "40", "50", "75", "99.9", "100", "0.5"])
+    pick = rng.randrange(3)
+    if pick == 0:
+        return f"SELECT n_nationkey, n_name FROM nation LIMIT {pct}%"
+    if pick == 1:
+        lim = rng.randint(0, 4)
+        return (f"SELECT n_name FROM nation WHERE n_regionkey >= {lim} "
+                f"LIMIT {pct}%")
+    key = rng.choice(["n_name", "n_nationkey"])
+    return (f"SELECT n_nationkey FROM nation ORDER BY {key} "
+            f"LIMIT {pct}%")
+
+
+def sqlshape_regex_dialect(rng):
+    """Round-8 family (verdict ask): the RE2(DuckDB)-vs-Python-re
+    (columns() expansion) and RE2-vs-JVM-regex (regexp_matches lowering)
+    dialect gaps beyond lookaheads.  Generates patterns BOTH engines
+    accept — char classes, alternation, quantifiers, anchors, (?i),
+    escaped metachars — where acceptance parity is assumed and SEMANTIC
+    parity is the property under test.  (Backrefs/lookaheads are
+    excluded by construction: RE2 rejects them outright, pinned
+    separately in test_selector.py.)"""
+    lim = rng.randint(50, 400)
+    if rng.random() < 0.4:
+        # columns('rx'): Python re (engine schema expansion) vs RE2
+        # every pattern must match >= 1 column of the synthetic orders
+        # schema: zero-match columns() is an ERROR on both engines
+        # (parity verified round 8), which this differential can't score
+        rx = rng.choice([
+            "^o_.*(key|date)$", "o_[ct]", "(?i)O_ORDER", "o_.{7,9}$",
+            "key$|status", "^o_(?:o|c)", "o_[^t]*e", "d{0,1}ate",
+        ])
+        return (f"SELECT o_orderkey, columns('{rx}') FROM orders "
+                f"WHERE o_orderkey <= {lim} ORDER BY o_orderkey")
+    # regexp_matches / regexp_extract / regexp_replace value parity:
+    # JVM regex vs RE2 over live strings
+    col = rng.choice(["n_name", "r_name"])
+    tbl, key = (("nation", "n_nationkey") if col == "n_name"
+                else ("region", "r_regionkey"))
+    rx = rng.choice([
+        "[AEIOU]{2}", "^[A-M]", "(?i)an", "[a-z ]+$", "A.A",
+        "(N|R)[A-Z]+", "[^AEIOU ]{3}", "E+", "(?:IA|CO)$", "\\\\w{6,}",
+    ])
+    pick = rng.randrange(3)
+    if pick == 0:
+        return (f"SELECT {key}, regexp_matches({col}, '{rx}') AS m "
+                f"FROM {tbl} ORDER BY {key}")
+    if pick == 1:
+        return (f"SELECT {key}, regexp_extract({col}, '{rx}') AS e "
+                f"FROM {tbl} ORDER BY {key}")
+    return (f"SELECT {key}, regexp_replace({col}, '{rx}', '_') AS r "
+            f"FROM {tbl} ORDER BY {key}")
+
+
 SQL_SHAPES = {
+    "sql_positional_zip": sqlshape_positional_zip,
+    "sql_window_exclude": sqlshape_window_exclude,
+    "sql_ignore_nulls_frames": sqlshape_ignore_nulls_frames,
+    "sql_limit_percent": sqlshape_limit_percent,
+    "sql_regex_dialect": sqlshape_regex_dialect,
     "sql_mixed_join_chain": sqlshape_mixed_join_chain,
     "sql_exists_chain": sqlshape_exists_chain,
     "sql_slicestep": sqlshape_slicestep,

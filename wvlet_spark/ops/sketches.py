@@ -159,12 +159,24 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     acceptable at the 100 TB tier).  Returns
     (col_name, n, nulls, n_distinct, min_v, max_v, mean_v).
     """
+    from pyspark.sql import types as T
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in cols:
         # try_cast: non-numeric columns (SUMMARIZE profiles every column)
         # yield NULL min/max/mean instead of an ANSI cast error; count /
-        # nulls / distinct stay exact for every type
-        x = F.col(c).try_cast("double")
+        # nulls / distinct stay exact for every type.  try_cast is only
+        # analysis-LEGAL from numeric/string/boolean — on a timestamp or
+        # date column Spark rejects the plan outright (round-8 property-
+        # test find: SUMMARIZE over any table with a timestamp column
+        # failed), so other types profile as NULL stats directly
+        dt = dtypes.get(c)
+        if isinstance(dt, (T.NumericType, T.StringType, T.BooleanType,
+                           T.NullType)):
+            x = F.col(c).try_cast("double")
+        else:
+            x = F.lit(None).cast("double")
         aggs += [
             # count/nulls on the ORIGINAL column: a non-numeric column
             # has 0 castable values but its row counts are still exact

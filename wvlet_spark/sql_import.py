@@ -1230,6 +1230,38 @@ def _select_node(node: dict) -> list[str]:
             or not items
         if star_out and not groups and not sets:
             lines.append("exclude __pos")
+    # LIMIT n% + ORDER BY on columns the projection DROPS: plain ORDER BY
+    # fuses into the same SELECT block (SQL resolves unprojected sort
+    # keys there), but the percent pipeline's add/where pipes force a
+    # subquery wrap where those columns are gone (round-8 fuzz find).
+    # Stage each missing plain-column sort key as a hidden projected
+    # column, rename the order items to it, and exclude it at the end.
+    pct_rename: dict[str, str] = {}
+    mods = node.get("modifiers") or []
+    pct_order = next((m for m in mods if m["type"] == "ORDER_MODIFIER"), None)
+    if (any(m["type"] == "LIMIT_PERCENT_MODIFIER" for m in mods)
+            and pct_order is not None and not distinct):
+        covers = any(it.get("class") == "STAR"
+                     and not it.get("relation_name")
+                     and not it.get("columns")
+                     for it in node.get("select_list") or [])
+        projected_names = set()
+        for it in node.get("select_list") or []:
+            if it.get("alias"):
+                projected_names.add(it["alias"])
+            elif it.get("class") == "COLUMN_REF" \
+                    and len(it.get("column_names") or []) == 1:
+                projected_names.add(it["column_names"][0])
+        if not covers:
+            for o in pct_order["orders"]:
+                ex = o.get("expression") or {}
+                if ex.get("class") == "COLUMN_REF" \
+                        and len(ex.get("column_names") or []) == 1:
+                    c = ex["column_names"][0]
+                    if c not in projected_names and c not in pct_rename:
+                        nm = f"__pct_h{len(pct_rename)}"
+                        pct_rename[c] = nm
+                        items.append(f"{nm} = {_name(c)}")
     kw = "select distinct" if distinct else "select"
     if not (len(items) == 1 and items[0] == "*" and has_from):
         lines.append(f"{kw} " + ", ".join(items))
@@ -1253,7 +1285,11 @@ def _select_node(node: dict) -> list[str]:
         lines.append(f"add __qualify = {_expr(qual)}")
         lines.append("where __qualify")
         lines.append("exclude __qualify")
-    lines += _modifiers(node)
+    lines += _modifiers(node, order_rename=pct_rename)
+    if pct_rename:
+        # drop the hidden staged sort keys AFTER the final order-by (a
+        # projection on top of a sort preserves the order)
+        lines.append("exclude " + ", ".join(pct_rename.values()))
     return lines
 
 
@@ -1361,7 +1397,14 @@ def _order_suffix(o: dict) -> str:
     return s
 
 
-def _order_item(o: dict) -> str:
+def _order_item(o: dict, rename: dict[str, str] | None = None) -> str:
+    ex = o.get("expression") or {}
+    if rename and ex.get("class") == "COLUMN_REF":
+        cn = ex.get("column_names") or []
+        if len(cn) == 1 and cn[0] in rename:
+            # sort key staged as a hidden projected column (LIMIT n%
+            # over a projection that drops the ORDER BY column)
+            return _name(rename[cn[0]]) + _order_suffix(o)
     return _expr(o["expression"]) + _order_suffix(o)
 
 
@@ -1393,7 +1436,8 @@ def _has_aggregate(node) -> bool:
     return False
 
 
-def _modifiers(node: dict) -> list[str]:
+def _modifiers(node: dict, order_rename: dict[str, str] | None = None
+               ) -> list[str]:
     lines = []
     order_parts: list[str] = []
     for m in node.get("modifiers") or []:
@@ -1410,7 +1454,7 @@ def _modifiers(node: dict) -> list[str]:
                     sfx = _order_suffix(o)
                     parts += [f"{i + 1}{sfx}" for i in range(len(items))]
                 else:
-                    parts.append(_order_item(o))
+                    parts.append(_order_item(o, order_rename))
             order_parts = parts
             lines.append("order by " + ", ".join(parts))
         elif m["type"] == "LIMIT_PERCENT_MODIFIER":
@@ -1780,6 +1824,13 @@ def _rel_ref(rel: dict) -> str:
         name = rel["table_name"]
         if rel.get("schema_name"):
             name = f"{rel['schema_name']}.{name}"
+        elif re.search(r"/|\.(parquet|csv|tsv|json|jsonl|orc|gz)$",
+                       name, re.IGNORECASE):
+            # DuckDB file references (`FROM 'x.parquet'`) serialize as a
+            # bare table_name; wvlet file refs are string literals — the
+            # unquoted path is unparseable (round-8 fuzz find via
+            # POSITIONAL JOIN over files)
+            name = "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
         if alias and alias != rel["table_name"]:
             name += f" as {_name(alias)}"
         return name
