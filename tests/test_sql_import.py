@@ -992,18 +992,20 @@ def test_limit_all_and_collate_reject(spark, duck):
     """Round-5 probe finds: LIMIT ALL serializes as a NULL constant and
     emitted `limit null` (parse error) — now a no-op; named collations
     (COLLATE NOCASE) were silently DROPPED, returning case-sensitive
-    answers — now pointed typed rejects (a collation changes the WHOLE
-    comparison's semantics; a one-sided fold would still be wrong)."""
+    answers — round 5 made them typed rejects, round 8 converts NOCASE
+    at comparison sites (both operands fold through lower(); see
+    test_collate_nocase_converts).  This pin keeps the round-5 probe
+    query CORRECT, never silently case-sensitive."""
     from wvlet_spark import WvletSession
-    from wvlet_spark.sql_import import SqlImportError
 
     ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
     sql = "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT ALL"
     got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
     exp = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == exp and len(got) == 25
-    with pytest.raises(SqlImportError, match="collation"):
-        ws.to_wvlet("SELECT 'abc' = 'ABC' COLLATE NOCASE AS nc")
+    sql = "SELECT 'abc' = 'ABC' COLLATE NOCASE AS nc"
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    assert got == duck.execute(sql).fetchall() == [(True,)]
 
 
 def test_extract_epoch_and_age_reject(spark, duck):
@@ -1554,13 +1556,10 @@ def test_slice_nulls_outofrange_and_scalar_series(spark, duck):
 def test_describe_show_summarize_statements(spark):
     """Round-6 conversion: DESCRIBE <query|table> and SHOW TABLES
     (serialized as SHOW_REF relations) lower to the engine's describe
-    pipe / show tables; SUMMARIZE stays a pointed typed reject naming
-    the profiler tool.  Internal __wv_* staging views are excluded from
-    show tables output."""
-    import pytest
-
+    pipe / show tables; SUMMARIZE over a subquery converts since round 8
+    (model definition + profiler call).  Internal __wv_* staging views
+    are excluded from show tables output."""
     from wvlet_spark import WvletSession
-    from wvlet_spark.sql_import import SqlImportError
 
     ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
     rows = ws.run(ws.to_wvlet("DESCRIBE SELECT 1 AS x, 'a' AS y")).collect()
@@ -1570,8 +1569,9 @@ def test_describe_show_summarize_statements(spark):
     names = [r[0] for r in ws.run(ws.to_wvlet("SHOW TABLES")).collect()]
     assert "nation" in names and "orders" in names
     assert not [n for n in names if n.startswith("__wv_")]
-    with pytest.raises(SqlImportError, match="profile_numeric"):
-        ws.to_wvlet("SUMMARIZE SELECT 1 AS x")
+    rows = {r.col_name: r for r in
+            ws.run(ws.to_wvlet("SUMMARIZE SELECT 1 AS x")).collect()}
+    assert rows["x"].n == 1 and rows["x"].min_v == 1.0
 
 
 def test_json_arrow_chains(spark, duck):
@@ -1713,8 +1713,18 @@ def test_summarize_converts(spark, duck):
     assert rows["n_name"].n == 25 and rows["n_name"].nulls == 0 \
         and rows["n_name"].n_distinct == 25 \
         and rows["n_name"].min_v is None
+    # SUMMARIZE over a subquery converts since round 8: the subquery
+    # becomes a model, profiled without materializing a table
+    wv = ws.to_wvlet("SUMMARIZE SELECT n_regionkey FROM nation "
+                     "WHERE n_nationkey < 10")
+    assert "model __wv_summarize" in wv
+    out = {r.col_name: r for r in ws.run(wv).collect()}
+    exp = duck.execute(
+        "SELECT count(n_regionkey), count(DISTINCT n_regionkey) "
+        "FROM nation WHERE n_nationkey < 10").fetchone()
+    assert (out["n_regionkey"].n, out["n_regionkey"].n_distinct) == exp
     with pytest.raises(SqlImportError, match="SUMMARIZE"):
-        ws.to_wvlet("SUMMARIZE SELECT * FROM nation")
+        ws.to_wvlet('SUMMARIZE "__wv_private"')
 
 def test_positional_flag_resets_after_failed_import(spark):
     """Round-8 advisor fix pin: a SqlImportError raised between the
@@ -1730,8 +1740,9 @@ def test_positional_flag_resets_after_failed_import(spark):
     ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
     with pytest.raises(SqlImportError):
         # WHERE-expr reject AFTER the positional lowering sets the flag
+        # (NOACCENT stays a typed reject; NOCASE converts since round 8)
         ws.to_wvlet("SELECT * FROM nation POSITIONAL JOIN region "
-                    "WHERE n_name COLLATE NOCASE = 'x'")
+                    "WHERE n_name COLLATE NOACCENT = 'x'")
     wv = ws.to_wvlet("SELECT * FROM nation")
     assert "__pos" not in wv, wv
 
@@ -1927,3 +1938,80 @@ def test_limit_percent_order_by_dropped_column(spark, duck):
         osql = ws.oracle_sql(wv)
         assert sorted(map(str, duck.execute(osql).fetchall())) == \
             sorted(map(str, got)), sql
+
+def test_collate_nocase_converts(spark, duck):
+    """Round-8 conversion (previously a typed reject): COLLATE NOCASE on
+    a comparison operand folds BOTH operands through lower() (SQL
+    collation semantics apply to the whole comparison), and a NOCASE
+    ORDER BY key sorts case-insensitively.  Other positions (GROUP BY,
+    aggregate args) and other named collations stay pointed rejects."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT n_name FROM nation WHERE n_name COLLATE NOCASE = "
+        "'algeria' ORDER BY n_name",
+        "SELECT n_nationkey FROM nation WHERE 'unITED STates' = "
+        "n_name COLLATE NOCASE",
+        "SELECT CASE WHEN 'a' COLLATE NOCASE = 'A' THEN 1 ELSE 0 END "
+        "AS eq",
+        "SELECT n_name FROM nation WHERE n_name COLLATE NOCASE > "
+        "'peru' ORDER BY n_name",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+    # NOCASE ordering: compare the ordered key sequence case-folded
+    # (ties between case variants are unspecified on both engines)
+    sql = "SELECT n_name FROM nation ORDER BY n_name COLLATE NOCASE"
+    got = [r[0].lower() for r in ws.run(ws.to_wvlet(sql)).collect()]
+    exp = [r[0].lower() for r in duck.execute(sql).fetchall()]
+    assert got == exp
+    for sql in [
+        "SELECT n_name FROM nation GROUP BY n_name COLLATE NOCASE",
+        "SELECT max(n_name COLLATE NOCASE) FROM nation",
+        "SELECT n_name FROM nation WHERE n_name COLLATE NOACCENT = 'x'",
+    ]:
+        with pytest.raises(SqlImportError, match="collation|COLLATE"):
+            ws.to_wvlet(sql)
+
+def test_grouped_qualify_unprojected_keys(spark, duck):
+    """Round-8 conversion (previously a typed reject): QUALIFY over a
+    GROUPED query whose predicate references group keys the projection
+    drops — the keys stage as hidden projected columns (legal: they are
+    group keys), the predicate's refs rename to them, and the helpers
+    drop after the filter.  Predicates carrying bare aggregates (rank
+    over count(*)) stay pointed rejects: no aggregation context remains
+    post-projection."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT count(*) AS n FROM orders GROUP BY o_orderstatus "
+        "QUALIFY row_number() OVER (ORDER BY o_orderstatus) <= 2 "
+        "ORDER BY n",
+        "SELECT count(*) AS n FROM orders GROUP BY o_orderstatus, "
+        "o_orderpriority QUALIFY rank() OVER (PARTITION BY "
+        "o_orderstatus ORDER BY n DESC, o_orderpriority) = 1 "
+        "ORDER BY n",
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY "
+        "o_orderstatus, o_orderpriority QUALIFY row_number() OVER "
+        "(PARTITION BY o_orderstatus ORDER BY o_orderpriority) = 1 "
+        "ORDER BY o_orderpriority, n",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+    with pytest.raises(SqlImportError, match="QUALIFY"):
+        ws.to_wvlet(
+            "SELECT count(*) AS n FROM orders GROUP BY o_orderstatus, "
+            "o_orderpriority QUALIFY rank() OVER (PARTITION BY "
+            "o_orderstatus ORDER BY count(*) DESC) = 1")

@@ -326,6 +326,11 @@ class WvletSession:
         operator's DataFrame as the statement result (pipe operators can
         continue the result like any relation)."""
         def _df(name: str):
+            if name in self.analyzer.models:
+                # wvlet models are valid tool inputs: the SUMMARIZE-over-
+                # subquery import path defines one and profiles it
+                # (round-8; previously a typed reject)
+                return self.run(f"from {name}")
             return self.spark.table(name)
 
         def _one_table(fn, **fixed):

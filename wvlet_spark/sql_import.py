@@ -1189,6 +1189,7 @@ def _select_node(node: dict) -> list[str]:
         _stage_qualify_preprojection(node, qual, lines, groups, sets,
                                      why="QUALIFY with DISTINCT")
         qual = None
+    qual_hidden: list[tuple[str, str]] = []
     if qual is not None:
         # Which lowering can host the filter?  Post-projection staging
         # (the default — select aliases resolve naturally) only works if
@@ -1211,11 +1212,33 @@ def _select_node(node: dict) -> list[str]:
                 projected.add(it["column_names"][0])
         if (not covers_all and not refs <= projected) \
                 or (refs & set(star_exclude)):
-            _stage_qualify_preprojection(node, qual, lines, groups, sets,
-                                         why="QUALIFY")
-            qual = None
+            if (groups or sets or node.get("aggregate_handling")
+                    == "FORCE_AGGREGATES") \
+                    and not (refs & set(star_exclude)) \
+                    and not _qualify_has_bare_aggregate(qual):
+                # grouped query referencing unprojected columns: pre-
+                # projection staging is impossible (the windows must see
+                # AGGREGATED rows), so stage each missing plain column
+                # as a hidden projected column instead — it must be a
+                # group key or the binder would have rejected the query
+                # — rename the predicate's refs to it, and drop the
+                # helpers after the filter (round-8; previously a typed
+                # reject via _stage_qualify_preprojection).  Predicates
+                # carrying bare aggregates (rank() over (order by
+                # count(*))) stay rejected: post-projection there is no
+                # aggregation context to evaluate them in.
+                qual = copy.deepcopy(qual)
+                for i, c in enumerate(sorted(refs - projected)):
+                    nm = f"__q_h{i}"
+                    _rename_col(qual, c, nm)
+                    qual_hidden.append((nm, c))
+            else:
+                _stage_qualify_preprojection(node, qual, lines, groups,
+                                             sets, why="QUALIFY")
+                qual = None
     distinct = plain_distinct
     items = [_select_item(e) for e in node.get("select_list") or []]
+    items += [f"{nm} = {_name(c)}" for nm, c in qual_hidden]
     if having_post is not None:
         items.append(f"__having = {having_post}")
     if has_from and _POSITIONAL_POS.get():
@@ -1284,7 +1307,8 @@ def _select_node(node: dict) -> list[str]:
         # clause was silently DROPPED — wrong answers, round-5 find)
         lines.append(f"add __qualify = {_expr(qual)}")
         lines.append("where __qualify")
-        lines.append("exclude __qualify")
+        lines.append("exclude __qualify"
+                     + "".join(f", {nm}" for nm, _ in qual_hidden))
     lines += _modifiers(node, order_rename=pct_rename)
     if pct_rename:
         # drop the hidden staged sort keys AFTER the final order-by (a
@@ -1397,6 +1421,34 @@ def _order_suffix(o: dict) -> str:
     return s
 
 
+def _qualify_has_bare_aggregate(e) -> bool:
+    """Does a QUALIFY predicate contain an aggregate call OUTSIDE the
+    window function position (e.g. count(*) as a window ORDER BY key)?
+    Those need the grouped query's aggregation context, which the
+    post-projection add/where staging no longer has."""
+    if isinstance(e, dict):
+        if e.get("class") == "FUNCTION" and _has_aggregate(e):
+            return True
+        for k, v in e.items():
+            if k in ("class", "type", "function_name"):
+                continue
+            if _qualify_has_bare_aggregate(v):
+                return True
+        return False
+    if isinstance(e, list):
+        return any(_qualify_has_bare_aggregate(x) for x in e)
+    return False
+
+
+def _nocase_child(e) -> dict | None:
+    """The child of a `COLLATE NOCASE` wrapper, else None — used by the
+    contextual NOCASE lowering (comparisons, ORDER BY keys)."""
+    if isinstance(e, dict) and e.get("class") == "COLLATE" \
+            and str(e.get("collation") or "").lower() == "nocase":
+        return e["child"]
+    return None
+
+
 def _order_item(o: dict, rename: dict[str, str] | None = None) -> str:
     ex = o.get("expression") or {}
     if rename and ex.get("class") == "COLUMN_REF":
@@ -1405,6 +1457,12 @@ def _order_item(o: dict, rename: dict[str, str] | None = None) -> str:
             # sort key staged as a hidden projected column (LIMIT n%
             # over a projection that drops the ORDER BY column)
             return _name(rename[cn[0]]) + _order_suffix(o)
+    nc = _nocase_child(ex)
+    if nc is not None:
+        # ORDER BY x COLLATE NOCASE -> case-insensitive sort key
+        # (round-8; ties between case variants are unspecified on both
+        # engines, same as DuckDB's own NOCASE ordering)
+        return f"lower({_expr(nc)})" + _order_suffix(o)
     return _expr(o["expression"]) + _order_suffix(o)
 
 
@@ -1699,11 +1757,16 @@ def _from_relation(rel: dict) -> list[str]:
             # approx_unique, std) are sketch-approximate there and have
             # no exact cross-engine contract.
             raw = rel.get("table_name") or ""
-            if rel.get("query") or not raw or raw.startswith("__"):
-                raise SqlImportError(
-                    "SUMMARIZE over a subquery is not supported — "
-                    "SUMMARIZE a named table, or call "
-                    "profile_numeric(table=..., cols=...) directly")
+            if rel.get("query"):
+                # SUMMARIZE (SELECT ...) — define the subquery as a
+                # model and profile it (round-8; previously a typed
+                # reject).  The tool layer resolves model names
+                # (session._df), so no table is materialized.
+                body = _query_node(rel["query"])
+                return [
+                    "model __wv_summarize = {\n" + _indent(body) + "\n}",
+                    "call profile_numeric(table='__wv_summarize')",
+                ]
             # the name splices into a single-quoted call argument: accept
             # plain or quoted (optionally schema-qualified, serialized as
             # "a"."b") identifiers whose unquoted parts are themselves
@@ -1713,13 +1776,16 @@ def _from_relation(rel: dict) -> list[str]:
             ident = r"[A-Za-z_][A-Za-z0-9_$]*"
             quoted = r'"(?:[^"]|"")*"'
             part = f"(?:{ident}|{quoted})"
-            if not re.fullmatch(rf"{part}(\.{part})*", raw):
+            if not raw or not re.fullmatch(rf"{part}(\.{part})*", raw):
                 raise SqlImportError(
                     f"SUMMARIZE target {raw!r} is not a plain identifier "
                     "— call profile_numeric(table=...) directly")
             parts = [p[1:-1].replace('""', '"') if p.startswith('"') else p
                      for p in re.findall(rf"{part}", raw)]
-            if not all(re.fullmatch(ident, p) for p in parts):
+            if not all(re.fullmatch(ident, p) for p in parts) \
+                    or any(p.startswith("__") for p in parts):
+                # __-prefixed names are the engine's internal staging
+                # namespace — never a user profiling target
                 raise SqlImportError(
                     f"SUMMARIZE target {raw!r} is not a plain identifier "
                     "— call profile_numeric(table=...) directly")
@@ -1958,7 +2024,18 @@ def _expr(e: dict) -> str:
         op = _CMP.get(t)
         if op is None:
             raise SqlImportError(f"unsupported comparison {t}")
-        return f"{_expr(e['left'])} {op} {_expr(e['right'])}"
+        left, right = e["left"], e["right"]
+        # COLLATE NOCASE on either operand (round-8; previously a typed
+        # reject): SQL collation semantics apply to the WHOLE comparison,
+        # so both operands fold through lower() — exact for the NOCASE
+        # contract on both engines (simple unicode case folding)
+        lc = _nocase_child(left)
+        rc = _nocase_child(right)
+        if lc is not None or rc is not None:
+            ls = f"lower({_expr(lc if lc is not None else left)})"
+            rs = f"lower({_expr(rc if rc is not None else right)})"
+            return f"{ls} {op} {rs}"
+        return f"{_expr(left)} {op} {_expr(right)}"
     if cls == "CONJUNCTION":
         op = " and " if t == "CONJUNCTION_AND" else " or "
         return "(" + op.join(_expr(c) for c in e["children"]) + ")"
@@ -2041,7 +2118,12 @@ def _expr(e: dict) -> str:
     if cls == "COLLATE":
         # a named collation changes comparison semantics — dropping it
         # silently returns case/accent-sensitive answers (round-5 probe
-        # find); only the binary default passes through
+        # find); only the binary default passes through.  NOCASE is
+        # handled CONTEXTUALLY (comparison operands and ORDER BY keys
+        # fold both sides through lower() — see _nocase_child callers);
+        # reaching here means NOCASE in a position where one-sided
+        # folding would be wrong, so it stays a pointed reject along
+        # with the other named collations (NOACCENT etc.).
         coll = str(e.get("collation") or "").lower()
         if coll in ("", "binary", "c", "posix"):
             return _expr(e["child"])
