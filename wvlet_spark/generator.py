@@ -1999,6 +1999,47 @@ class SqlGenerator:
             # first-match-only and needs the 'g' flag (wide-fuzz find)
             a = ", ".join(self.expr(x) for x in e.args)
             core = f"regexp_replace({a}, 'g')"
+        elif e.name.lower() == "regexp_replace_first" and len(e.args) == 3:
+            # FIRST-match-only replace (DuckDB's bare 3-arg semantics —
+            # the SQL importer emits this; round-8 fuzz find: importing
+            # it as the engine's replace-ALL regexp_replace silently
+            # changed results).  DuckDB target: the native form.  Spark
+            # target: wrap the pattern to consume the rest of the string
+            # in one extra capture group so replace-all can only ever
+            # fire once, and re-append the rest via its group reference:
+            #   (?s)(?:PAT)(.*)  ->  REP$<n_groups(PAT)+1>
+            # (Spark silently IGNORES ${name} references — measured —
+            # so the group must be numbered, which needs the pattern's
+            # own capture-group count.)
+            if self.dialect != SPARK:
+                a = ", ".join(self.expr(x) for x in e.args)
+                core = f"regexp_replace({a})"
+            else:
+                xv, pv, rv = e.args
+                if not (isinstance(pv, N.Literal)
+                        and isinstance(rv, N.Literal)):
+                    raise WvletSyntaxError(
+                        "regexp_replace_first needs a literal pattern "
+                        "and replacement on the Spark target", 0, 0)
+                pat, rep = str(pv.value), str(rv.value)
+                if re.search(r"\\\d", rep):
+                    raise WvletSyntaxError(
+                        "regexp_replace_first with group backreferences "
+                        "in the replacement is not supported on the "
+                        "Spark target", 0, 0)
+                try:
+                    ngroups = re.compile(pat).groups
+                except re.error:
+                    raise WvletSyntaxError(
+                        "regexp_replace_first: cannot count the "
+                        "pattern's capture groups (non-portable regex "
+                        "syntax)", 0, 0)
+                jpat = f"(?s)(?:{pat})(.*)"
+                # Java replacement syntax: \ and $ are special
+                jrep = (rep.replace("\\", "\\\\").replace("$", "\\$")
+                        + f"${ngroups + 1}")
+                core = (f"regexp_replace({self.expr(xv)}, "
+                        f"{self.str_lit(jpat)}, {self.str_lit(jrep)})")
         elif e.name.lower() in ("array_slice", "list_slice") \
                 and len(e.args) == 3:
             # wvlet array_slice(arr, lo, hi): DuckDB [lo:hi] semantics —

@@ -2577,6 +2577,14 @@ def _function(e: dict) -> str:
         raise SqlImportError(
             f"unsupported regexp_replace flags {flags!r} (only 'g' "
             f"converts to the engine's replace-all semantics)")
+    if fn == "regexp_replace" and len(ch) == 3:
+        # DuckDB's bare 3-arg regexp_replace replaces only the FIRST
+        # match; the engine's canonical regexp_replace is replace-ALL —
+        # importing verbatim silently changed results (round-8 fuzz
+        # find).  Lower to the first-only canonical alias, which each
+        # dialect target implements exactly.
+        args3 = ", ".join(_expr(c) for c in ch)
+        return f"regexp_replace_first({args3})"
     if fn in ("date_diff", "datediff") and len(ch) == 3 \
             and ch[0].get("class") == "CONSTANT":
         part = str(ch[0]["value"].get("value")).lower()
