@@ -1345,8 +1345,13 @@ def sqlshape_regex_dialect(rng):
     if pick == 1:
         return (f"SELECT {key}, regexp_extract({col}, '{rx}') AS e "
                 f"FROM {tbl} ORDER BY {key}")
-    return (f"SELECT {key}, regexp_replace({col}, '{rx}', '_') AS r "
-            f"FROM {tbl} ORDER BY {key}")
+    # replace: first-only (DuckDB bare) vs 'g' replace-all, with
+    # replacement strings that stress Java-replacement escaping
+    # (round-8 find: first-only silently imported as replace-all)
+    rep = rng.choice(["_", "<>", "$", "$0", "a$b", "[-]", "..", ""])
+    flag = rng.choice(["", ", 'g'"])
+    return (f"SELECT {key}, regexp_replace({col}, '{rx}', "
+            f"'{rep}'{flag}) AS r FROM {tbl} ORDER BY {key}")
 
 
 SQL_SHAPES = {

@@ -140,6 +140,66 @@ SCALAR_METHOD_CASTS = {
 
 _SAFE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+
+def re2_repl_to_java(rep: str) -> str:
+    """RE2/DuckDB regexp replacement grammar -> Java/Spark grammar:
+    backrefs are \\N there and $N here; $ is literal there and must be
+    escaped here; \\\\ stays a literal backslash.  (Round-8 fuzz find:
+    passing replacements through verbatim made $0 expand — or raise —
+    on Spark while DuckDB printed it literally.)"""
+    out = []
+    i = 0
+    while i < len(rep):
+        c = rep[i]
+        if c == "\\" and i + 1 < len(rep):
+            n = rep[i + 1]
+            if n.isdigit():
+                out.append("$" + n)
+            elif n == "\\":
+                out.append("\\\\")
+            else:
+                out.append("\\" + n)
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")
+        elif c == "\\":          # trailing lone backslash
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def java_repl_to_re2(rep: str) -> str:
+    """Inverse of re2_repl_to_java: Java/Spark replacement grammar ->
+    RE2/DuckDB grammar, for lowering the engine's canonical (Java-style)
+    regexp_replace onto the DuckDB oracle target."""
+    out = []
+    i = 0
+    while i < len(rep):
+        c = rep[i]
+        if c == "\\" and i + 1 < len(rep):
+            n = rep[i + 1]
+            if n == "$":
+                out.append("$")
+            elif n == "\\":
+                out.append("\\\\")
+            else:
+                out.append("\\" + n)
+            i += 2
+            continue
+        if c == "$" and i + 1 < len(rep) and rep[i + 1].isdigit():
+            out.append("\\" + rep[i + 1])
+            i += 2
+            continue
+        if c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
 _INT_CAST_TARGETS = {"long", "bigint", "int", "integer", "smallint",
                      "tinyint", "short", "byte"}
 
@@ -1993,12 +2053,31 @@ class SqlGenerator:
                     cfmt = _java_fmt_to_c(fmt) if java_in else fmt
                     core = (f"strftime({self.expr(val)}, "
                             f"'{cfmt.replace(chr(39), chr(39) * 2)}')")
+        elif e.name.lower() == "log" and len(e.args) == 1 \
+                and self.dialect == SPARK:
+            # 1-arg log: the reference's semantics are DuckDB's, where
+            # log(x) = log BASE 10; Spark's 1-arg log is ln — passing it
+            # through silently diverged between execution and oracle
+            # (round-8 dialect audit).  2-arg log(base, x) agrees on
+            # both engines and passes through.
+            core = f"log10({self.expr(e.args[0])})"
         elif e.name.lower() == "regexp_replace" and len(e.args) == 3 \
                 and self.dialect != SPARK:
             # Spark's regexp_replace is replace-ALL; DuckDB's default is
-            # first-match-only and needs the 'g' flag (wide-fuzz find)
-            a = ", ".join(self.expr(x) for x in e.args)
-            core = f"regexp_replace({a}, 'g')"
+            # first-match-only and needs the 'g' flag (wide-fuzz find).
+            # The canonical replacement grammar is Java's ($N backrefs,
+            # \$ literal) — translate literal replacements to RE2's
+            # (\N backrefs, bare $ literal) for the DuckDB target
+            # (round-8 fuzz find); non-literal replacements pass through
+            # (runtime backrefs are not expressible cross-engine).
+            rv = e.args[2]
+            if isinstance(rv, N.Literal) and isinstance(rv.value, str):
+                rep = self.str_lit(java_repl_to_re2(rv.value))
+                core = (f"regexp_replace({self.expr(e.args[0])}, "
+                        f"{self.expr(e.args[1])}, {rep}, 'g')")
+            else:
+                a = ", ".join(self.expr(x) for x in e.args)
+                core = f"regexp_replace({a}, 'g')"
         elif e.name.lower() == "regexp_replace_first" and len(e.args) == 3:
             # FIRST-match-only replace (DuckDB's bare 3-arg semantics —
             # the SQL importer emits this; round-8 fuzz find: importing
@@ -2022,11 +2101,6 @@ class SqlGenerator:
                         "regexp_replace_first needs a literal pattern "
                         "and replacement on the Spark target", 0, 0)
                 pat, rep = str(pv.value), str(rv.value)
-                if re.search(r"\\\d", rep):
-                    raise WvletSyntaxError(
-                        "regexp_replace_first with group backreferences "
-                        "in the replacement is not supported on the "
-                        "Spark target", 0, 0)
                 try:
                     ngroups = re.compile(pat).groups
                 except re.error:
@@ -2035,9 +2109,12 @@ class SqlGenerator:
                         "pattern's capture groups (non-portable regex "
                         "syntax)", 0, 0)
                 jpat = f"(?s)(?:{pat})(.*)"
-                # Java replacement syntax: \ and $ are special
-                jrep = (rep.replace("\\", "\\\\").replace("$", "\\$")
-                        + f"${ngroups + 1}")
+                # the alias's replacement grammar is RE2's (DuckDB is
+                # the native target); translate to Java and re-append
+                # the rest via the wrapper group (pattern groups keep
+                # their numbers — the wrapper group is last, so \N
+                # backrefs survive the translation)
+                jrep = re2_repl_to_java(rep) + f"${ngroups + 1}"
                 core = (f"regexp_replace({self.expr(xv)}, "
                         f"{self.str_lit(jpat)}, {self.str_lit(jrep)})")
         elif e.name.lower() in ("array_slice", "list_slice") \

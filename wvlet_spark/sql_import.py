@@ -2571,7 +2571,22 @@ def _function(e: dict) -> str:
         flags = str(ch[3]["value"].get("value"))
         if flags == "g":
             # canonical regexp_replace is replace-ALL (Spark); DuckDB's
-            # 'g' flag is exactly that — drop it
+            # 'g' flag is exactly that — drop it.  The replacement
+            # grammar differs though: DuckDB/RE2 uses \N backrefs with
+            # literal $, canonical/Java uses $N with \$ — translate
+            # literal replacements (round-8 fuzz find: $0 either
+            # expanded or raised on Spark); non-literal ones pass
+            # through (runtime backrefs are not expressible anyway).
+            rv = ch[2]
+            if rv.get("class") == "CONSTANT" \
+                    and rv["value"]["type"]["id"] == "VARCHAR" \
+                    and not rv["value"].get("is_null"):
+                from wvlet_spark.generator import re2_repl_to_java
+                jrep = re2_repl_to_java(str(rv["value"]["value"]))
+                lit = "'" + jrep.replace("\\", "\\\\") \
+                                .replace("'", "\\'") + "'"
+                return (f"regexp_replace({_expr(ch[0])}, "
+                        f"{_expr(ch[1])}, {lit})")
             args3 = ", ".join(_expr(c) for c in ch[:3])
             return f"regexp_replace({args3})"
         raise SqlImportError(
