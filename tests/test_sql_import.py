@@ -2115,3 +2115,50 @@ def test_one_arg_log_is_log10(spark, duck):
     wvq = "select v = round(log(100), 6)"
     got = [tuple(r) for r in ws.run(wvq).collect()]
     assert got == duck.execute(ws.oracle_sql(wvq)).fetchall() == [(2.0,)]
+
+def test_dialect_default_audit_round8(spark, duck):
+    """Round-8 dialect audit pins — same-name functions with different
+    defaults between DuckDB and Spark, each previously a silent
+    divergence or a raw unresolved-routine error:
+    - split() is a LITERAL-separator alias in DuckDB but regex in Spark
+      (split('a.b.c','.') returned six empty strings);
+    - list/array_contains is two-valued in DuckDB (no-match over a
+      NULL-bearing list = FALSE) but three-valued in Spark;
+    - dayname/monthname return FULL names in DuckDB, 3-letter
+      abbreviations from Spark's same-named builtins;
+    - week() and to_hex() have no same-name Spark twin (weekofyear /
+      hex carry identical values);
+    - format('{}') stays a pointed reject naming printf."""
+    import pytest
+
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT split('a.b.c', '.') AS s",
+        "SELECT array_contains([1, 2, NULL], 3) AS c",
+        "SELECT list_contains([1, 2, NULL], 2) AS c",
+        "SELECT list_contains(NULL::INT[], 1) AS c",
+        "SELECT list_contains([1], NULL) AS c",
+        "SELECT n_nationkey, list_contains([n_regionkey, NULL], 2) "
+        "AS c FROM nation ORDER BY n_nationkey",
+        "SELECT dayname(DATE '2024-01-01') AS d, "
+        "monthname(DATE '2024-01-01') AS m",
+        "SELECT week(DATE '2023-01-01') AS w",
+        "SELECT to_hex(255) AS h",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(map(str, r)) for r in ws.run(wv).collect()]
+        exp = [tuple(map(str, r)) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+        oexp = [tuple(map(str, r))
+                for r in duck.execute(ws.oracle_sql(wv)).fetchall()]
+        assert oexp == exp, sql
+    with pytest.raises(SqlImportError, match="printf"):
+        ws.to_wvlet("SELECT format('{}-{}', 1, 'a') AS f")
+    # wvlet-level dayname agrees with its oracle (generator-side fix)
+    wvq = "select d = dayname('2024-01-06'::date)"
+    got = [tuple(r) for r in ws.run(wvq).collect()]
+    assert got == duck.execute(ws.oracle_sql(wvq)).fetchall() \
+        == [("Saturday",)]

@@ -2053,6 +2053,13 @@ class SqlGenerator:
                     cfmt = _java_fmt_to_c(fmt) if java_in else fmt
                     core = (f"strftime({self.expr(val)}, "
                             f"'{cfmt.replace(chr(39), chr(39) * 2)}')")
+        elif e.name.lower() in ("dayname", "monthname") \
+                and len(e.args) == 1 and self.dialect == SPARK:
+            # the reference's dayname/monthname return FULL names
+            # (DuckDB); Spark's same-named builtins return 3-letter
+            # abbreviations — silent divergence (round-8 dialect audit)
+            fmt = "EEEE" if e.name.lower() == "dayname" else "MMMM"
+            core = f"date_format({self.expr(e.args[0])}, '{fmt}')"
         elif e.name.lower() == "log" and len(e.args) == 1 \
                 and self.dialect == SPARK:
             # 1-arg log: the reference's semantics are DuckDB's, where

@@ -2516,12 +2516,15 @@ def _function(e: dict) -> str:
     if fn in ("string_split_regex", "regexp_split_to_array") \
             and len(ch) == 2:
         return f"split({_expr(ch[0])}, {_expr(ch[1])})"
-    if fn in ("string_split", "str_split", "string_to_array") \
+    if fn in ("string_split", "str_split", "string_to_array", "split") \
             and len(ch) == 2:
-        # DuckDB splits on a LITERAL separator; wvlet's split (like
-        # Spark's) takes a regex — escape metacharacters.  Both Java
-        # regex and RE2 accept backslash-escaped punctuation, so the
-        # escaped literal runs identically on either engine.
+        # DuckDB splits on a LITERAL separator — including its bare
+        # `split` alias (round-8 dialect audit: split('a.b.c', '.')
+        # passed through to the engine's REGEX split and returned six
+        # empty strings); wvlet's split (like Spark's) takes a regex —
+        # escape metacharacters.  Both Java regex and RE2 accept
+        # backslash-escaped punctuation, so the escaped literal runs
+        # identically on either engine.
         sep = ch[1]
         if sep.get("class") == "CONSTANT" \
                 and isinstance(sep.get("value", {}).get("value"), str):
@@ -2530,6 +2533,32 @@ def _function(e: dict) -> str:
         raise SqlImportError(
             "string_split with a non-literal separator cannot be "
             "converted to a regex split at compile time")
+    if fn in ("list_contains", "array_contains", "list_has",
+              "array_has") and len(ch) == 2:
+        # DuckDB's contains is NOT three-valued like Spark's: a no-match
+        # over a NULL-bearing list returns FALSE there, NULL on Spark
+        # (round-8 dialect audit — silent divergence); NULL list or NULL
+        # needle return NULL on both.  Guard + coalesce reproduces the
+        # DuckDB truth table exactly on either engine.  A literal-NULL
+        # operand short-circuits to typed NULL (Spark's analyzer rejects
+        # an untyped NULL needle even in the unreached else branch).
+        if any(c.get("class") == "CONSTANT" and c["value"].get("is_null")
+               for c in ch):
+            return "null::boolean"
+        a, x = _expr(ch[0]), _expr(ch[1])
+        return (f"(if {a} is null or {x} is null then null "
+                f"else coalesce(array_contains({a}, {x}), false))")
+    if fn == "week" and len(ch) == 1:
+        # DuckDB week() = ISO week; Spark has no week() (weekofyear is
+        # the ISO twin on both engines)
+        return f"weekofyear({_expr(ch[0])})"
+    if fn == "to_hex" and len(ch) == 1:
+        # same value, different name (both uppercase)
+        return f"hex({_expr(ch[0])})"
+    if fn == "format" and not e.get("window"):
+        raise SqlImportError(
+            "format('{}' templates) has no Spark analogue — use "
+            "printf('%s', ...) (converts on both engines)")
     if fn in ("range", "generate_series") and 1 <= len(ch) <= 3 \
             and not e.get("filter") and e.get("window") is None:
         # scalar list generators (round-6 sql_slicestep fuzz find:
