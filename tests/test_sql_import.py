@@ -2162,3 +2162,48 @@ def test_dialect_default_audit_round8(spark, duck):
     got = [tuple(r) for r in ws.run(wvq).collect()]
     assert got == duck.execute(ws.oracle_sql(wvq)).fetchall() \
         == [("Saturday",)]
+
+def test_dialect_default_audit_round8_batch2(spark, duck):
+    """Round-8 dialect audit, second batch — previously unresolved
+    routines or typed rejects, now exact conversions:
+    - datediff month/year/quarter/week count PART-BOUNDARY crossings
+      (DuckDB semantics: Jan31 -> Feb01 is 1 month), lowered to
+      linearized ordinals / week-floor day-diffs;
+    - list_indexof (list_position alias), list_reverse (Spark reverse —
+      string-only on DuckDB, hence a name-map pair), strlen (BYTE
+      length: octet_length on Spark);
+    - 2-arg regexp_extract_all returns FULL matches in DuckDB but
+      defaults to group 1 on Spark — the explicit 0 is passed."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        "SELECT list_indexof([5, 6], 6) AS i, list_indexof([5], 9) "
+        "AS i2",
+        "SELECT list_reverse([1, 2, 3]) AS r",
+        "SELECT strlen('héllo') AS l",
+        "SELECT regexp_extract_all('a1b22c', '\\d+') AS m",
+        "SELECT regexp_extract_all('a1b22c', '([a-z])(\\d)', 2) AS m",
+        "SELECT datediff('month', DATE '2024-01-31', "
+        "DATE '2024-02-01') AS d",
+        "SELECT date_diff('year', DATE '2023-12-31', "
+        "DATE '2024-01-01') AS d",
+        "SELECT datediff('quarter', DATE '2024-01-15', "
+        "DATE '2024-10-01') AS d",
+        "SELECT datediff('week', DATE '2024-01-06', "
+        "DATE '2024-01-08') AS d",
+        "SELECT datediff('week', DATE '2024-01-08', "
+        "DATE '2024-01-14') AS d",
+        "SELECT datediff('month', TIMESTAMP '2024-03-31 23:59:59', "
+        "TIMESTAMP '2024-04-01 00:00:00') AS d",
+        "SELECT o_orderkey, datediff('month', o_orderdate, "
+        "DATE '1998-08-02') AS d FROM orders WHERE o_orderkey <= 50 "
+        "ORDER BY o_orderkey",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(map(str, r)) for r in ws.run(wv).collect()]
+        exp = [tuple(map(str, r)) for r in duck.execute(sql).fetchall()]
+        assert got == exp, sql
+        oexp = [tuple(map(str, r))
+                for r in duck.execute(ws.oracle_sql(wv)).fetchall()]
+        assert oexp == exp, sql

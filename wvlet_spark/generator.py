@@ -63,6 +63,11 @@ FUNC_MAP: dict[str, dict[str, str]] = {
     "array_sort": {SPARK: "array_sort", DUCKDB: "list_sort"},
     "array_distinct": {SPARK: "array_distinct", DUCKDB: "list_distinct"},
     "instr": {SPARK: "instr", DUCKDB: "instr"},
+    # array reverse / byte length: the Spark spellings don't bind on
+    # DuckDB's types (reverse is string-only there; octet_length is
+    # BLOB-only) — round-8 dialect audit
+    "list_reverse": {SPARK: "reverse", DUCKDB: "list_reverse"},
+    "strlen": {SPARK: "octet_length", DUCKDB: "strlen"},
     "split": {SPARK: "split", DUCKDB: "string_split_regex"},
     "date_diff": {SPARK: "datediff", DUCKDB: "date_diff"},
     "list_value": {SPARK: "array", DUCKDB: "list_value"},

@@ -2555,6 +2555,19 @@ def _function(e: dict) -> str:
     if fn == "to_hex" and len(ch) == 1:
         # same value, different name (both uppercase)
         return f"hex({_expr(ch[0])})"
+    if fn == "list_indexof" and len(ch) == 2:
+        # alias of list_position (1-based, NULL when absent) on DuckDB;
+        # no same-named Spark routine
+        return f"array_position({_expr(ch[0])}, {_expr(ch[1])})"
+    # list_reverse / strlen pass through by name: the generator's
+    # _FN_MAP lowers them per dialect (Spark reverse / octet_length,
+    # DuckDB native) — a value rewrite here would break the oracle
+    # target, where the Spark spellings don't bind to these types
+    if fn == "regexp_extract_all" and len(ch) == 2:
+        # DuckDB's 2-arg form returns FULL matches (group 0); Spark's
+        # 2-arg form defaults to group 1 and errors on group-less
+        # patterns — pass the explicit 0 (identical on both engines)
+        return (f"regexp_extract_all({_expr(ch[0])}, {_expr(ch[1])}, 0)")
     if fn == "format" and not e.get("window"):
         raise SqlImportError(
             "format('{}' templates) has no Spark analogue — use "
@@ -2647,9 +2660,25 @@ def _function(e: dict) -> str:
             return (f"(((extract(epoch from date_trunc('{trunc_p}', {b}))"
                     f" - extract(epoch from date_trunc('{trunc_p}', {a})))"
                     f" / {secs})::long)")
+        a, b = _expr(ch[1]), _expr(ch[2])
+        if part in ("month", "months"):
+            # boundary crossings = difference of linearized month ords
+            # (round-8; previously a typed reject — DuckDB
+            # datediff('month', Jan31, Feb01) = 1, not months_between)
+            return (f"((year({b}) * 12 + month({b})) "
+                    f"- (year({a}) * 12 + month({a})))::long")
+        if part in ("year", "years"):
+            return f"(year({b}) - year({a}))::long"
+        if part in ("quarter", "quarters"):
+            return (f"((year({b}) * 4 + quarter({b})) "
+                    f"- (year({a}) * 4 + quarter({a})))::long")
+        if part in ("week", "weeks"):
+            # ISO-week boundary crossings: day-diff of the week floors
+            return (f"(datediff(date_trunc('week', {b}), "
+                    f"date_trunc('week', {a})) / 7)::long")
         raise SqlImportError(
-            f"unsupported datediff part {part!r} (day/hour/minute/"
-            f"second map onto the engine)")
+            f"unsupported datediff part {part!r} (day/week/month/"
+            f"quarter/year/hour/minute/second map onto the engine)")
     if fn == "timezone" and len(ch) == 2:
         # DuckDB serializes `x AT TIME ZONE tz` as timezone(tz, x)
         return f"({_expr(ch[1])} at time zone {_expr(ch[0])})"
