@@ -2057,6 +2057,66 @@ def test_regexp_replace_first_match_semantics(spark, duck):
     ).collect()
     assert got[0].r == "axbab"
 
+def test_regexp_replace_first_empty_matchable(spark, duck):
+    """Round-9 judge find (silent wrong results): the round-8 Spark
+    lowering (?s)(?:PAT)(.*) -> REP$n zero-width-matched AGAIN at
+    end-of-string when PAT can match empty, double-firing the
+    replacement — regexp_replace_first('bbb','a*','X') returned 'XbbbX'
+    (DuckDB: 'Xbbb').  The lowering is now the anchored form
+    \\A((?s:.*?))((?:PAT))((?s:.*)) where \\A makes a second match
+    impossible; DOTALL is scoped to the wrapper groups only so PAT's
+    own `.` keeps RE2 newline semantics (round-9 advisor find); group 2
+    captures the PAT match so RE2's \\0 translates.  Pins the judge's
+    repro strings, newline-dot scoping, \\0/backref renumbering, the
+    empty-input edge, and the two new typed rejects (empty-matchable
+    'g' replace, Java digit-absorbing backref adjacency)."""
+    from wvlet_spark import WvletSession
+    from wvlet_spark.sql_import import SqlImportError
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        # the judge's repro strings
+        "SELECT regexp_replace('bbb', 'a*', 'X') AS r",
+        "SELECT regexp_replace('aab', 'a*', 'X') AS r",
+        "SELECT regexp_replace('abc', 'x*', '-') AS r",
+        # other zero-width-matchable shapes
+        "SELECT regexp_replace('foo', 'x|', 'Z') AS r",
+        "SELECT regexp_replace('xay', '(a)?', '<>') AS r",
+        "SELECT regexp_replace('', 'a*', 'X') AS r",
+        # DOTALL must not leak into PAT: DuckDB's . does not match \n
+        "SELECT regexp_replace('a' || chr(10) || 'b-TAIL', 'a.b', "
+        "'Q') AS r",
+        # \0 whole-match and \N backrefs renumber under the wrapper
+        r"SELECT regexp_replace('hello', '(l+)o', '<\0>') AS r",
+        r"SELECT regexp_replace('ababab', '(a)(b)', '\2\1') AS r",
+        r"SELECT regexp_replace('abc', '(a)(b)?', '[\2]') AS r",
+        # backref followed by a digit that Java can NOT absorb (19 > 4)
+        r"SELECT regexp_replace('a1b2', '(\d)', '\19') AS r",
+        # live-table sweep over an empty-matchable pattern
+        "SELECT n_nationkey, regexp_replace(n_name, '[AEIOU]*', '.') "
+        "AS r FROM nation ORDER BY n_nationkey",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+        assert duck.execute(ws.oracle_sql(wv)).fetchall() == exp, sql
+    # round-9 fuzz find: global replace of an empty-matchable pattern
+    # is engine-disjoint (Java fires the zero-width match right after a
+    # non-empty one, RE2 skips it: 'E*' on 'AMERICA') — typed reject
+    with pytest.raises(SqlImportError, match="empty-matchable"):
+        ws.to_wvlet(
+            "SELECT regexp_replace(r_name, 'E*', '..', 'g') AS r "
+            "FROM region")
+    # round-9 advisor find: '\1' + literal '2' renders as Java '$12',
+    # which binds group 12 when the pattern has 12+ groups — typed
+    # reject instead of a silent wrong group
+    with pytest.raises(SqlImportError, match="ambiguous"):
+        ws.to_wvlet(
+            r"SELECT regexp_replace('abcdefghijkl', "
+            r"'(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)(l)', '\12', 'g') AS r")
+
+
 def test_regexp_replacement_grammar_translation(spark, duck):
     """Round-8 fuzz find #2: the REPLACEMENT grammar differs between
     engines — DuckDB/RE2 uses \\N backrefs with literal $, Java/Spark

@@ -1337,6 +1337,10 @@ def sqlshape_regex_dialect(rng):
     rx = rng.choice([
         "[AEIOU]{2}", "^[A-M]", "(?i)an", "[a-z ]+$", "A.A",
         "(N|R)[A-Z]+", "[^AEIOU ]{3}", "E+", "(?:IA|CO)$", "\\\\w{6,}",
+        # zero-width-matchable patterns (round-9 judge find: the old
+        # first-only Spark wrapper double-fired the replacement when
+        # PAT can match empty — 'a*' on 'bbb' gave 'XbbbX')
+        "E*", "(A)?", "X|", "[AEIOU]*", "(?:ZZ)?",
     ])
     pick = rng.randrange(3)
     if pick == 0:
@@ -1347,8 +1351,11 @@ def sqlshape_regex_dialect(rng):
                 f"FROM {tbl} ORDER BY {key}")
     # replace: first-only (DuckDB bare) vs 'g' replace-all, with
     # replacement strings that stress Java-replacement escaping
-    # (round-8 find: first-only silently imported as replace-all)
-    rep = rng.choice(["_", "<>", "$", "$0", "a$b", "[-]", "..", ""])
+    # (round-8 find: first-only silently imported as replace-all) and
+    # RE2 \N backrefs (round-9: group renumbering under the anchored
+    # first-only wrapper)
+    rep = rng.choice(["_", "<>", "$", "$0", "a$b", "[-]", "..", "",
+                      "\\0", "<\\0>"])
     flag = rng.choice(["", ", 'g'"])
     return (f"SELECT {key}, regexp_replace({col}, '{rx}', "
             f"'{rep}'{flag}) AS r FROM {tbl} ORDER BY {key}")

@@ -146,12 +146,12 @@ SCALAR_METHOD_CASTS = {
 _SAFE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def re2_repl_to_java(rep: str) -> str:
-    """RE2/DuckDB regexp replacement grammar -> Java/Spark grammar:
-    backrefs are \\N there and $N here; $ is literal there and must be
-    escaped here; \\\\ stays a literal backslash.  (Round-8 fuzz find:
-    passing replacements through verbatim made $0 expand — or raise —
-    on Spark while DuckDB printed it literally.)"""
+def _re2_repl_tokens(rep: str):
+    """Tokenize an RE2/DuckDB replacement string into ("grp", n) backref
+    tokens and ("lit", java_text) literal tokens (already escaped for the
+    Java replacement grammar).  RE2's Rewrite grammar only has
+    single-digit backrefs \\0..\\9; $ is literal there and must be
+    escaped as \\$ for Java; \\\\ stays a literal backslash."""
     out = []
     i = 0
     while i < len(rep):
@@ -159,21 +159,97 @@ def re2_repl_to_java(rep: str) -> str:
         if c == "\\" and i + 1 < len(rep):
             n = rep[i + 1]
             if n.isdigit():
-                out.append("$" + n)
+                out.append(("grp", int(n)))
             elif n == "\\":
-                out.append("\\\\")
+                out.append(("lit", "\\\\"))
             else:
-                out.append("\\" + n)
+                out.append(("lit", "\\" + n))
             i += 2
             continue
         if c == "$":
-            out.append("\\$")
+            out.append(("lit", "\\$"))
         elif c == "\\":          # trailing lone backslash
-            out.append("\\\\")
+            out.append(("lit", "\\\\"))
         else:
-            out.append(c)
+            out.append(("lit", c))
         i += 1
+    return out
+
+
+def _render_java_repl(tokens, total_groups=None):
+    """Render ("grp", n)/("lit", text) tokens as a Java replacement
+    string, rejecting the ambiguous backref-then-digit adjacency: Java's
+    appendReplacement greedily absorbs following literal digits into the
+    group number as long as the larger number is still a valid group
+    (round-9 advisor find — '$1' + literal '2' binds group 12 when the
+    pattern has 12+ groups).  When total_groups is known, simulate that
+    parse and raise the typed reject on any absorption."""
+    out = []
+    for i, (kind, val) in enumerate(tokens):
+        if kind != "grp":
+            out.append(val)
+            continue
+        if total_groups is not None:
+            num = val
+            for j in range(i + 1, len(tokens)):
+                k2, v2 = tokens[j]
+                if k2 != "lit" or not v2[:1].isdigit():
+                    break
+                absorbed = False
+                for d in v2:
+                    if not d.isdigit():
+                        break
+                    cand = num * 10 + int(d)
+                    if cand > total_groups:
+                        break
+                    num = cand
+                    absorbed = True
+                if absorbed:
+                    raise WvletSyntaxError(
+                        "regexp replacement: backreference \\"
+                        f"{val} followed by a literal digit is "
+                        "ambiguous in the Spark replacement grammar "
+                        "(Java binds the longer group number)", 0, 0)
+                break
+        out.append(f"${val}")
     return "".join(out)
+
+
+def re2_repl_to_java(rep: str, total_groups=None) -> str:
+    """RE2/DuckDB regexp replacement grammar -> Java/Spark grammar:
+    backrefs are \\N there and $N here; $ is literal there and must be
+    escaped here; \\\\ stays a literal backslash.  (Round-8 fuzz find:
+    passing replacements through verbatim made $0 expand — or raise —
+    on Spark while DuckDB printed it literally.)  When total_groups is
+    known, backref-then-digit adjacencies that Java would mis-parse are
+    rejected (round-9 advisor find)."""
+    return _render_java_repl(_re2_repl_tokens(rep), total_groups)
+
+
+def re2_repl_to_java_first(rep: str, ngroups: int) -> str:
+    """Replacement translator for the FIRST-match-only Spark lowering of
+    regexp_replace_first, whose pattern is rewritten to the anchored
+    wrapper  \\A((?s:.*?))((?:PAT))((?s:.*))  — group 1 is the lazy
+    prefix, group 2 the PAT match itself, PAT's own groups shift to
+    3..ngroups+2, and group ngroups+3 is the rest of the string.  So:
+    \\0 (RE2 whole-match) -> $2, \\N -> $(N+2), and the rendered
+    replacement is bracketed by $1 ... $<ngroups+3> to re-attach the
+    unmatched prefix/suffix."""
+    total = ngroups + 3
+    tokens = []
+    for kind, val in _re2_repl_tokens(rep):
+        if kind == "grp":
+            if val > ngroups:
+                raise WvletSyntaxError(
+                    f"regexp_replace_first: replacement references "
+                    f"group {val} but the pattern only has {ngroups} "
+                    "capture group(s)", 0, 0)
+            tokens.append(("grp", 2 if val == 0 else val + 2))
+        else:
+            tokens.append((kind, val))
+    tokens.append(("grp", total))
+    body = _render_java_repl([("grp", 1)] + tokens, total)
+    return body
 
 
 def java_repl_to_re2(rep: str) -> str:
@@ -2095,13 +2171,19 @@ class SqlGenerator:
             # the SQL importer emits this; round-8 fuzz find: importing
             # it as the engine's replace-ALL regexp_replace silently
             # changed results).  DuckDB target: the native form.  Spark
-            # target: wrap the pattern to consume the rest of the string
-            # in one extra capture group so replace-all can only ever
-            # fire once, and re-append the rest via its group reference:
-            #   (?s)(?:PAT)(.*)  ->  REP$<n_groups(PAT)+1>
-            # (Spark silently IGNORES ${name} references — measured —
-            # so the group must be numbered, which needs the pattern's
-            # own capture-group count.)
+            # target: anchor the pattern so replace-all can only ever
+            # fire once (round-9 judge find: the earlier
+            # (?s)(?:PAT)(.*) wrapper zero-width-matched AGAIN at
+            # end-of-string when PAT itself can match empty —
+            # regexp_replace_first('bbb','a*','X') returned 'XbbbX'):
+            #   \A((?s:.*?))((?:PAT))((?s:.*))  ->  $1 REP' $<n+3>
+            # The \A anchor makes a second match impossible; the DOTALL
+            # flag is scoped to the wrapper groups only so PAT's own `.`
+            # keeps RE2/DuckDB newline semantics (round-9 advisor find);
+            # group 2 captures the PAT match itself so RE2's \0 whole-
+            # match backref translates.  (Spark silently IGNORES
+            # ${name} references — measured — so groups must be
+            # numbered, which needs the pattern's capture-group count.)
             if self.dialect != SPARK:
                 a = ", ".join(self.expr(x) for x in e.args)
                 core = f"regexp_replace({a})"
@@ -2120,13 +2202,8 @@ class SqlGenerator:
                         "regexp_replace_first: cannot count the "
                         "pattern's capture groups (non-portable regex "
                         "syntax)", 0, 0)
-                jpat = f"(?s)(?:{pat})(.*)"
-                # the alias's replacement grammar is RE2's (DuckDB is
-                # the native target); translate to Java and re-append
-                # the rest via the wrapper group (pattern groups keep
-                # their numbers — the wrapper group is last, so \N
-                # backrefs survive the translation)
-                jrep = re2_repl_to_java(rep) + f"${ngroups + 1}"
+                jpat = f"\\A((?s:.*?))((?:{pat}))((?s:.*))"
+                jrep = re2_repl_to_java_first(rep, ngroups)
                 core = (f"regexp_replace({self.expr(xv)}, "
                         f"{self.str_lit(jpat)}, {self.str_lit(jrep)})")
         elif e.name.lower() in ("array_slice", "list_slice") \

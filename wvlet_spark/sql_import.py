@@ -2612,6 +2612,26 @@ def _function(e: dict) -> str:
             and ch[3].get("class") == "CONSTANT":
         flags = str(ch[3]["value"].get("value"))
         if flags == "g":
+            # round-9 fuzz find: global replace of an EMPTY-MATCHABLE
+            # pattern is engine-disjoint — after a non-empty match Java
+            # (Spark) also fires the zero-width match at the same
+            # position while RE2 (DuckDB) skips it ('E*' -> '..' on
+            # 'AMERICA' gives '..A..M....R..' vs '..A..M..R..').  No
+            # regex rewrite can force-suppress only those matches, so
+            # this is a typed reject, not a conversion.
+            pv0 = ch[1]
+            if pv0.get("class") == "CONSTANT" \
+                    and not pv0["value"].get("is_null"):
+                try:
+                    _zw = re.search(str(pv0["value"]["value"]), "")
+                except re.error:
+                    _zw = None
+                if _zw is not None:
+                    raise SqlImportError(
+                        "regexp_replace(..., 'g') with an empty-"
+                        "matchable pattern: RE2 and Java disagree on "
+                        "zero-width matches after a non-empty match "
+                        "(engine-disjoint global-replace semantics)")
             # canonical regexp_replace is replace-ALL (Spark); DuckDB's
             # 'g' flag is exactly that — drop it.  The replacement
             # grammar differs though: DuckDB/RE2 uses \N backrefs with
@@ -2624,7 +2644,24 @@ def _function(e: dict) -> str:
                     and rv["value"]["type"]["id"] == "VARCHAR" \
                     and not rv["value"].get("is_null"):
                 from wvlet_spark.generator import re2_repl_to_java
-                jrep = re2_repl_to_java(str(rv["value"]["value"]))
+                # pass the pattern's group count when it is a literal so
+                # the translator can reject backref-then-digit
+                # adjacencies Java would mis-parse (round-9 advisor
+                # find: '\1' + '2' -> '$12' binds group 12 if present)
+                ng = None
+                pv = ch[1]
+                if pv.get("class") == "CONSTANT" \
+                        and not pv["value"].get("is_null"):
+                    try:
+                        ng = re.compile(
+                            str(pv["value"]["value"])).groups
+                    except re.error:
+                        ng = None
+                try:
+                    jrep = re2_repl_to_java(
+                        str(rv["value"]["value"]), ng)
+                except Exception as ex:
+                    raise SqlImportError(str(ex))
                 lit = "'" + jrep.replace("\\", "\\\\") \
                                 .replace("'", "\\'") + "'"
                 return (f"regexp_replace({_expr(ch[0])}, "
