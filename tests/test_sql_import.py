@@ -1435,9 +1435,12 @@ def test_limit_percent(spark, duck):
         got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
         exp = duck.execute(sql).fetchall()
         assert got == exp, sql
-    with pytest.raises(SqlImportError, match="OFFSET"):
-        ws.to_wvlet("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
-                    "LIMIT 10% OFFSET 2")
+    # round-9: LIMIT n% + OFFSET converts (previously a typed reject) —
+    # see test_grouped_qualify_distinct_and_limit_pct_offset
+    sql = ("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+           "LIMIT 10% OFFSET 2")
+    got = [tuple(r) for r in ws.run(ws.to_wvlet(sql)).collect()]
+    assert got == duck.execute(sql).fetchall()
 
 
 def test_step_slices(spark, duck):
@@ -2010,11 +2013,83 @@ def test_grouped_qualify_unprojected_keys(spark, duck):
         got = [tuple(r) for r in ws.run(wv).collect()]
         exp = duck.execute(sql).fetchall()
         assert got == exp, sql
+    # round-9: a spelled-out aggregate that IS a projected select item
+    # substitutes to its alias and converts (previously a typed reject)
+    sql = ("SELECT count(*) AS n FROM orders GROUP BY o_orderstatus, "
+           "o_orderpriority QUALIFY rank() OVER (PARTITION BY "
+           "o_orderstatus ORDER BY count(*) DESC) = 1 ORDER BY n")
+    wv = ws.to_wvlet(sql)
+    assert [tuple(r) for r in ws.run(wv).collect()] \
+        == duck.execute(sql).fetchall()
+    # aggregates the projection does NOT carry stay pointed rejects
     with pytest.raises(SqlImportError, match="QUALIFY"):
         ws.to_wvlet(
             "SELECT count(*) AS n FROM orders GROUP BY o_orderstatus, "
             "o_orderpriority QUALIFY rank() OVER (PARTITION BY "
-            "o_orderstatus ORDER BY count(*) DESC) = 1")
+            "o_orderstatus ORDER BY sum(o_totalprice) DESC) = 1")
+
+
+def test_grouped_qualify_distinct_and_limit_pct_offset(spark, duck):
+    """Round-9 conversions (previously typed rejects): (1) grouped
+    QUALIFY + DISTINCT — the aggregation runs, the qualify filter runs
+    post-projection over AGGREGATED rows (windows see pre-dedup rows,
+    DuckDB's logical order), and the dedup pipe runs AFTER the filter +
+    helper exclusion; implicit single-group aggregates (no GROUP BY)
+    take the same path.  (2) LIMIT n% OFFSET k — the row budget
+    floor(tot * p/100) counts rows BEFORE the offset, then k rows are
+    skipped (measured: 10 rows LIMIT 30% OFFSET 2 -> rows 3..5).  Both
+    value-match DuckDB and round-trip through the oracle."""
+    from wvlet_spark import WvletSession
+
+    ws = WvletSession(spark, table_dir=TPCH_DATA, test_mode=False)
+    for sql in [
+        # grouped QUALIFY + DISTINCT
+        "SELECT DISTINCT count(*) AS n FROM orders GROUP BY "
+        "o_orderstatus, o_orderpriority QUALIFY rank() OVER (ORDER BY "
+        "count(*) DESC) <= 4 ORDER BY n",
+        "SELECT DISTINCT o_orderstatus, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus, o_orderpriority QUALIFY rank() OVER "
+        "(PARTITION BY o_orderstatus ORDER BY n DESC) = 1 "
+        "ORDER BY o_orderstatus",
+        "SELECT DISTINCT o_orderpriority FROM orders GROUP BY "
+        "o_orderstatus, o_orderpriority QUALIFY row_number() OVER "
+        "(PARTITION BY o_orderstatus ORDER BY o_orderpriority) <= 2 "
+        "ORDER BY o_orderpriority",
+        # implicit aggregation (no GROUP BY) + DISTINCT / non-distinct
+        "SELECT DISTINCT count(*) AS n FROM nation QUALIFY rank() "
+        "OVER (ORDER BY n) = 1",
+        "SELECT count(*) AS n FROM nation QUALIFY rank() OVER "
+        "(ORDER BY count(*)) = 1",
+        # LIMIT n% + OFFSET with ORDER BY
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "LIMIT 30% OFFSET 2",
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC "
+        "LIMIT 25.5% OFFSET 1",
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_name "
+        "LIMIT 99% OFFSET 24",
+        "SELECT n_name FROM nation ORDER BY n_regionkey, n_name "
+        "LIMIT 50% OFFSET 3",
+    ]:
+        wv = ws.to_wvlet(sql)
+        got = [tuple(r) for r in ws.run(wv).collect()]
+        exp = duck.execute(sql).fetchall()
+        assert got == exp, sql
+        assert duck.execute(ws.oracle_sql(wv)).fetchall() == exp, sql
+    # no-ORDER-BY percent + offset: exact row count on both engines
+    # (prefix CONTENT is scan-order — the documented caveat)
+    import warnings as _w
+    sql = "SELECT n_nationkey FROM nation LIMIT 30% OFFSET 2"
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        wv = ws.to_wvlet(sql)
+    assert len(ws.run(wv).collect()) == len(duck.execute(sql).fetchall())
+    # the scan-order caveat surfaces as a warning (round-9 advisor find)
+    from wvlet_spark.sql_import import ScanOrderCaveat
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ws.to_wvlet("SELECT n_nationkey FROM nation LIMIT 30%")
+    assert any(issubclass(x.category, ScanOrderCaveat) for x in rec)
+
 
 def test_regexp_replace_first_match_semantics(spark, duck):
     """Round-8 fuzz find (silent wrong results): DuckDB's bare 3-arg

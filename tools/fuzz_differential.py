@@ -1296,16 +1296,19 @@ def sqlshape_limit_percent(rng):
     and post-WHERE inputs — row count must be floor(count*p/100) and
     values must match DuckDB's prefix on single-scan inputs."""
     pct = rng.choice(["10", "25.5", "40", "50", "75", "99.9", "100", "0.5"])
+    # round-9: OFFSET composes with the percent budget (budget counts
+    # rows BEFORE the offset; offset-past-the-end truncates)
+    off = rng.choice(["", "", f" OFFSET {rng.randint(0, 30)}"])
     pick = rng.randrange(3)
     if pick == 0:
-        return f"SELECT n_nationkey, n_name FROM nation LIMIT {pct}%"
+        return f"SELECT n_nationkey, n_name FROM nation LIMIT {pct}%{off}"
     if pick == 1:
         lim = rng.randint(0, 4)
         return (f"SELECT n_name FROM nation WHERE n_regionkey >= {lim} "
-                f"LIMIT {pct}%")
+                f"LIMIT {pct}%{off}")
     key = rng.choice(["n_name", "n_nationkey"])
     return (f"SELECT n_nationkey FROM nation ORDER BY {key} "
-            f"LIMIT {pct}%")
+            f"LIMIT {pct}%{off}")
 
 
 def sqlshape_regex_dialect(rng):

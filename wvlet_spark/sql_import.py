@@ -24,12 +24,21 @@ import contextvars
 import copy
 import json
 import re
+import warnings
 
 from wvlet_spark.generator import CompileError
 
 
 class SqlImportError(CompileError):
     """SQL construct with no wvlet translation (yet)."""
+
+
+class ScanOrderCaveat(UserWarning):
+    """A conversion whose VALUES depend on physical scan order (exact
+    row counts, but the chosen rows can differ between Spark's
+    partition-major order and DuckDB's file order on multi-file /
+    multi-split inputs).  Surfaced at convert time so the divergence
+    cannot pass silently as oracle parity (round-9 advisor find)."""
 
 
 _CMP = {
@@ -1180,16 +1189,47 @@ def _select_node(node: dict) -> list[str]:
         lines.append("exclude __rn")
     plain_distinct = don is None and any(
         m.get("type") == "DISTINCT_MODIFIER" for m in mods)
+    # implicit aggregation: no GROUP BY but a bare aggregate in the
+    # select list makes the query a single-group aggregate — QUALIFY
+    # must stage post-projection exactly like the grouped case
+    # (round-9: pre-projection staging emitted the window over the
+    # un-aggregated base table -> MISSING_GROUP_BY at run time)
+    implicit_agg = not groups and not sets and any(
+        _has_bare_aggregate(it) for it in node.get("select_list") or [])
+    grouped_q = bool(groups or sets) or implicit_agg \
+        or node.get("aggregate_handling") == "FORCE_AGGREGATES"
+    dedup_after_qual = False
     if qual is not None and plain_distinct:
         # DuckDB evaluates QUALIFY BEFORE DISTINCT: window expressions in
         # the predicate see pre-dedup rows.  Post-projection staging would
         # run the filter after the dedup pipe — silent wrong results
         # (advisor find, round 6) — so stage it pre-projection like the
-        # DISTINCT ON path.
-        _stage_qualify_preprojection(node, qual, lines, groups, sets,
-                                     why="QUALIFY with DISTINCT")
-        qual = None
+        # DISTINCT ON path.  GROUPED queries can't stage pre-projection
+        # (the windows must see AGGREGATED rows): emit a plain select,
+        # run the qualify filter post-projection, and dedup AFTER the
+        # filter + helper exclusion instead (round-9; previously a
+        # typed reject).
+        if grouped_q:
+            dedup_after_qual = True
+        else:
+            _stage_qualify_preprojection(node, qual, lines, groups, sets,
+                                         why="QUALIFY with DISTINCT")
+            qual = None
     qual_hidden: list[tuple[str, str]] = []
+    if qual is not None and grouped_q:
+        # grouped queries stage QUALIFY post-projection, where an
+        # aggregate spelled out in the predicate (rank() OVER (ORDER BY
+        # count(*))) only exists as its projected alias — substitute
+        # deep-equal select expressions with their aliases, and typed-
+        # reject aggregates the projection doesn't carry (round-9;
+        # previously MISSING_GROUP_BY at run time or a blanket reject)
+        qual = _subst_matching_select_exprs(
+            qual, node.get("select_list"))
+        if _qualify_has_bare_aggregate(qual):
+            raise SqlImportError(
+                "QUALIFY referencing an aggregate that is not a "
+                "projected select item of the grouped query is not "
+                "supported")
     if qual is not None:
         # Which lowering can host the filter?  Post-projection staging
         # (the default — select aliases resolve naturally) only works if
@@ -1236,7 +1276,7 @@ def _select_node(node: dict) -> list[str]:
                 _stage_qualify_preprojection(node, qual, lines, groups,
                                              sets, why="QUALIFY")
                 qual = None
-    distinct = plain_distinct
+    distinct = plain_distinct and not dedup_after_qual
     items = [_select_item(e) for e in node.get("select_list") or []]
     items += [f"{nm} = {_name(c)}" for nm, c in qual_hidden]
     if having_post is not None:
@@ -1309,6 +1349,12 @@ def _select_node(node: dict) -> list[str]:
         lines.append("where __qualify")
         lines.append("exclude __qualify"
                      + "".join(f", {nm}" for nm, _ in qual_hidden))
+    if dedup_after_qual:
+        # grouped QUALIFY + DISTINCT: the dedup runs on the projected
+        # columns AFTER the qualify filter and helper exclusion,
+        # matching DuckDB's aggregate -> window/QUALIFY -> DISTINCT
+        # logical order
+        lines.append("dedup")
     lines += _modifiers(node, order_rename=pct_rename)
     if pct_rename:
         # drop the hidden staged sort keys AFTER the final order-by (a
@@ -1421,6 +1467,70 @@ def _order_suffix(o: dict) -> str:
     return s
 
 
+def _has_bare_aggregate(node) -> bool:
+    """A NON-window aggregate call in a serialized expression — the kind
+    that makes an un-GROUPed query implicitly aggregated (one group).
+    Unlike _has_aggregate, WINDOW nodes do not count and are not
+    descended into (rank() OVER (...) alone does not aggregate)."""
+    global _AGG_FN_NAMES
+    if _AGG_FN_NAMES is None:
+        _has_aggregate({})   # initialize the lazy name set
+    if isinstance(node, dict):
+        if node.get("class") == "WINDOW":
+            return False
+        if node.get("class") == "FUNCTION" \
+                and node.get("function_name", "").lower() in _AGG_FN_NAMES:
+            return True
+        return any(_has_bare_aggregate(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_has_bare_aggregate(v) for v in node)
+    return False
+
+
+def _norm_expr_key(node):
+    """Serialized expression with alias / query_location noise stripped
+    — a deep-equality key for matching select-list expressions against
+    QUALIFY subexpressions."""
+    if isinstance(node, dict):
+        return {k: _norm_expr_key(v) for k, v in node.items()
+                if k not in ("alias", "query_location")}
+    if isinstance(node, list):
+        return [_norm_expr_key(v) for v in node]
+    return node
+
+
+def _subst_matching_select_exprs(qual: dict, select_list) -> dict:
+    """Replace QUALIFY subexpressions deep-equal to an ALIASED
+    select-list expression with a COLUMN_REF to that alias.  Grouped
+    queries stage QUALIFY after the aggregation, where an aggregate
+    spelled out in the predicate (the window key in  rank() OVER
+    (ORDER BY count(*) DESC)) only exists as its projected alias."""
+    keys = []
+    for it in select_list or []:
+        al = it.get("alias")
+        if al and it.get("class") != "STAR":
+            keys.append((json.dumps(_norm_expr_key(it), sort_keys=True),
+                         al))
+    if not keys:
+        return qual
+
+    def walk(n):
+        if isinstance(n, dict):
+            if "class" in n:
+                k = json.dumps(_norm_expr_key(n), sort_keys=True)
+                for key, al in keys:
+                    if k == key:
+                        return {"class": "COLUMN_REF",
+                                "type": "COLUMN_REF",
+                                "column_names": [al]}
+            return {k2: walk(v) for k2, v in n.items()}
+        if isinstance(n, list):
+            return [walk(v) for v in n]
+        return n
+
+    return walk(copy.deepcopy(qual))
+
+
 def _qualify_has_bare_aggregate(e) -> bool:
     """Does a QUALIFY predicate contain an aggregate call OUTSIDE the
     window function position (e.g. count(*) as a window ORDER BY key)?
@@ -1522,24 +1632,40 @@ def _modifiers(node: dict, order_rename: dict[str, str] | None = None
             # the whole partition, filter, and re-sort (under ORDER BY
             # the percent pipeline stages BEFORE the final order-by
             # line so the output ordering survives).
-            if m.get("offset"):
-                raise SqlImportError(
-                    "LIMIT n% combined with OFFSET is not supported")
             pct = _expr(m["limit"])
+            # LIMIT p% OFFSET k (round-9; previously a typed reject):
+            # measured DuckDB semantics — the row budget floor(tot *
+            # p/100) is computed from the count BEFORE the offset, then
+            # k rows are skipped and the budget taken (10 rows LIMIT
+            # 30% OFFSET 2 -> rows 3..5; OFFSET 9 -> row 10 only).
+            off = _expr(m["offset"]) if m.get("offset") else None
+            keep = (f"__pct_rn <= floor(__pct_tot * ({pct}) / 100.0)"
+                    if off is None else
+                    f"__pct_rn > ({off}) and __pct_rn <= ({off}) + "
+                    f"floor(__pct_tot * ({pct}) / 100.0)")
             if not order_parts:
                 # no ORDER BY: SQL semantics are "an arbitrary p%" —
                 # DuckDB takes a scan-order prefix; mirror it with a
                 # scan_position() ranking (round-8; previously a typed
                 # reject).  Deterministic for a fixed layout on
                 # single-scan inputs — the POSITIONAL JOIN caveat —
-                # and the row COUNT is exact on any input.
+                # and the row COUNT is exact on any input.  The caveat
+                # is surfaced at convert time (round-9 advisor find:
+                # comment-only restrictions can pass value divergence
+                # off as oracle parity on multi-file scans).
+                warnings.warn(
+                    "LIMIT n% without ORDER BY ranks rows in scan "
+                    "order; on multi-file/multi-split inputs the Spark "
+                    "and DuckDB prefixes may contain different rows "
+                    "(the row count is exact on both). Add ORDER BY "
+                    "for a deterministic prefix.",
+                    ScanOrderCaveat, stacklevel=2)
                 lines += [
                     "add __pct_mid = scan_position()",
                     "add __pct_rn = row_number() over "
                     "(order by __pct_mid)",
                     "add __pct_tot = max(__pct_rn) over ()",
-                    f"where __pct_rn <= "
-                    f"floor(__pct_tot * ({pct}) / 100.0)",
+                    f"where {keep}",
                     "order by __pct_mid",
                     "exclude __pct_mid, __pct_rn, __pct_tot",
                 ]
@@ -1548,7 +1674,7 @@ def _modifiers(node: dict, order_rename: dict[str, str] | None = None
             pre = [
                 f"add __pct_rn = row_number() over (order by {ob})",
                 "add __pct_tot = max(__pct_rn) over ()",
-                f"where __pct_rn <= floor(__pct_tot * ({pct}) / 100.0)",
+                f"where {keep}",
                 "exclude __pct_rn, __pct_tot",
             ]
             # insert before the order-by line emitted above
