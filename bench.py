@@ -7,7 +7,10 @@ value = total wall time of one full pass over the headline query set
 (MIN of 3 passes per query, excluding Spark/session startup — min, not
 median: local-mode JVM timings carry multi-second GC/scheduler spikes
 that median-of-3 still samples ~1/3 of the time; the companion uses the
-same statistic so ratios stay apples-to-apples).
+same statistic so ratios stay apples-to-apples).  Since round 9 the
+timed action is the noop sink (guide §1.4) instead of count(), which
+let Catalyst prune un-counted aggregate/projection work — see
+OPTIMIZATION_r09.md for the before/after methodology A/B.
 
 Self-defending measurements:
 - CONTENTION CANARY: the DuckDB companion runs the identical oracle SQL on
@@ -212,7 +215,7 @@ def _canaried_duck(sf_dir: str, sf: float, oracles: dict[str, str],
 
 
 def _measure_spark(spark, sf_dir: str, names: list[str],
-                   repeats: int) -> dict[str, float]:
+                   repeats: int) -> tuple[dict[str, float], float | None]:
     from wvlet_spark import WvletSession
     from wvlet_spark.ops import entry_queries
     from wvlet_spark.suite import SUITE
@@ -225,8 +228,16 @@ def _measure_spark(spark, sf_dir: str, names: list[str],
             df = ws.run(SUITE[name][0])
         else:
             df = ext[name](spark, sf_dir)
-        # count() forces full execution without driver-side row transfer
-        df.count()
+        # noop sink: computes EVERY column of every row and discards it
+        # (optimization guide §1.4).  The previous count() action let
+        # Catalyst prune un-counted work — aggregate expressions under a
+        # group-by count, projection-only ops entirely (SCALE.md §29) —
+        # so e.g. tpch_q1 timed 0.15 s under count() vs 0.67 s fully
+        # materialized at sf0.1 (round-9 A/B, OPTIMIZATION_r09.md).  The
+        # DuckDB companion always materialized (fetchall), so this also
+        # makes the ratio apples-to-apples.  Old-methodology numbers are
+        # preserved in BENCH_r01..r08 and the round-9 A/B table.
+        df.write.format("noop").mode("overwrite").save()
         # release intermediates the query materialized (minhash
         # localCheckpoints its signature table): leaving them pinned
         # squeezes execution memory and makes later big-join queries spill

