@@ -1031,3 +1031,19 @@ def test_profile_numeric_parity_all_tables(spark):
                     f'FROM t').fetchone()
                 assert (r.min_v, r.max_v) == (lo, hi), (t, c)
                 assert abs(r.mean_v - mu) <= 1e-3, (t, c)
+
+
+def test_python_udf_entries_rebuild_in_one_session(spark):
+    """Round-9 regression pin: the SECOND build of the portable-minhash
+    pipeline inside one session failed with INTERNAL_ERROR "Cannot
+    evaluate expression: sig(...)" — Spark 4.1 stopped extracting the
+    pandas UDF into ArrowEvalPython when its argument carried nested
+    lambda expressions, leaving it in an interpreted Project.  The fix
+    keeps UDF arguments lambda-free (plain split() tokens; shingling in
+    Python).  Build-and-execute twice and require identical results."""
+    from wvlet_spark.ops.registry import q_minhash_portable, q_stream_neardup
+
+    for fn in (q_minhash_portable, q_stream_neardup):
+        a = fn(spark, SF_DIR).collect()
+        b = fn(spark, SF_DIR).collect()
+        assert a == b

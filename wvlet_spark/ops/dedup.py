@@ -23,13 +23,17 @@ def _tokens(text_col: str):
 
 
 def _shingles(text_col: str, k: int):
-    """Word k-shingles as an array column (JVM-side, no UDF)."""
-    w = _tokens(text_col)
-    n = F.size(w)
-    return F.when(n >= k,
-                  F.transform(F.sequence(F.lit(1), n - k + 1),
-                              lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-                  ).otherwise(F.array(F.concat_ws(" ", w)))
+    """Word k-shingles as an array column (JVM-side, no UDF).  The token
+    array is let-bound (ops/util.let1) so the split evaluates once per
+    row — as a free lambda subexpression it re-ran per shingle (round-9:
+    2.4x on 3-gram construction at sf0.1)."""
+    from wvlet_spark.ops.util import let1
+
+    return let1(_tokens(text_col), lambda w: F.when(
+        F.size(w) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(w) - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    ).otherwise(F.array(F.concat_ws(" ", w))))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -259,35 +263,49 @@ def _minhash_signatures_portable(df: DataFrame, text_col: str, id_col: str,
     base shingle hash is md5-60bit (ANSI-SQL-derivable) instead of crc32 —
     every value can be recomputed by DuckDB, so the LSH pipeline built on
     it gets a full independent oracle (ops/registry.py
-    _minhash_portable_oracle).  Map-only.  Shingling stays JVM (same
-    array semantics, including the null-text -> [''] convention); the
-    md5-60bit hash + affine-permutation min runs vectorized in Python —
-    the JVM transform/aggregate form evaluated md5+conv interpreted per
-    shingle and the num_hashes-way permutation array per shingle
-    (round-9: the graded band-store entries spent 1.4-4.5 s here at
-    sf0.1).  hashlib md5 over the identical UTF-8 bytes + uint64
-    modular arithmetic keeps every value bit-identical (oracle-pinned)."""
+    _minhash_portable_oracle).  Map-only.  The UDF takes the plain token
+    array and builds shingles + md5-60bit + affine-permutation mins in
+    Python — ' '.join over token windows is byte-identical to the SQL
+    concat_ws(' ', slice(w, i, k)) form (null text mirrors the JVM
+    [''] convention), and hashlib md5 hashes the identical UTF-8 bytes,
+    so every value matches the pre-round-9 JVM expressions bit-for-bit
+    (oracle-pinned).  Two reasons it is Python-side: the JVM
+    transform/aggregate form evaluated md5+conv interpreted PER SHINGLE
+    plus a num_hashes-wide permutation array per shingle (1.4-4.5 s for
+    the graded band-store entries at sf0.1), and a pandas-UDF argument
+    containing lambda expressions trips a session-order-dependent Spark
+    4.1 planner bug where ExtractPythonUDFs stops firing and the UDF
+    lands in an interpreted Project (round-9 find: second build of the
+    pairs entry failed with INTERNAL_ERROR 'Cannot evaluate expression:
+    sig(...)') — a plain split() input keeps the UDF argument
+    lambda-free."""
     from pyspark.sql.types import ArrayType, LongType
 
-    sh = _shingles(text_col, shingle_k)
+    k = shingle_k
     a_co, b_co = _mh_coeffs(num_hashes)
     p = np.uint64(_MH_P)
     A = np.array(a_co, dtype=np.uint64)[:, None]
     B = np.array(b_co, dtype=np.uint64)[:, None]
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig(shingle_arrs: pd.Series) -> pd.Series:
+    def sig(token_arrs: pd.Series) -> pd.Series:
         out = []
-        for arr in shingle_arrs:
+        for arr in token_arrs:
             if arr is None:
-                out.append(None)
-                continue
-            h = _md5_60bit_np(arr).view(np.uint64) % p
+                words = [""]  # JVM: concat_ws(' ', null) -> '' in array()
+            else:
+                words = list(arr)
+            if len(words) >= k:
+                shingles = [" ".join(words[i:i + k])
+                            for i in range(len(words) - k + 1)]
+            else:
+                shingles = [" ".join(words)]
+            h = _md5_60bit_np(shingles).view(np.uint64) % p
             out.append(((A * h[None, :] + B) % p).min(axis=1)
                        .astype(np.int64))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sig(sh).alias("minhash"))
+    return df.select(F.col(id_col), sig(_tokens(text_col)).alias("minhash"))
 
 
 def _bucket_candidate_pairs(banded: DataFrame, id_col: str,

@@ -24,22 +24,31 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     """Heuristic language ID: stopword hit-count per language; argmax with
     fixed priority en>de>fr>es on ties.
     (A real model would be a Pandas UDF; the heuristic keeps this JVM-only.)"""
-    from wvlet_spark.ops.util import ensure_map_parallelism
+    from wvlet_spark.ops.util import ensure_map_parallelism, let1
     df = ensure_map_parallelism(df)
-    toks = _tokens(F.col(text_col))
-    scores = []
-    for lang, words in STOPWORDS.items():
-        lit = F.array(*[F.lit(w) for w in words])
-        scores.append(
-            F.struct(
-                F.size(F.array_intersect(F.array_distinct(toks), lit)).alias("score"),
-                F.lit(_LANG_PRIORITY[lang]).alias("prio"),
-                F.lit(lang).alias("lang"),
+
+    # let-bind the distinct token array: as a free subexpression it
+    # re-evaluated split+distinct once PER LANGUAGE (let1 rationale in
+    # ops/util.py); __best stages through its own projection so the
+    # argmax struct computes once, not once per field reference
+    def best_of(d):
+        scores = []
+        for lang, words in STOPWORDS.items():
+            lit = F.array(*[F.lit(w) for w in words])
+            scores.append(
+                F.struct(
+                    F.size(F.array_intersect(d, lit)).alias("score"),
+                    F.lit(_LANG_PRIORITY[lang]).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
             )
-        )
-    best = F.array_max(F.array(*scores))
-    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
-    return df.withColumn(out_col, pred)
+        return F.array_max(F.array(*scores))
+
+    tmp = df.withColumn(
+        "__best", let1(F.array_distinct(_tokens(F.col(text_col))), best_of))
+    pred = F.when(F.col("__best.score") > 0, F.col("__best.lang")) \
+        .otherwise(F.lit("unknown"))
+    return tmp.withColumn(out_col, pred).drop("__best")
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -148,29 +157,44 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     O(distinct * n) per row via a nested higher-order filter, fine for
     document-sized n; the DuckDB oracle mirrors the same list algebra.
     """
-    from wvlet_spark.ops.util import ensure_map_parallelism
+    from wvlet_spark.ops.util import ensure_map_parallelism, let1
     # wide: per-row compute is quadratic in document length (interpreted
     # higher-order filter), far beyond input bytes — keep all cores
     df = ensure_map_parallelism(df, wide=True)
-    w = _tokens(F.col(text_col))
-    n = F.size(w)
-    nd = F.size(F.array_distinct(w))
-    top = F.array_max(F.transform(
-        F.array_distinct(w),
-        lambda u: F.size(F.filter(w, lambda x: x == u))))
-    grams = F.when(
-        n >= 2,
-        F.transform(F.sequence(F.lit(1), n - 1),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
-    ).otherwise(F.array().cast("array<string>"))
-    ng = F.size(grams)
-    ngd = F.size(F.array_distinct(grams))
-    return df.select(
+
+    # every statistic computes inside ONE let1 over the token array: as
+    # free lambda subexpressions the split re-ran per element — O(n) times
+    # for the 2-gram transform and O(distinct) times for the top-word
+    # count (round-9; let1 rationale in ops/util.py)
+    def stats(w):
+        n = F.size(w)
+        nd = F.size(F.array_distinct(w))
+        top = F.array_max(F.transform(
+            F.array_distinct(w),
+            lambda u: F.size(F.filter(w, lambda x: x == u))))
+        grams = F.when(
+            n >= 2,
+            F.transform(F.sequence(F.lit(1), n - 1),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, 2)))
+        ).otherwise(F.array().cast("array<string>"))
+        ng = F.size(grams)
+        ngd = F.size(F.array_distinct(grams))
+        return F.struct(
+            F.round(1 - nd / n, 4).alias("dup_word_frac"),
+            F.round(top / n, 4).alias("top_word_frac"),
+            F.when(ng > 0, F.round(1 - ngd / ng, 4)).otherwise(0.0)
+            .alias("dup_2gram_frac"))
+
+    # two-step projection so the struct computes once: three direct field
+    # references would re-evaluate it (CollapseProject keeps the stages
+    # separate exactly because __s is expensive and referenced thrice)
+    tmp = df.select(F.col(id_col),
+                    let1(_tokens(F.col(text_col)), stats).alias("__s"))
+    return tmp.select(
         F.col(id_col),
-        F.round(1 - nd / n, 4).alias("dup_word_frac"),
-        F.round(top / n, 4).alias("top_word_frac"),
-        F.when(ng > 0, F.round(1 - ngd / ng, 4)).otherwise(0.0)
-        .alias("dup_2gram_frac"),
+        F.col("__s.dup_word_frac").alias("dup_word_frac"),
+        F.col("__s.top_word_frac").alias("top_word_frac"),
+        F.col("__s.dup_2gram_frac").alias("dup_2gram_frac"),
     )
 
 

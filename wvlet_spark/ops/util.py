@@ -56,6 +56,25 @@ def probe_vector_dim(df: DataFrame, vec_col: str) -> int:
     return dim
 
 
+def let1(col, fn):
+    """Let-binding for column expressions: evaluate `col` ONCE per row and
+    pass it to `fn` as a bound lambda variable.
+
+    Higher-order functions run interpreted (CodegenFallback), and a free
+    subexpression inside a lambda body — e.g. the token-array `split` that
+    a shingle transform slices — is RE-EVALUATED per element; aliasing it
+    in a prior projection doesn't help because CollapseProject inlines it
+    right back (both effects documented and measured in ops/text.py /
+    ops/dedup.py).  Wrapping the value in a 1-element array and
+    `transform`-ing over it makes it a lambda VARIABLE, which nested
+    lambdas read as a cheap attribute: the engine's let.  Round-9 measured
+    2.4x on 3-gram shingling at sf0.1 (OPTIMIZATION_r09.md), identical
+    results by construction."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def ensure_map_parallelism(df: DataFrame, min_fraction: float = 2.0,
                            wide: bool = False) -> DataFrame:
     """Repartition an under-split input before a CPU-heavy map stage.
