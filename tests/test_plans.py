@@ -103,7 +103,12 @@ def test_minhash_shuffle_carries_slim_rows(spark):
     from wvlet_spark.ops.dedup import minhash_near_dup_pairs
     from wvlet_spark.session import read_parquet_robust
 
-    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet")
+    # pre-widen so the map-parallelism guard (a deliberate round-robin of
+    # the input, no-op on well-split cluster data) does not add its own
+    # text-bearing exchange: the invariant under test is that the LSH
+    # band/candidate shuffles themselves never carry documents
+    docs = read_parquet_robust(
+        spark, f"{SF_DIR}/documents.parquet").repartition(64)
     plan = _plan(minhash_near_dup_pairs(docs, threshold=0.5), "formatted")
     for seg in plan.split("Exchange")[1:]:
         header = seg[:300]

@@ -438,7 +438,11 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     # lineage (round-6 5M-doc profile: verify 147 s lazy vs 12 s
     # materialized), and the checkpoint also gives AQE the true (small)
     # size so it broadcasts the candidates instead of shuffling the
-    # signature table
+    # signature table.  (Round 9 measured the lazy alternative at toy
+    # scale and REJECTED it: the three consumers re-ran the candidate
+    # lineage and the pairs entry went 1.7 s -> 2.2 s, ngram verify
+    # 1.2 s -> 2.9 s — multi-consumer checkpoints stay eager at every
+    # scale.)
     cand = cand.localCheckpoint()
     cand = (
         cand
@@ -806,7 +810,8 @@ def duplicate_substring_spans(df: DataFrame, k: int = 5,
     g = (base.select(F.col(id_col), F.explode(grams).alias("g"))
          .select(F.col(id_col), F.col("g.pos").alias("pos"),
                  F.col("g.h").alias("h")))
-    g = g.localCheckpoint()
+    from wvlet_spark.ops.util import materialize_if_big
+    g = materialize_if_big(g, df)
     dup_h = (g.groupBy("h").count()
              .filter(F.col("count") > 1).select("h"))
     d = g.join(dup_h, "h", "left_semi")

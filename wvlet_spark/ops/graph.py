@@ -34,7 +34,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (e.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("comp", F.col("id"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
+    # Convergence test: labels only ever DECREASE, so the label sum is
+    # strictly monotone and "sum unchanged" <=> "no node changed" —
+    # exact, and one tiny aggregate instead of the previous
+    # new-vs-old join + count.  The checkpoint is lazy so the same
+    # action that reads the sum also materializes it: ONE job per
+    # iteration instead of two (round 9; decimal(38,0) keeps the sum
+    # exact far beyond any realistic id range).
+    prev_sum = None
     for _ in range(max_iter):
         # neighbor labels: for each edge a->b, b's current label is a
         # candidate for a
@@ -42,14 +50,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                .select(F.col("a").alias("id"), "comp"))
         new_labels = (labels.select("id", "comp").union(nbr)
                       .groupBy("id").agg(F.min("comp").alias("comp"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
+                      .localCheckpoint(eager=False))
+        s = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 

@@ -295,9 +295,10 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # aggregate ((id, word) rows are already distinct), so the corpus is
     # never exploded twice — tf is materialized because both the vocab
     # aggregate and the weight join consume it
-    tf = (words.groupBy(id_col, "word")
-          .agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint())
+    from wvlet_spark.ops.util import materialize_if_big
+    tf = materialize_if_big(
+        words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")),
+        df)
     vocab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     weighted = (tf.join(vocab, "word")
                 .withColumn("weight",
@@ -359,7 +360,8 @@ def unigram_lm_logprob(df: DataFrame, text_col: str = "text",
                     F.explode(_tokens(F.col(text_col))).alias("w"))
           .filter(F.col("w") != "")
           .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf")))
-    tf = tf.localCheckpoint()  # feeds vocab AND the scoring join below
+    from wvlet_spark.ops.util import materialize_if_big
+    tf = materialize_if_big(tf, df)  # feeds vocab AND the scoring join
     vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (tf.join(vocab, on="w")
@@ -458,7 +460,9 @@ def bigram_lm_logprob(df: DataFrame, text_col: str = "text",
         return _adjacent_pairs(d, text_col, id_col)
 
     train = _pairs(train_df if train_df is not None else df)
-    train = train.localCheckpoint()  # feeds three model aggregates
+    from wvlet_spark.ops.util import materialize_if_big
+    train = materialize_if_big(
+        train, train_df if train_df is not None else df)  # 3 aggregates
     big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     w2tot = train.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
@@ -495,7 +499,8 @@ def collocations_pmi(df: DataFrame, text_col: str = "text",
     min_count filter prunes the long tail BEFORE the joins, and the
     final top-k is a TakeOrdered, not a global sort."""
     pairs = _adjacent_pairs(df, text_col, id_col).select("w1", "w2")
-    pairs = pairs.localCheckpoint()  # pair counts AND both unigram sides
+    from wvlet_spark.ops.util import materialize_if_big
+    pairs = materialize_if_big(pairs, df)  # pair counts AND unigram sides
     big = (pairs.groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).alias("pair_count"))
            .filter(F.col("pair_count") >= min_count))

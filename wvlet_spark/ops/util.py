@@ -56,6 +56,53 @@ def probe_vector_dim(df: DataFrame, vec_col: str) -> int:
     return dim
 
 
+# inputs under this footer-estimated size skip eager intermediate
+# materialization (materialize_if_big): at toy scale every eager
+# localCheckpoint is a full job launch + scheduler barrier (~0.2 s each
+# on local[32]) while the recompute it avoids costs milliseconds —
+# ReuseExchange already collapses the shared shuffle subtrees within the
+# single job.  Above the threshold the measured round-6 behavior holds
+# (lazy candidate lineage re-ran a 5 M-doc banded self-join: verify 147 s
+# lazy vs 12 s materialized, SCALE.md §29) so checkpoints stay ON.
+_MATERIALIZE_MIN_MB = float(
+    os.environ.get("SPARK_GRAFT_MATERIALIZE_MIN_MB", "32"))
+
+_PLAN_BYTES_CACHE: "OrderedDict[tuple[str, int], int | None]" = OrderedDict()
+
+
+def plan_estimated_bytes(df: DataFrame) -> int | None:
+    """Footer-estimated bytes of df's optimized plan (no job; cached per
+    (application, plan))."""
+    try:
+        sc = df.sparkSession.sparkContext
+        key = (sc.applicationId, df.semanticHash())
+    except Exception:
+        return None
+    if key in _PLAN_BYTES_CACHE:
+        _PLAN_BYTES_CACHE.move_to_end(key)
+        return _PLAN_BYTES_CACHE[key]
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = None
+    _PLAN_BYTES_CACHE[key] = est
+    while len(_PLAN_BYTES_CACHE) > _NPARTS_CACHE_MAX:
+        _PLAN_BYTES_CACHE.popitem(last=False)
+    return est
+
+
+def materialize_if_big(df: DataFrame, input_df: DataFrame) -> DataFrame:
+    """localCheckpoint `df` only when `input_df` is big enough for the
+    recompute-avoidance to matter (see _MATERIALIZE_MIN_MB).  Unknown
+    size = big (materialize): the checkpoint is the safe default at
+    scale, skipping it is the toy-scale optimization."""
+    est = plan_estimated_bytes(input_df)
+    if est is not None and est < _MATERIALIZE_MIN_MB * 1024 * 1024:
+        return df
+    return df.localCheckpoint()
+
+
 def let1(col, fn):
     """Let-binding for column expressions: evaluate `col` ONCE per row and
     pass it to `fn` as a bound lambda variable.
