@@ -37,6 +37,8 @@ def main() -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     names = [n for n in bench.HEADLINE if not only or n in only]
+    names += sorted(n for n in only
+                    if n not in bench.HEADLINE and (n in SUITE or n in ext))
     for name in names:
         if name in SUITE:
             df = ws.run(SUITE[name][0])
