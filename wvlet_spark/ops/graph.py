@@ -27,10 +27,21 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20) -> DataFrame:
     """(src, dst) edge list -> (id, component) with component = min node id
     reachable; isolated endpoints appear with themselves."""
+    # The edge table is static across iterations and joined on `b` every
+    # round: partition+sort it by the join key ONCE before checkpointing,
+    # so each iteration's join reads it exchange-free and sort-free
+    # (LogicalRDD preserves the checkpointed plan's partitioning and
+    # ordering; only the per-iteration label table still shuffles —
+    # guide §2.4 "two operations keyed the same way share one exchange").
+    # The checkpoint is LAZY: the first iteration's job materializes it —
+    # same single materialization as the old eager form, one fewer
+    # job-launch barrier (round 9).
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
          .distinct()
-         .localCheckpoint())
+         .repartition("b")
+         .sortWithinPartitions("b")
+         .localCheckpoint(eager=False))
     labels = (e.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("comp", F.col("id"))

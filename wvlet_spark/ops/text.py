@@ -462,11 +462,19 @@ def bigram_lm_logprob(df: DataFrame, text_col: str = "text",
     train = _pairs(train_df if train_df is not None else df)
     from wvlet_spark.ops.util import materialize_if_big
     train = materialize_if_big(
-        train, train_df if train_df is not None else df)  # 3 aggregates
+        train, train_df if train_df is not None else df)  # model + scoring
+    # every model table derives from the COMPACT (w1, w2, c12) aggregate:
+    # c(w1 .) = sum of c12 over w2 (identical value to counting the raw
+    # pairs), so the unigram/total passes re-aggregate distinct-bigram
+    # rows instead of re-shuffling every token position — at corpus scale
+    # the raw pair table is tokens-sized while the bigram-type table is
+    # Zipf-compact (guide §2.3 "aggregate before you shuffle")
     big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    w2tot = train.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    total = train.agg(F.count(F.lit(1)).alias("total"))
+    big = materialize_if_big(
+        big, train_df if train_df is not None else df)  # 4 consumers
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    w2tot = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = big.agg(F.coalesce(F.sum("c12"), F.lit(0)).alias("total"))
     score = _pairs(df) if train_df is not None else train
     scored = (score.join(big, on=["w1", "w2"], how="left")
               .join(uni, on="w1", how="left")
@@ -499,16 +507,19 @@ def collocations_pmi(df: DataFrame, text_col: str = "text",
     min_count filter prunes the long tail BEFORE the joins, and the
     final top-k is a TakeOrdered, not a global sort."""
     pairs = _adjacent_pairs(df, text_col, id_col).select("w1", "w2")
+    # ONE shuffle of the token-sized pair stream builds the compact
+    # (w1, w2, pair_count) table; the unigram-position counts and the
+    # total derive from IT by re-aggregation (sum of pair_count grouped
+    # by w1 is exactly the count of positions with that left word), so
+    # the raw pairs are exploded and shuffled once instead of four times
+    # (guide §2.3) — the probabilities are unchanged by construction
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
     from wvlet_spark.ops.util import materialize_if_big
-    pairs = materialize_if_big(pairs, df)  # pair counts AND unigram sides
-    big = (pairs.groupBy("w1", "w2")
-           .agg(F.count(F.lit(1)).alias("pair_count"))
-           .filter(F.col("pair_count") >= min_count))
-    # unigram counts over bigram POSITIONS (left words), plus the total —
-    # using the same pair population keeps the probabilities consistent
-    uni1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    uni2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    total = pairs.agg(F.count(F.lit(1)).alias("total"))
+    pc = materialize_if_big(pc, df)  # filter + both unigram sides + total
+    big = pc.filter(F.col("pair_count") >= min_count)
+    uni1 = pc.groupBy("w1").agg(F.sum("pair_count").alias("c1"))
+    uni2 = pc.groupBy("w2").agg(F.sum("pair_count").alias("c2"))
+    total = pc.agg(F.coalesce(F.sum("pair_count"), F.lit(0)).alias("total"))
     pmi = F.log10((F.col("pair_count") * F.col("total"))
                   / (F.col("c1") * F.col("c2")))
     return (big.join(uni1, on="w1").join(uni2, on="w2")
