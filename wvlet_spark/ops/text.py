@@ -60,11 +60,17 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
-    # BPE-ish word pieces: letter runs (<=4 chars each piece), digits, punct
-    bpe_pieces = F.size(F.expr(
-        f"regexp_extract_all({text_col}, '[A-Za-z]{{1,4}}|[0-9]|[^\\\\sA-Za-z0-9]', 0)"
-    ))
-    non_space = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    # BPE-ish word pieces: letter runs (<=4 chars each piece), digits, punct.
+    # regexp_count returns the same match count regexp_extract_all's size
+    # did without materializing an array of per-match strings per row
+    # (round 9, guide §1.2 per-task work: the extract_all form allocated
+    # every piece only to take the array's length)
+    bpe_pieces = F.expr(
+        f"regexp_count({text_col}, '[A-Za-z]{{1,4}}|[0-9]|[^\\\\sA-Za-z0-9]')"
+    )
+    # chars-after-removing-\s == n_chars minus the count of \s chars;
+    # counting avoids building the stripped copy of every document
+    non_space = n_chars - F.expr(f"regexp_count({text_col}, '\\\\s')")
     avg_word_len = F.when(n_tokens > 0, non_space / n_tokens).otherwise(F.lit(0.0))
     return (
         df.withColumn("n_tokens", n_tokens)
@@ -81,8 +87,17 @@ def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality
     df = ensure_map_parallelism(df)
     t = F.col(text_col)
     n = F.length(t).cast("double")
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
-    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    # count chars in a class as length minus length-after-deleting the
+    # class: translate is a per-char map lookup, so neither count pays
+    # the regex engine or allocates the stripped string (round 9; the
+    # regexp_replace form built two full copies of every document only
+    # to take their lengths) — counts are identical by construction
+    _alpha_chars = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                    "abcdefghijklmnopqrstuvwxyz")
+    alpha = (F.length(t)
+             - F.length(F.translate(t, _alpha_chars, ""))).cast("double")
+    punct = (F.length(t)
+             - F.length(F.translate(t, ".,;:!?", ""))).cast("double")
     toks = _tokens(t)
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en)).cast("double")
