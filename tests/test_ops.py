@@ -1047,3 +1047,24 @@ def test_python_udf_entries_rebuild_in_one_session(spark):
         a = fn(spark, SF_DIR).collect()
         b = fn(spark, SF_DIR).collect()
         assert a == b
+
+
+def test_sort_once_matches_plain_orderby(spark):
+    """Round-9: final-output global sorts go through util.sort_once (lazy
+    localCheckpoint below the range shuffle so the RangePartitioner's
+    sampling job doesn't re-execute the upstream).  The helper must be a
+    pure execution-strategy change: same rows, same order, same schema
+    as a plain orderBy, including descending keys and post-shuffle input."""
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.util import sort_once
+
+    df = (spark.range(0, 5000, numPartitions=7)
+          .withColumn("k", F.pmod(F.col("id"), F.lit(37)))
+          .groupBy("k").agg(F.count("*").alias("n"),
+                            F.sum("id").alias("s")))
+    plain = df.orderBy(F.col("s").desc(), "k").collect()
+    once = df.transform(sort_once, F.col("s").desc(), "k").collect()
+    assert once == plain
+    assert [f.name for f in df.transform(sort_once, "k").schema] == \
+        [f.name for f in df.orderBy("k").schema]

@@ -810,7 +810,7 @@ def duplicate_substring_spans(df: DataFrame, k: int = 5,
     g = (base.select(F.col(id_col), F.explode(grams).alias("g"))
          .select(F.col(id_col), F.col("g.pos").alias("pos"),
                  F.col("g.h").alias("h")))
-    from wvlet_spark.ops.util import materialize_if_big
+    from wvlet_spark.ops.util import materialize_if_big, sort_once
     g = materialize_if_big(g, df)
     dup_h = (g.groupBy("h").count()
              .filter(F.col("count") > 1).select("h"))
@@ -823,7 +823,7 @@ def duplicate_substring_spans(df: DataFrame, k: int = 5,
                  (F.max("pos") + k - 1).alias("span_end"),
                  (F.max("pos") + k - F.min("pos")).alias("span_words"))
             .drop("grp")
-            .orderBy(id_col, "span_start"))
+            .transform(sort_once, id_col, "span_start"))
 
 
 def minhash_bands_portable(df: DataFrame, text_col: str = "text",

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import functions as F
 
+from wvlet_spark.ops.util import sort_once
+
 # The driver's correctness gate runs Spark + DuckDB side-by-side at
 # sf=0.01 (TESTDATA.md).  Data-dependent oracle constants — the seeded
 # k-means centroid matrix and the query vector — are derived from the
@@ -90,7 +92,7 @@ def q_exact_dedup(spark, sf_dir):
     from wvlet_spark.ops.dedup import exact_dedup
 
     out = exact_dedup(_docs(spark, sf_dir))
-    return out.select("doc_id", "dup_count", "lang", "source").orderBy("doc_id")
+    return out.select("doc_id", "dup_count", "lang", "source").transform(sort_once, "doc_id")
 
 
 O_EXACT_DEDUP = r"""
@@ -110,14 +112,14 @@ def q_minhash_pairs(spark, sf_dir):
 
     out = minhash_near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
     return out.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")) \
-        .orderBy("id_a", "id_b")
+        .transform(sort_once, "id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
     from wvlet_spark.ops.dedup import simhash_near_dup_pairs
 
     out = simhash_near_dup_pairs(_docs(spark, sf_dir))
-    return out.filter(F.col("hamming") <= 6).orderBy("id_a", "id_b")
+    return out.filter(F.col("hamming") <= 6).transform(sort_once, "id_a", "id_b")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -132,7 +134,7 @@ def q_ngram_jaccard(spark, sf_dir):
     cands = minhash_near_dup_pairs(docs, threshold=0.2)
     out = ngram_jaccard_pairs(docs, n=3, candidates=cands, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")) \
-        .orderBy("id_a", "id_b")
+        .transform(sort_once, "id_a", "id_b")
 
 
 O_NGRAM_JACCARD = r"""
@@ -168,7 +170,7 @@ def q_dup_clusters(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     cands = minhash_near_dup_pairs(docs, threshold=0.2)
     pairs = ngram_jaccard_pairs(docs, n=3, candidates=cands, threshold=0.5)
-    return duplicate_clusters(docs, pairs).orderBy("doc_id")
+    return duplicate_clusters(docs, pairs).transform(sort_once, "doc_id")
 
 
 O_DUP_CLUSTERS = r"""
@@ -260,7 +262,7 @@ def q_embedding_dedup(spark, sf_dir):
 
     return embedding_near_dup_pairs(
         _embs(spark, sf_dir), threshold=0.3, use_lsh=True, planes=8,
-    ).orderBy("id_a", "id_b")
+    ).transform(sort_once, "id_a", "id_b")
 
 
 def _embedding_dedup_lsh_oracle(dim: int = 64, planes: int = 8) -> str:
@@ -307,7 +309,7 @@ def q_language_id(spark, sf_dir):
     from wvlet_spark.ops.text import language_id
 
     out = language_id(_docs(spark, sf_dir))
-    return out.groupBy("lang_pred").agg(F.count("*").alias("n")).orderBy("lang_pred")
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n")).transform(sort_once, "lang_pred")
 
 
 def _stop_sql(lang: str) -> str:
@@ -349,7 +351,7 @@ def q_token_stats(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", "n_chars_computed", "n_bpeish",
         F.round("avg_word_len", 5).alias("avg_word_len"),
-    ).orderBy("doc_id")
+    ).transform(sort_once, "doc_id")
 
 
 O_TOKEN_STATS = r"""
@@ -368,7 +370,7 @@ def q_quality_score(spark, sf_dir):
     from wvlet_spark.ops.text import quality_score
 
     out = quality_score(_docs(spark, sf_dir))
-    return out.select("doc_id", F.round("quality", 5).alias("quality")).orderBy("doc_id")
+    return out.select("doc_id", F.round("quality", 5).alias("quality")).transform(sort_once, "doc_id")
 
 
 def _quality_oracle() -> str:
@@ -397,7 +399,7 @@ def q_fingerprint(spark, sf_dir):
     from wvlet_spark.ops.text import document_fingerprint
 
     out = document_fingerprint(_docs(spark, sf_dir))
-    return out.select("doc_id", "fingerprint_md5").orderBy("doc_id")
+    return out.select("doc_id", "fingerprint_md5").transform(sort_once, "doc_id")
 
 
 O_FINGERPRINT = r"""
@@ -417,7 +419,7 @@ def q_stratified_sample(spark, sf_dir):
     fr = {"en": 0.5, "de": 0.9, "fr": 0.9, "es": 0.9}
     out = stratified_deterministic_sample(
         _docs(spark, sf_dir), fr, strata_col="lang", default_fraction=0.25)
-    return out.select("doc_id", "lang").orderBy("doc_id")
+    return out.select("doc_id", "lang").transform(sort_once, "doc_id")
 
 
 def _stratified_sample_oracle() -> str:
@@ -446,7 +448,7 @@ def q_mixture(spark, sf_dir):
 
     out = mixture_sample(_docs(spark, sf_dir),
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2})
-    return out.select("doc_id", "source").orderBy("doc_id")
+    return out.select("doc_id", "source").transform(sort_once, "doc_id")
 
 
 O_MIXTURE = """
@@ -506,7 +508,7 @@ def q_chunking(spark, sf_dir):
                           overlap=24)
     return (out.select("doc_id", "chunk_idx",
                        F.md5("chunk_text").alias("chunk_md5"), "n_tokens")
-            .orderBy("doc_id", "chunk_idx"))
+            .transform(sort_once, "doc_id", "chunk_idx"))
 
 
 O_CHUNKING = r"""
@@ -559,7 +561,7 @@ def q_pii_scan(spark, sf_dir):
         ))
     out = pii_scan(planted)
     return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "n_url",
-                      "redacted").orderBy("doc_id")
+                      "redacted").transform(sort_once, "doc_id")
 
 
 def _pii_oracle() -> str:
@@ -601,7 +603,7 @@ def q_sessionize(spark, sf_dir):
     ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
     out = sessionize_batch(ev.select("user_id", "ts"), "user_id", "ts",
                            gap_seconds=6 * 3600)
-    return out.orderBy("user_id", "session_start")
+    return out.transform(sort_once, "user_id", "session_start")
 
 
 O_SESSIONIZE = """
@@ -636,7 +638,7 @@ def q_multimodal_decode(spark, sf_dir):
     return out.select(
         "doc_id", "format", "width", "height", "channels", "bit_depth",
         F.round("px_mean", 4).alias("px_mean"),
-    ).orderBy("doc_id")
+    ).transform(sort_once, "doc_id")
 
 
 O_MULTIMODAL = """
@@ -666,7 +668,7 @@ def q_image_resize(spark, sf_dir):
     out = decode_image_features(resized)
     return (out.select("doc_id", "width", "height",
                        F.round("px_mean", 4).alias("px_mean"))
-            .orderBy("doc_id"))
+            .transform(sort_once, "doc_id"))
 
 
 O_IMAGE_RESIZE = """
@@ -691,7 +693,7 @@ def q_approx_distinct(spark, sf_dir):
     ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
     out = approx_distinct_by(ev, ["event_type"], "user_id")
     return (out.select("event_type", "n_exact", "within_tol")
-            .orderBy("event_type"))
+            .transform(sort_once, "event_type"))
 
 
 O_APPROX_DISTINCT = """
@@ -716,7 +718,7 @@ def q_boilerplate(spark, sf_dir):
     out = remove_boilerplate_lines(docs, min_docs=2)
     return (out.select("doc_id", "lang", "text",
                        F.length("text").cast("long").alias("n_chars"))
-            .orderBy("doc_id"))
+            .transform(sort_once, "doc_id"))
 
 
 O_BOILERPLATE = """
@@ -765,7 +767,7 @@ def q_video_frames(spark, sf_dir):
         F.length("frame_payload").cast("long").alias("frame_len"),
         F.conv(F.hex(F.expr("substring(frame_payload, 1, 1)")), 16, 10)
          .cast("long").alias("first_byte"))
-        .orderBy("doc_id", "frame_idx"))
+        .transform(sort_once, "doc_id", "frame_idx"))
 
 
 O_VIDEO_FRAMES = """
@@ -790,7 +792,7 @@ def q_audio_decode(spark, sf_dir):
     return out.select(
         "doc_id", "format", "channels", "sample_rate", "n_samples",
         F.round("amp_mean", 4).alias("amp_mean"),
-    ).orderBy("doc_id")
+    ).transform(sort_once, "doc_id")
 
 
 O_AUDIO_DECODE = """
@@ -818,7 +820,7 @@ def q_windowed_agg(spark, sf_dir):
                              ts_col="ts", window="1 day",
                              group_cols=["event_type"], value_col="value")
     return (out.withColumn("total_value", F.round("total_value", 2))
-            .orderBy("window_start", "event_type"))
+            .transform(sort_once, "window_start", "event_type"))
 
 
 # Spark's window('1 day') aligns tumbling windows to the unix epoch —
@@ -848,7 +850,7 @@ def q_stream_enrich(spark, sf_dir):
     cust = read_parquet_robust(spark, f"{sf_dir}/customer.parquet")
     out = enriched_agg_batch(ev.select("user_id", "ts", "value"), cust)
     return (out.withColumn("total_value", F.round("total_value", 2))
-            .orderBy("window_start", "c_mktsegment"))
+            .transform(sort_once, "window_start", "c_mktsegment"))
 
 
 O_STREAM_ENRICH = """
@@ -869,7 +871,7 @@ def q_repetition(spark, sf_dir):
     list algebra in DuckDB."""
     from wvlet_spark.ops.text import repetition_stats
 
-    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    return repetition_stats(_docs(spark, sf_dir)).transform(sort_once, "doc_id")
 
 
 O_REPETITION = """
@@ -903,7 +905,7 @@ def q_sequence_pack(spark, sf_dir):
     from wvlet_spark.ops.packing import pack_sequences
 
     out = pack_sequences(_docs(spark, sf_dir), capacity=512, n_shards=8)
-    return out.orderBy("doc_id")
+    return out.transform(sort_once, "doc_id")
 
 
 O_SEQUENCE_PACK = """
@@ -936,7 +938,7 @@ def q_dedup_against_ref(spark, sf_dir):
     ref = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
     out = dedup_against_reference(new, ref)
-    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+    return out.select("doc_id", "lang", "source").transform(sort_once, "doc_id")
 
 
 O_DEDUP_AGAINST_REF = """
@@ -964,7 +966,7 @@ def q_quantize(spark, sf_dir):
     return (out.select("vec_id",
                        F.to_json(F.col("q8")).alias("q8"),
                        "scale", "max_abs_err")
-            .orderBy("vec_id"))
+            .transform(sort_once, "vec_id"))
 
 
 O_QUANTIZE = """
@@ -1000,7 +1002,7 @@ def q_decontaminate(spark, sf_dir):
     out = decontaminate(train, bench, n=3, threshold=0.2)
     return (out.select("doc_id", "n_grams", "n_contaminated",
                        "contamination", "is_contaminated")
-            .orderBy("doc_id"))
+            .transform(sort_once, "doc_id"))
 
 
 O_DECONTAMINATE = r"""
@@ -1050,7 +1052,7 @@ def q_canonical_docs(spark, sf_dir):
     clustered = duplicate_clusters(docs, pairs)
     return (canonical_representatives(
                 clustered, docs, F.length("text").cast("long"))
-            .orderBy("cluster_id"))
+            .transform(sort_once, "cluster_id"))
 
 
 O_CANONICAL_DOCS = O_DUP_CLUSTERS.replace(
@@ -1072,7 +1074,7 @@ def q_tfidf_terms(spark, sf_dir):
     from wvlet_spark.ops.text import tfidf_top_terms
 
     docs = _docs(spark, sf_dir)
-    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rn")
+    return tfidf_top_terms(docs, k=3).transform(sort_once, "doc_id", "rn")
 
 
 O_TFIDF_TERMS = r"""
@@ -1290,7 +1292,7 @@ def q_bigram_lm(spark, sf_dir):
     out = bigram_lm_logprob(score, train_df=train)
     return (out.select("doc_id", F.col("n_bigrams").cast("long"),
                        F.round("avg_logp", 4).alias("avg_logp"))
-            .orderBy("doc_id"))
+            .transform(sort_once, "doc_id"))
 
 
 O_BIGRAM_LM = r"""
@@ -1334,7 +1336,7 @@ def q_pca_project(spark, sf_dir):
     out = pca_project(_embs(spark, sf_dir), out_dim=4)
     return (out.select("vec_id", F.posexplode("pca").alias("dim", "value"))
             .select("vec_id", "dim", F.round("value", 5).alias("value"))
-            .orderBy("vec_id", "dim"))
+            .transform(sort_once, "vec_id", "dim"))
 
 
 def _pca_project_oracle(out_dim: int = 4) -> str:
@@ -1415,7 +1417,7 @@ def q_corpus_profile(spark, sf_dir):
         F.col("distinct_texts").cast("long").alias("distinct_texts"),
         F.round("dup_rate", 5).alias("dup_rate"),
         F.round("mean_alpha_ratio", 5).alias("mean_alpha_ratio"),
-    ).orderBy("source"))
+    ).transform(sort_once, "source"))
 
 
 O_CORPUS_PROFILE = r"""
@@ -1456,7 +1458,7 @@ def q_minhash_portable(spark, sf_dir):
         threshold=0.5, portable=True)
     return (out.select("id_a", "id_b",
                        F.round("est_jaccard", 4).alias("est_jaccard"))
-            .orderBy("id_a", "id_b"))
+            .transform(sort_once, "id_a", "id_b"))
 
 
 def _minhash_banded_with(num_hashes: int, bands: int,
@@ -1542,7 +1544,7 @@ def q_stream_neardup(spark, sf_dir):
     out = near_dup_filter_batch(_docs(spark, sf_dir), family="portable")
     return (out.select("doc_id", "lang", "source",
                        F.col("n_chars").cast("long").alias("n_chars"))
-            .orderBy("doc_id"))
+            .transform(sort_once, "doc_id"))
 
 
 def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 8,
@@ -1569,7 +1571,7 @@ def q_simhash_portable(spark, sf_dir):
         _docs(spark, sf_dir), bits=32, bands=8, max_hamming=3)
     return (out.select("id_a", "id_b",
                        F.col("hamming").cast("int").alias("hamming"))
-            .orderBy("id_a", "id_b"))
+            .transform(sort_once, "id_a", "id_b"))
 
 
 def _simhash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
@@ -1619,7 +1621,7 @@ def q_bloom_build(spark, sf_dir):
     out = bloom_build(_docs(spark, sf_dir), m_bits=1 << 16, k=4)
     return (out.select(F.col("word_idx").cast("long").alias("word_idx"),
                        F.col("bits").cast("long").alias("bits"))
-            .orderBy("word_idx"))
+            .transform(sort_once, "word_idx"))
 
 
 O_BLOOM_BUILD = r"""
@@ -1650,7 +1652,7 @@ def q_length_bins(spark, sf_dir):
         F.col("lo").cast("long").alias("lo"),
         F.col("hi").cast("long").alias("hi"),
         F.round("mean_len", 4).alias("mean_len"),
-    ).orderBy("source", "bin"))
+    ).transform(sort_once, "source", "bin"))
 
 
 O_LENGTH_BINS = """
@@ -1680,7 +1682,7 @@ def q_hard_negatives(spark, sf_dir):
                        F.col("neg_label").cast("long").alias("neg_label"),
                        "cosine",
                        F.col("rank").cast("long").alias("rank"))
-            .orderBy("anchor_id", "rank"))
+            .transform(sort_once, "anchor_id", "rank"))
 
 
 O_HARD_NEGATIVES = """
@@ -1723,7 +1725,7 @@ def q_gap_fill(spark, sf_dir):
 
     ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
     return (gap_fill_daily(ev.filter("user_id < 40"))
-            .orderBy("user_id", "day"))
+            .transform(sort_once, "user_id", "day"))
 
 
 O_GAP_FILL = """
@@ -1783,7 +1785,7 @@ def q_fuzzy_pairs(spark, sf_dir):
     cust = read_parquet_robust(spark, f"{sf_dir}/customer.parquet")
     return (fuzzy_name_pairs(cust.filter("c_custkey <= 300"),
                              "c_custkey", "c_name")
-            .orderBy("id1", "id2"))
+            .transform(sort_once, "id1", "id2"))
 
 
 O_FUZZY_PAIRS = """

@@ -481,10 +481,11 @@ def _semantic_dedup_grouped(v: DataFrame, threshold: float, id_col: str,
                      F.xxhash64(F.col(id_col)),
                      F.ceil(F.col("__csz") / max_group_rows)
                      .cast("long")).cast("int"))))
+    from wvlet_spark.ops.util import sort_once
     return (keyed.groupBy("sem_cluster", "__sub")
             .applyInPandas(fn, out_schema)
             .select(id_col, "sem_cluster", "dup_of", "keep")
-            .orderBy(id_col))
+            .transform(sort_once, id_col))
 
 
 def semantic_dedup(df: DataFrame, n_clusters: int = 16,
@@ -544,10 +545,11 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
     dup_of = (dup_edges.groupBy("__dup_id")
               .agg(F.min("__keep_id").alias("dup_of"))
               .withColumnRenamed("__dup_id", id_col))
+    from wvlet_spark.ops.util import sort_once
     return (v.select(id_col, "sem_cluster")
             .join(dup_of, id_col, "left")
             .withColumn("keep", F.col("dup_of").isNull())
-            .orderBy(id_col))
+            .transform(sort_once, id_col))
 
 
 def random_projection(df: DataFrame, out_dim: int = 16, seed: int = 7,

@@ -122,6 +122,34 @@ def let1(col, fn):
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
+def sort_once(df: DataFrame, *cols) -> DataFrame:
+    """Global sort that computes its input ONCE.
+
+    A global `orderBy` shuffles through RangePartitioning, and Spark
+    derives the range boundaries by SAMPLING the child RDD first — a
+    separate job that executes the ENTIRE upstream plan (the per-partition
+    reservoir sketch visits every partition), after which the real job
+    executes it again.  Post-shuffle subtrees are re-executed too (only
+    the shuffle files themselves are reused), so a final sort on top of an
+    expensive map stage — regex scoring, signature UDFs, decode — pays for
+    the computation twice (measured round 9: token_stats at sf1 ran 0.92 s
+    without / 1.59 s with its final orderBy; OPTIMIZATION_r09.md).
+
+    The lazy localCheckpoint makes the sampling job materialize the
+    (narrow, already-projected) result into block storage, and the sort
+    job reads those cached blocks instead of recomputing.  One compute +
+    one narrow cache round-trip instead of two computes — the win grows
+    with upstream cost and is ~neutral for bare scans.  At cluster scale
+    the same double-execution exists (sampling is per-partition, not
+    size-bounded), so the shape carries.  Results unchanged: the sort and
+    its keys are untouched; only the number of upstream executions drops.
+
+    Use as `df.transform(sort_once, *cols)` at final-output sorts.  NOT
+    for `orderBy(...).limit(n)` — that compiles to TakeOrderedAndProject,
+    which never range-samples (a checkpoint there is pure overhead)."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def ensure_map_parallelism(df: DataFrame, min_fraction: float = 2.0,
                            wide: bool = False) -> DataFrame:
     """Repartition an under-split input before a CPU-heavy map stage.
