@@ -83,16 +83,22 @@ def test_no_python_udf_in_language_path(ws):
 
 
 def test_ext_ops_plan_shapes(spark, ws):
-    from wvlet_spark.ops.registry import (q_exact_dedup, q_language_id,
-                                          q_token_stats)
+    # Inspect the op BODIES, not the registry entries: since round 9 the
+    # entries' final sort reads a lazily-checkpointed RDD (util.sort_once),
+    # which would hide the compute subtree from the entry's plan and make
+    # these assertions vacuous.
+    from wvlet_spark.ops.dedup import exact_dedup
+    from wvlet_spark.ops.text import language_id, token_stats
+    from wvlet_spark.session import read_parquet_robust
 
-    for fn in (q_language_id, q_token_stats):
-        plan = _plan(fn(spark, SF_DIR), "simple")
+    docs = read_parquet_robust(spark, f"{SF_DIR}/documents.parquet")
+    for fn in (language_id, token_stats):
+        plan = _plan(fn(docs), "simple")
         # text ops are single-pass JVM column expressions — no Python at
         # all (the only Exchanges are the final agg/sort of the entry)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-    dedup = _plan(q_exact_dedup(spark, SF_DIR), "simple")
+    dedup = _plan(exact_dedup(docs), "simple")
     assert "BatchEvalPython" not in dedup
     assert "CartesianProduct" not in dedup
 
@@ -232,15 +238,23 @@ def test_new_pipeline_ops_plan_shapes(spark):
     from tests.conftest import SF_DIR
 
     import wvlet_spark.ops.registry as reg
+    import wvlet_spark.ops.util as U
 
     qs = reg.entry_queries()
-    for name in ("ext_decontaminate", "ext_tfidf_terms", "ext_dup_spans",
-                 "ext_bigram_lm", "ext_canonical_docs"):
-        df = qs[name](spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, name
-        assert "Python" not in plan, name
-        _assert_bnlj_builds_are_scalar(plan, name)
+    # build with the sort_once checkpoint off so the entries' full compute
+    # subtree is visible to the assertions (the checkpoint would present
+    # it as an opaque ExistingRDD scan)
+    U.SORT_ONCE_CHECKPOINT = False
+    try:
+        for name in ("ext_decontaminate", "ext_tfidf_terms", "ext_dup_spans",
+                     "ext_bigram_lm", "ext_canonical_docs"):
+            df = qs[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, name
+            assert "Python" not in plan, name
+            _assert_bnlj_builds_are_scalar(plan, name)
+    finally:
+        U.SORT_ONCE_CHECKPOINT = True
 
 
 def test_multi_ref_aggregate_cte_staged_once(spark):

@@ -146,8 +146,19 @@ def sort_once(df: DataFrame, *cols) -> DataFrame:
 
     Use as `df.transform(sort_once, *cols)` at final-output sorts.  NOT
     for `orderBy(...).limit(n)` — that compiles to TakeOrderedAndProject,
-    which never range-samples (a checkpoint there is pure overhead)."""
+    which never range-samples (a checkpoint there is pure overhead).
+
+    SORT_ONCE_CHECKPOINT exists for the plan-shape tests: the checkpoint
+    presents the upstream as an ExistingRDD scan, which would blind
+    whole-entry plan assertions (no-Python, no-cartesian); tests flip the
+    flag to inspect the real compute subtree.  Results are identical
+    either way — that equivalence is itself pytest-pinned."""
+    if not SORT_ONCE_CHECKPOINT:
+        return df.orderBy(*cols)
     return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
+SORT_ONCE_CHECKPOINT = True
 
 
 def ensure_map_parallelism(df: DataFrame, min_fraction: float = 2.0,
