@@ -36,15 +36,24 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # The checkpoint is LAZY: the first iteration's job materializes it —
     # same single materialization as the old eager form, one fewer
     # job-launch barrier (round 9).
+    # No dedup of the doubled edge list: min-label propagation is
+    # insensitive to duplicate edges (they contribute redundant rows to
+    # the per-round min, never a different answer), and every caller
+    # emits unique (id_a < id_b) pairs — the previous `.distinct()` paid
+    # a full extra shuffle of the edge table for nothing (round 9).
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-         .distinct()
          .repartition("b")
          .sortWithinPartitions("b")
          .localCheckpoint(eager=False))
-    labels = (e.select(F.col("a").alias("id"))
-              .distinct()
-              .withColumn("comp", F.col("id"))
+    # Initial labels already carry the FIRST propagation round: with
+    # identity labels, round 1 assigns every node min(self, neighbors),
+    # which is exactly min(a, min b) over its edge rows — an aggregate
+    # over the edge table with no join.  Fusing it into initialization
+    # replaces the old identity-label `distinct` AND removes one full
+    # edge-join round from the loop at every scale (round 9).
+    labels = (e.groupBy(F.col("a").alias("id"))
+              .agg(F.min(F.least("a", "b")).alias("comp"))
               .localCheckpoint(eager=False))
     # Convergence test: labels only ever DECREASE, so the label sum is
     # strictly monotone and "sum unchanged" <=> "no node changed" —
@@ -53,7 +62,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # action that reads the sum also materializes it: ONE job per
     # iteration instead of two (round 9; decimal(38,0) keeps the sum
     # exact far beyond any realistic id range).
-    prev_sum = None
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    if prev_sum is None:  # empty edge table -> no labels to propagate
+        return labels
     for _ in range(max_iter):
         # neighbor labels: for each edge a->b, b's current label is a
         # candidate for a
@@ -66,7 +79,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
-        if prev_sum is not None and s == prev_sum:
+        if s == prev_sum:
             break
         prev_sum = s
     return labels
