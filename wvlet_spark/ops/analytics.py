@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from wvlet_spark.ops.util import sort_once
+
 
 def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
            type_col: str = "event_type", ts_col: str = "ts",
@@ -85,8 +87,16 @@ def gap_fill_daily(events: DataFrame, user_col: str = "user_id",
     daily = (events.groupBy(F.col(user_col), day.alias("day"))
              .agg(F.count("*").alias("n_events"),
                   F.round(F.sum(value_col), 4).alias("day_value")))
-    span = events.groupBy(user_col).agg(F.min(day).alias("__d0"),
-                                        F.max(day).alias("__d1"))
+    # the span derives from the COMPACT daily table, not the raw events:
+    # min/max over days-with-events is identical either way, and this
+    # turns a second full scan+shuffle of the event stream into a tiny
+    # re-aggregation of (user, day) rows (guide §2.3 — round 9; daily is
+    # checkpointed above the size threshold because the calendar join
+    # consumes it a second time)
+    from wvlet_spark.ops.util import materialize_if_big
+    daily = materialize_if_big(daily, events)
+    span = daily.groupBy(user_col).agg(F.min("day").alias("__d0"),
+                                       F.max("day").alias("__d1"))
     cal = span.select(user_col,
                       F.explode(F.sequence("__d0", "__d1")).alias("day"))
     w = (Window.partitionBy(user_col).orderBy("day")
@@ -107,16 +117,26 @@ def retention_weekly(events: DataFrame, user_col: str = "user_id",
     week.  Returns (cohort_week, week_n, users).
     """
     week = F.date_trunc("week", F.col(ts_col)).cast("date")
-    active = events.select(F.col(user_col), week.alias("week")).distinct()
-    cohort = (active.groupBy(user_col)
-              .agg(F.min("week").alias("cohort_week")))
-    return (active.join(cohort, user_col)
+    # ONE user-keyed shuffle: collect each user's distinct active weeks
+    # (bounded by the observation span — weeks, not events), derive the
+    # cohort as the set minimum, and explode.  The previous
+    # distinct -> cohort-aggregate -> join cascade shuffled the
+    # (user, week) rows twice more and paid a join for a value that is
+    # a plain aggregate of the same group (guide §2.3; round 9) —
+    # identical results: each user still contributes once per distinct
+    # active week, with the same cohort week.
+    per_user = (events.select(F.col(user_col), week.alias("week"))
+                .groupBy(user_col)
+                .agg(F.collect_set("week").alias("__weeks")))
+    return (per_user
+            .select(F.array_min("__weeks").alias("cohort_week"),
+                    F.explode("__weeks").alias("week"))
             .select("cohort_week",
                     (F.datediff("week", "cohort_week") / 7)
-                    .cast("long").alias("week_n"), user_col)
+                    .cast("long").alias("week_n"))
             .groupBy("cohort_week", "week_n")
             .agg(F.count("*").alias("users"))
-            .orderBy("cohort_week", "week_n"))
+            .transform(sort_once, "cohort_week", "week_n", checkpoint=False))
 
 
 def funnel_latency(events: DataFrame, steps: list[str],

@@ -92,7 +92,7 @@ def q_exact_dedup(spark, sf_dir):
     from wvlet_spark.ops.dedup import exact_dedup
 
     out = exact_dedup(_docs(spark, sf_dir))
-    return out.select("doc_id", "dup_count", "lang", "source").transform(sort_once, "doc_id")
+    return out.select("doc_id", "dup_count", "lang", "source").transform(sort_once, "doc_id", checkpoint=False)
 
 
 O_EXACT_DEDUP = r"""
@@ -134,7 +134,7 @@ def q_ngram_jaccard(spark, sf_dir):
     cands = minhash_near_dup_pairs(docs, threshold=0.2)
     out = ngram_jaccard_pairs(docs, n=3, candidates=cands, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")) \
-        .transform(sort_once, "id_a", "id_b")
+        .transform(sort_once, "id_a", "id_b", checkpoint=False)
 
 
 O_NGRAM_JACCARD = r"""
@@ -309,7 +309,7 @@ def q_language_id(spark, sf_dir):
     from wvlet_spark.ops.text import language_id
 
     out = language_id(_docs(spark, sf_dir))
-    return out.groupBy("lang_pred").agg(F.count("*").alias("n")).transform(sort_once, "lang_pred")
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n")).transform(sort_once, "lang_pred", checkpoint=False)
 
 
 def _stop_sql(lang: str) -> str:
@@ -419,7 +419,7 @@ def q_stratified_sample(spark, sf_dir):
     fr = {"en": 0.5, "de": 0.9, "fr": 0.9, "es": 0.9}
     out = stratified_deterministic_sample(
         _docs(spark, sf_dir), fr, strata_col="lang", default_fraction=0.25)
-    return out.select("doc_id", "lang").transform(sort_once, "doc_id")
+    return out.select("doc_id", "lang").transform(sort_once, "doc_id", checkpoint=False)
 
 
 def _stratified_sample_oracle() -> str:
@@ -448,7 +448,7 @@ def q_mixture(spark, sf_dir):
 
     out = mixture_sample(_docs(spark, sf_dir),
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2})
-    return out.select("doc_id", "source").transform(sort_once, "doc_id")
+    return out.select("doc_id", "source").transform(sort_once, "doc_id", checkpoint=False)
 
 
 O_MIXTURE = """
@@ -603,7 +603,7 @@ def q_sessionize(spark, sf_dir):
     ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
     out = sessionize_batch(ev.select("user_id", "ts"), "user_id", "ts",
                            gap_seconds=6 * 3600)
-    return out.transform(sort_once, "user_id", "session_start")
+    return out.transform(sort_once, "user_id", "session_start", checkpoint=False)
 
 
 O_SESSIONIZE = """
@@ -693,7 +693,7 @@ def q_approx_distinct(spark, sf_dir):
     ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
     out = approx_distinct_by(ev, ["event_type"], "user_id")
     return (out.select("event_type", "n_exact", "within_tol")
-            .transform(sort_once, "event_type"))
+            .transform(sort_once, "event_type", checkpoint=False))
 
 
 O_APPROX_DISTINCT = """
@@ -718,7 +718,7 @@ def q_boilerplate(spark, sf_dir):
     out = remove_boilerplate_lines(docs, min_docs=2)
     return (out.select("doc_id", "lang", "text",
                        F.length("text").cast("long").alias("n_chars"))
-            .transform(sort_once, "doc_id"))
+            .transform(sort_once, "doc_id", checkpoint=False))
 
 
 O_BOILERPLATE = """
@@ -820,7 +820,7 @@ def q_windowed_agg(spark, sf_dir):
                              ts_col="ts", window="1 day",
                              group_cols=["event_type"], value_col="value")
     return (out.withColumn("total_value", F.round("total_value", 2))
-            .transform(sort_once, "window_start", "event_type"))
+            .transform(sort_once, "window_start", "event_type", checkpoint=False))
 
 
 # Spark's window('1 day') aligns tumbling windows to the unix epoch —
@@ -905,7 +905,7 @@ def q_sequence_pack(spark, sf_dir):
     from wvlet_spark.ops.packing import pack_sequences
 
     out = pack_sequences(_docs(spark, sf_dir), capacity=512, n_shards=8)
-    return out.transform(sort_once, "doc_id")
+    return out.transform(sort_once, "doc_id", checkpoint=False)
 
 
 O_SEQUENCE_PACK = """
@@ -1002,7 +1002,7 @@ def q_decontaminate(spark, sf_dir):
     out = decontaminate(train, bench, n=3, threshold=0.2)
     return (out.select("doc_id", "n_grams", "n_contaminated",
                        "contamination", "is_contaminated")
-            .transform(sort_once, "doc_id"))
+            .transform(sort_once, "doc_id", checkpoint=False))
 
 
 O_DECONTAMINATE = r"""
@@ -1052,7 +1052,7 @@ def q_canonical_docs(spark, sf_dir):
     clustered = duplicate_clusters(docs, pairs)
     return (canonical_representatives(
                 clustered, docs, F.length("text").cast("long"))
-            .transform(sort_once, "cluster_id"))
+            .transform(sort_once, "cluster_id", checkpoint=False))
 
 
 O_CANONICAL_DOCS = O_DUP_CLUSTERS.replace(
@@ -1074,7 +1074,7 @@ def q_tfidf_terms(spark, sf_dir):
     from wvlet_spark.ops.text import tfidf_top_terms
 
     docs = _docs(spark, sf_dir)
-    return tfidf_top_terms(docs, k=3).transform(sort_once, "doc_id", "rn")
+    return tfidf_top_terms(docs, k=3).transform(sort_once, "doc_id", "rn", checkpoint=False)
 
 
 O_TFIDF_TERMS = r"""
@@ -1292,7 +1292,7 @@ def q_bigram_lm(spark, sf_dir):
     out = bigram_lm_logprob(score, train_df=train)
     return (out.select("doc_id", F.col("n_bigrams").cast("long"),
                        F.round("avg_logp", 4).alias("avg_logp"))
-            .transform(sort_once, "doc_id"))
+            .transform(sort_once, "doc_id", checkpoint=False))
 
 
 O_BIGRAM_LM = r"""
@@ -1417,7 +1417,7 @@ def q_corpus_profile(spark, sf_dir):
         F.col("distinct_texts").cast("long").alias("distinct_texts"),
         F.round("dup_rate", 5).alias("dup_rate"),
         F.round("mean_alpha_ratio", 5).alias("mean_alpha_ratio"),
-    ).transform(sort_once, "source"))
+    ).transform(sort_once, "source", checkpoint=False))
 
 
 O_CORPUS_PROFILE = r"""
@@ -1458,7 +1458,7 @@ def q_minhash_portable(spark, sf_dir):
         threshold=0.5, portable=True)
     return (out.select("id_a", "id_b",
                        F.round("est_jaccard", 4).alias("est_jaccard"))
-            .transform(sort_once, "id_a", "id_b"))
+            .transform(sort_once, "id_a", "id_b", checkpoint=False))
 
 
 def _minhash_banded_with(num_hashes: int, bands: int,
@@ -1571,7 +1571,7 @@ def q_simhash_portable(spark, sf_dir):
         _docs(spark, sf_dir), bits=32, bands=8, max_hamming=3)
     return (out.select("id_a", "id_b",
                        F.col("hamming").cast("int").alias("hamming"))
-            .transform(sort_once, "id_a", "id_b"))
+            .transform(sort_once, "id_a", "id_b", checkpoint=False))
 
 
 def _simhash_portable_oracle(bits: int = 32, max_hamming: int = 3) -> str:
@@ -1621,7 +1621,7 @@ def q_bloom_build(spark, sf_dir):
     out = bloom_build(_docs(spark, sf_dir), m_bits=1 << 16, k=4)
     return (out.select(F.col("word_idx").cast("long").alias("word_idx"),
                        F.col("bits").cast("long").alias("bits"))
-            .transform(sort_once, "word_idx"))
+            .transform(sort_once, "word_idx", checkpoint=False))
 
 
 O_BLOOM_BUILD = r"""
@@ -1682,7 +1682,7 @@ def q_hard_negatives(spark, sf_dir):
                        F.col("neg_label").cast("long").alias("neg_label"),
                        "cosine",
                        F.col("rank").cast("long").alias("rank"))
-            .transform(sort_once, "anchor_id", "rank"))
+            .transform(sort_once, "anchor_id", "rank", checkpoint=False))
 
 
 O_HARD_NEGATIVES = """
@@ -1725,7 +1725,7 @@ def q_gap_fill(spark, sf_dir):
 
     ev = read_parquet_robust(spark, f"{sf_dir}/events.parquet")
     return (gap_fill_daily(ev.filter("user_id < 40"))
-            .transform(sort_once, "user_id", "day"))
+            .transform(sort_once, "user_id", "day", checkpoint=False))
 
 
 O_GAP_FILL = """
@@ -1785,7 +1785,7 @@ def q_fuzzy_pairs(spark, sf_dir):
     cust = read_parquet_robust(spark, f"{sf_dir}/customer.parquet")
     return (fuzzy_name_pairs(cust.filter("c_custkey <= 300"),
                              "c_custkey", "c_name")
-            .transform(sort_once, "id1", "id2"))
+            .transform(sort_once, "id1", "id2", checkpoint=False))
 
 
 O_FUZZY_PAIRS = """

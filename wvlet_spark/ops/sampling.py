@@ -112,9 +112,11 @@ def epoch_shuffle(df: DataFrame, epoch: int, key_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    from wvlet_spark.ops.util import sort_once
+
     h = F.md5(F.concat(F.lit(f"{salt}:{int(epoch)}:"),
                        F.col(key_col).cast("string")))
     out = df.withColumn("shuffle_key", h)
     w = Window.orderBy("shuffle_key", F.col(key_col))
     return (out.withColumn("position", F.row_number().over(w))
-            .orderBy("position"))
+            .transform(sort_once, "position", checkpoint=False))

@@ -677,30 +677,115 @@ def hard_negative_mining(df: DataFrame, k: int = 5, anchor_mod: int = 25,
     24 B/pair, k-bounded output.  For anchor sets too large to broadcast,
     switch to the IVF/LSH candidate path (lsh_bucket_topk) and mine
     within buckets."""
-    from wvlet_spark.ops.util import ensure_map_parallelism
+    import pyspark.sql.types as T
     from pyspark.sql import Window
 
-    # wide: every corpus row joins ~all anchors (broadcast NLJ) — compute
-    # is anchor-amplified beyond input bytes (wide rationale in ops/util.py)
+    from wvlet_spark.ops.util import ensure_map_parallelism
+
+    # wide: every corpus row scores against ~all anchors — compute is
+    # anchor-amplified beyond input bytes (wide rationale in ops/util.py)
     df = ensure_map_parallelism(df, wide=True)
     base = df.select(
         F.col(id_col), F.col(label_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__n", _norm_udf(F.col("__v")))
-    anchors = (base.filter(F.col(id_col) % int(anchor_mod) == 0)
-               .select(F.col(id_col).alias("anchor_id"),
-                       F.col(label_col).alias("__al"),
-                       F.col("__v").alias("__av"),
-                       F.col("__n").alias("__an")))
-    pairs = base.join(F.broadcast(anchors),
-                      F.col(label_col) != F.col("__al"))
-    cos = (_pair_dot_udf(F.col("__v"), F.col("__av"))
-           / (F.col("__n") * F.col("__an")))
-    scored = pairs.select(
-        "anchor_id", F.col(id_col).alias("neg_id"),
-        F.col(label_col).alias("neg_label"),
-        F.round(cos, 5).alias("cosine"))
+    )
+    # The anchor set is bounded BY DESIGN (the docstring contract: small
+    # enough to broadcast) — collecting it to the driver moves the same
+    # bytes the previous broadcast-NLJ shipped to every executor.  The
+    # corpus then scans ONCE through mapInPandas and scores each Arrow
+    # batch against the in-memory anchor matrix, instead of exploding
+    # (corpus x anchors) pair ROWS each carrying BOTH vectors through
+    # Arrow into a per-pair UDF (round 9: that pair stream was ~14 GB of
+    # Arrow traffic at sf1 — 7.9 s; guide §4 "pass only the columns the
+    # function needs" taken to its limit: ship each vector once).
+    anchor_rows = base.filter(F.col(id_col) % int(anchor_mod) == 0).collect()
+    a_ids = [r[0] for r in anchor_rows]
+    a_labels = [r[1] for r in anchor_rows]
+    A = (np.array([r[2] for r in anchor_rows], dtype=np.float64)
+         if anchor_rows else np.zeros((0, 1)))
+    # same contiguous-einsum kernel as _norm_udf/_pair_dot_udf: row-wise
+    # dots are independent of batch shape, so every norm/dot below is
+    # BIT-IDENTICAL to the previous per-pair-UDF arithmetic (threshold
+    # parity at round-5 depends on this — the round-7 advisor find)
+    an = np.sqrt(np.einsum("ij,ij->i", A, A)) if len(a_ids) else A[:0]
+
+    f = {x.name: x for x in base.schema.fields}
+    out_schema = T.StructType([
+        T.StructField("anchor_id", f[id_col].dataType),
+        T.StructField("neg_id", f[id_col].dataType),
+        T.StructField("neg_label", f[label_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not len(a_ids):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            labels = pdf.iloc[:, 1].to_numpy()
+            V = _mat(pdf.iloc[:, 2])
+            nn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            out_a, out_i, out_l, out_c, out_z = [], [], [], [], []
+            for j in range(len(a_ids)):
+                al = a_labels[j]
+                if al is None:
+                    continue  # SQL label != NULL never matches
+                mask = pd.notnull(labels) & (labels != al)
+                if not mask.any():
+                    continue
+                # contiguous same-shape operands: the identical einsum
+                # kernel _pair_dot_udf ran per pair row
+                B = np.ascontiguousarray(
+                    np.broadcast_to(A[j], V.shape))
+                dots = np.einsum("ij,ij->i", V, B)
+                den = nn * an[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / den
+                # Spark double division maps a ZERO divisor to NULL (a
+                # genuine NaN dot stays NaN and ranks first in desc,
+                # exactly as before) — keep both behaviors distinct
+                zden = den == 0.0
+                csel = cos[mask]
+                isel = np.nonzero(mask)[0]
+                zsel = zden[mask]
+                finite = ~zsel & ~np.isnan(csel)
+                # per-batch prefilter, provably lossless for the final
+                # top-k: the window ranks by round(cos, 5) desc with id
+                # tiebreak, and |round5(x) - x| <= 0.5e-5, so any row
+                # more than 1e-4 below the batch's k-th best unrounded
+                # cosine rounds STRICTLY below at least k same-anchor
+                # rows and can never reach rank <= k.  Null-cosine rows
+                # (zero norms) are always kept: they rank last and only
+                # matter when an anchor is short of candidates.
+                nf = int(finite.sum())
+                if nf > kk:
+                    u_k = np.partition(csel[finite], -kk)[-kk]
+                    keep = ~finite | (csel >= u_k - 1e-4)
+                else:
+                    keep = np.ones(len(csel), dtype=bool)
+                ksel = isel[keep]
+                out_a.append(np.full(len(ksel), a_ids[j], dtype=object))
+                out_i.append(ids[ksel])
+                out_l.append(labels[ksel])
+                out_c.append(cos[ksel])
+                out_z.append(zden[ksel])
+            if not out_a:
+                continue
+            yield pd.DataFrame({
+                "anchor_id": np.concatenate(out_a),
+                "neg_id": np.concatenate(out_i),
+                "neg_label": np.concatenate(out_l),
+                "cosine": [None if z else float(c)
+                           for c, z in zip(np.concatenate(out_c),
+                                           np.concatenate(out_z))],
+            })
+
+    scored = (base.mapInPandas(score, out_schema)
+              .select("anchor_id", "neg_id", "neg_label",
+                      F.round("cosine", 5).alias("cosine")))
     w = (Window.partitionBy("anchor_id")
          .orderBy(F.col("cosine").desc(), F.col("neg_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= int(k)))
+            .filter(F.col("rank") <= kk))

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from wvlet_spark.ops.util import sort_once
+
 
 def approx_distinct_by(df: DataFrame, group_cols: list[str], col: str,
                        rel_tol: float = 0.05) -> DataFrame:
@@ -118,7 +120,7 @@ def frequent_terms(df: DataFrame, text_col: str = "text",
     return (top.select(F.explode("tk").alias("e"))
             .select(F.col("e.item").alias("term"),
                     F.col("e.count").alias("est_count"))
-            .orderBy(F.col("est_count").desc(), "term"))
+            .transform(sort_once, F.col("est_count").desc(), "term", checkpoint=False))
 
 
 def skew_report(df: DataFrame, key_cols: list[str],
@@ -146,7 +148,7 @@ def skew_report(df: DataFrame, key_cols: list[str],
             .withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= top_k)
             .select("key", "n", "share", "rank")
-            .orderBy("rank"))
+            .transform(sort_once, "rank", checkpoint=False))
 
 
 def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -200,4 +202,4 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
             F.col(f"__avg_{c}").alias("mean_v"),
         ) for c in cols])
     return (wide.select(F.explode(rows).alias("r")).select("r.*")
-            .orderBy("col_name"))
+            .transform(sort_once, "col_name", checkpoint=False))

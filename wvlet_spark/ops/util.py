@@ -122,7 +122,7 @@ def let1(col, fn):
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
-def sort_once(df: DataFrame, *cols) -> DataFrame:
+def sort_once(df: DataFrame, *cols, checkpoint: bool = True) -> DataFrame:
     """Global sort that computes its input ONCE.
 
     A global `orderBy` shuffles through RangePartitioning, and Spark
@@ -148,12 +148,27 @@ def sort_once(df: DataFrame, *cols) -> DataFrame:
     for `orderBy(...).limit(n)` — that compiles to TakeOrderedAndProject,
     which never range-samples (a checkpoint there is pure overhead).
 
+    NOT every final sort wants the checkpoint: the sampling job reuses
+    shuffle files, so when the sort sits directly on a small
+    aggregate/window output the "double execution" was only the
+    post-last-exchange segment — trivially cheap — and the checkpoint
+    adds a job barrier plus a block write for nothing.  Round-9 A/B over
+    all 48 sort-terminated ext entries at sf1
+    (/tmp/sort_once_ab, table in OPTIMIZATION_r09.md): checkpoint wins
+    up to 2.6x on UDF/decode/regex-heavy upstreams (semantic_dedup 12.6
+    vs 32.3 s, repetition 3.6 vs 6.3, token_stats 0.99 vs 1.40) and
+    loses consistently on agg-topped ones (exact_dedup 1.35 vs 0.63,
+    language_id 0.79 vs 0.43).  Call sites encode the measured decision
+    via checkpoint=False — the same trade holds at scale: the resample
+    re-reads one already-shuffled (small) aggregate input, while the
+    checkpoint write grows with the result.
+
     SORT_ONCE_CHECKPOINT exists for the plan-shape tests: the checkpoint
     presents the upstream as an ExistingRDD scan, which would blind
     whole-entry plan assertions (no-Python, no-cartesian); tests flip the
     flag to inspect the real compute subtree.  Results are identical
     either way — that equivalence is itself pytest-pinned."""
-    if not SORT_ONCE_CHECKPOINT:
+    if not SORT_ONCE_CHECKPOINT or not checkpoint:
         return df.orderBy(*cols)
     return df.localCheckpoint(eager=False).orderBy(*cols)
 
