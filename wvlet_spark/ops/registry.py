@@ -1568,7 +1568,7 @@ def q_simhash_portable(spark, sf_dir):
     from wvlet_spark.ops.dedup import simhash_near_dup_pairs_portable
 
     out = simhash_near_dup_pairs_portable(
-        _docs(spark, sf_dir), bits=32, bands=8, max_hamming=3)
+        _docs(spark, sf_dir), bits=32, bands=4, max_hamming=3)
     return (out.select("id_a", "id_b",
                        F.col("hamming").cast("int").alias("hamming"))
             .transform(sort_once, "id_a", "id_b", checkpoint=False))
