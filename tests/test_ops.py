@@ -1066,5 +1066,10 @@ def test_sort_once_matches_plain_orderby(spark):
     plain = df.orderBy(F.col("s").desc(), "k").collect()
     once = df.transform(sort_once, F.col("s").desc(), "k").collect()
     assert once == plain
+    # checkpoint=False (the measured per-entry revert path) must be the
+    # same pure execution-strategy no-op
+    off = df.transform(sort_once, F.col("s").desc(), "k",
+                       checkpoint=False).collect()
+    assert off == plain
     assert [f.name for f in df.transform(sort_once, "k").schema] == \
         [f.name for f in df.orderBy("k").schema]
