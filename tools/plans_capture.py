@@ -39,17 +39,37 @@ def main() -> None:
     names = [n for n in bench.HEADLINE if not only or n in only]
     names += sorted(n for n in only
                     if n not in bench.HEADLINE and (n in SUITE or n in ext))
-    for name in names:
-        if name in SUITE:
-            df = ws.run(SUITE[name][0])
-        else:
-            df = ext[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
-        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
-        with open(path, "w") as f:
-            f.write(plan)
-        print(f"wrote {path} ({len(plan)} bytes)")
+    # build with the final-sort lazy checkpoint DISABLED so the captured
+    # plan shows the real compute subtree instead of a Scan ExistingRDD
+    # stub (util.sort_once; execution-equivalence is pytest-pinned —
+    # same mechanism the plan-shape tests use).  A header line records
+    # the flag so the file is honest about what it shows.
+    try:
+        from wvlet_spark.ops import util as _util
+        _util.SORT_ONCE_CHECKPOINT = False
+        note = ("-- captured with util.SORT_ONCE_CHECKPOINT=False: the "
+                "final-sort lazy checkpoint is a results-identical "
+                "execution strategy (pytest-pinned) that would otherwise "
+                "hide the compute subtree behind a Scan ExistingRDD\n")
+    except Exception:
+        note = ""
+    try:
+        for name in names:
+            if name in SUITE:
+                df = ws.run(SUITE[name][0])
+            else:
+                df = ext[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+            with open(path, "w") as f:
+                f.write(note + plan)
+            print(f"wrote {path} ({len(plan)} bytes)")
+    finally:
+        try:
+            _util.SORT_ONCE_CHECKPOINT = True
+        except Exception:
+            pass
     spark.stop()
 
 
