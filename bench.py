@@ -468,7 +468,11 @@ def main() -> None:
         except Exception as ex:
             out["sf1"] = {"error": str(ex)[:200]}
 
-    print(json.dumps(out))
+    # compact separators: the driver wrapper keeps only a bounded tail of
+    # stdout and parses THAT — the r8 artifact shows our ~3 KB
+    # spaced-JSON line overflowing the window ("parsed": null even at
+    # rc=0).  Same fields, no whitespace: the line fits and parses.
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
