@@ -42,18 +42,36 @@ def main() -> None:
             for rdd in jmap.values():
                 rdd.unpersist()
 
+    def steal():
+        # /proc/stat steal ticks: the hypervisor preempts this VM's vCPUs
+        # in bursts (SCALE.md §37) — stamp each entry so a preempted
+        # measurement self-reports.  NB: a low AVERAGE over a window can
+        # still hide a short 100% burst (measured round 9: a 14 s entry
+        # time at 2.8% window-average steal re-measured 2.8 s quiet).
+        try:
+            p = open("/proc/stat").readline().split()
+            return int(p[8]), sum(int(x) for x in p[1:9])
+        except Exception:
+            return None
+
     results: dict[str, float] = {}
+    steals: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in sorted(pool.items()):
         spark.sparkContext.setJobDescription(f"pool:{name}")
         try:
             run_once(fn)          # warm-up, untimed
             best = float("inf")
+            s0 = steal()
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 run_once(fn)
                 best = min(best, time.perf_counter() - t0)
+            s1 = steal()
             results[name] = round(best, 4)
+            if s0 and s1 and s1[1] > s0[1]:
+                steals[name] = round(
+                    (s1[0] - s0[0]) * 1000.0 / (s1[1] - s0[1]), 1)
             print(f"{name}: {results[name]}", flush=True)
         except Exception as ex:
             errors[name] = str(ex)[:200]
@@ -63,7 +81,8 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump({"sf_dir": sf_dir, "repeats": repeats,
                    "total_s": round(sum(results.values()), 4),
-                   "queries": results, "errors": errors}, f, indent=1)
+                   "queries": results, "steal_permille": steals,
+                   "errors": errors}, f, indent=1)
     print(f"total {sum(results.values()):.1f}s over {len(results)} queries; "
           f"{len(errors)} errors -> {out_path}")
     spark.stop()
