@@ -1073,3 +1073,68 @@ def test_sort_once_matches_plain_orderby(spark):
     assert off == plain
     assert [f.name for f in df.transform(sort_once, "k").schema] == \
         [f.name for f in df.orderBy("k").schema]
+
+
+def test_blocked_pair_cos_bit_parity_with_pair_udf(spark):
+    """Round-9 blocked pair pass: _blocked_pair_cos must reproduce the
+    classic pair self-join + _pair_dot_udf arithmetic EXACTLY (same pair
+    set, bit-identical float64 cosines) — multi-block forced with a tiny
+    block_rows so intra-block triu, cross-block grids, and the
+    min/max id ordering are all exercised.  min_cos=-inf so the parity
+    check sees every pair, prefilter-free."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wvlet_spark.ops.similarity import (_blocked_pair_cos,
+                                            _norm_udf, _pair_dot_udf)
+    from wvlet_spark.session import read_parquet_robust
+
+    emb = read_parquet_robust(
+        spark, "/root/testdata/sf0.01/embeddings.parquet")
+    v = (emb.select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("__v"))
+         .withColumn("__n", _norm_udf(F.col("__v")))
+         .withColumn("k", F.pmod(F.col("vec_id"), F.lit(3)).cast("int"))
+         .localCheckpoint())
+
+    l, r_ = v.alias("l"), v.alias("r")
+    old = (l.join(r_, on=[F.col("l.k") == F.col("r.k"),
+                          F.col("l.vec_id") < F.col("r.vec_id")])
+           .select(F.col("l.vec_id").alias("id_a"),
+                   F.col("r.vec_id").alias("id_b"),
+                   (_pair_dot_udf(F.col("l.__v"), F.col("r.__v"))
+                    / (F.col("l.__n") * F.col("r.__n"))).alias("c")))
+    old_rows = {(r.id_a, r.id_b): r.c for r in old.collect()}
+
+    for block_rows in (7, 200):
+        new = _blocked_pair_cos(v, "vec_id", ["k"],
+                                min_cos=float("-inf"),
+                                block_rows=block_rows)
+        new_rows = {(r.id_a, r.id_b): r["__cos"] for r in new.collect()}
+        assert set(new_rows) == set(old_rows)
+        diff = [p for p in old_rows
+                if np.float64(old_rows[p]) != np.float64(new_rows[p])]
+        assert not diff, f"cosine bits differ at block_rows={block_rows}: {diff[:5]}"
+
+    # keyless (exact all-pairs) grouping: n*(n-1)/2 pairs exactly once
+    small = v.limit(23).localCheckpoint()
+    allp = _blocked_pair_cos(small, "vec_id", [],
+                             min_cos=float("-inf"), block_rows=5)
+    got = [(r.id_a, r.id_b) for r in allp.collect()]
+    assert len(got) == len(set(got)) == 23 * 22 // 2
+    assert all(a < b for a, b in got)
+
+    # prefilter margin: every pair the JVM round-then-threshold accepts
+    # must survive a (threshold - 1e-6) bound
+    thr = 0.4
+    full = _blocked_pair_cos(v, "vec_id", ["k"],
+                             min_cos=float("-inf"))
+    kept_full = {(r.id_a, r.id_b) for r in full.select(
+        "id_a", "id_b", F.round(F.col("__cos"), 6).alias("rc"))
+        .filter(F.col("rc") >= thr).collect()}
+    pre = _blocked_pair_cos(v, "vec_id", ["k"], min_cos=thr - 1e-6)
+    kept_pre = {(r.id_a, r.id_b) for r in pre.select(
+        "id_a", "id_b", F.round(F.col("__cos"), 6).alias("rc"))
+        .filter(F.col("rc") >= thr).collect()}
+    assert kept_pre == kept_full

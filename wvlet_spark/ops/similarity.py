@@ -93,9 +93,125 @@ def _pair_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 # (semantic_dedup sf1: 65 -> 126 s; embedding_near_dup_pairs 4.8 ->
 # 6.7 s): 128 element_at calls per pair evaluate with per-element null
 # checks and the giant expression tree defeats codegen — the Arrow
-# batch + numpy einsum amortizes far better.  The per-pair UDF stays;
-# the scale answer to pair-stream Arrow volume is the grouped matmul
-# strategy (pair_strategy='grouped'), graded separately.
+# batch + numpy einsum amortizes far better.  _pair_dot_udf itself now
+# survives only as the bit-parity reference for _blocked_pair_cos
+# (tests/test_ops.py pins new == old on exact float equality); the
+# production pair passes route through the blocked form below.
+
+
+def _blocked_pair_cos(v: DataFrame, id_col: str, key_cols: list[str],
+                      min_cos: float, block_rows: int = 200) -> DataFrame:
+    """(id_a, id_b, __cos) for every same-key unordered pair of rows of
+    `v` (columns: id_col, __v, __n, *key_cols) whose UNROUNDED cosine is
+    >= min_cos, with id_a < id_b.
+
+    Same result set as the classic pair self-join
+    ``l.join(r, key_l == key_r && id_l < id_r)`` +
+    ``_pair_dot_udf(l.__v, r.__v) / (l.__n * r.__n)`` — but the Arrow
+    boundary carries each vector ~n_blocks times instead of once PER
+    PAIR (guide §8: every hop but the last moves a lightweight proxy).
+    Round-9 profile of ext_semantic_dedup at sf1: the join producing
+    25 M pair rows cost 0.7 s while shipping both 64-d vectors per pair
+    through the dot UDF cost 51 s cold (~25 GB of Arrow traffic for
+    ~10 MB of distinct vectors).  Here each key group is hash-split
+    into blocks of ~block_rows vectors, BLOCKS meet through the same
+    equi-join (blk_l <= blk_r), and the per-pair arithmetic runs over
+    rows gathered from the two block matrices.
+
+    Bit-parity with the old form, term by term:
+    - dot: the same contiguous-operand ``np.einsum("ij,ij->i")`` kernel
+      over float64 matrices; fancy-indexed gathers produce fresh
+      C-contiguous operands, so each row's reduction is the kernel the
+      per-pair UDF ran (pinned by exact-equality pytest).
+    - cosine: ``dot / (n_a * n_b)`` — elementwise float64 multiply then
+      divide, the IEEE ops Catalyst codegen ran on the pair row.
+    - the caller keeps the EXACT accept decision in the JVM
+      (``F.round(__cos, d) >= threshold``): min_cos only prefilters with
+      a conservative margin (|round_d(x) - x| <= 0.5*10^-d, so any pair
+      whose rounded cosine can reach the threshold survives a
+      ``threshold - 10^-d`` bound; NaN cosines — zero-norm vectors —
+      compare false in numpy exactly as in the JVM filter).
+
+    Memory: gathers run in <=16384-pair slabs (<=16 MB of float64 per
+    operand at 64-d); per-group block count derives from the LARGEST
+    group, so a skewed key cannot build an unbounded block row
+    (the block aggregate carries <= ~2*block_rows vectors per row in
+    expectation; the join fans block pairs, never materializes a group).
+    """
+    import pyspark.sql.types as T
+
+    id_field = v.schema[id_col]
+    sizes = (v.groupBy(*[F.col(k) for k in key_cols]).count()
+             if key_cols else v.groupBy().count())
+    max_sz = sizes.agg(F.max("count")).collect()[0][0] or 0
+    n_blocks = max(1, -(-int(max_sz) // block_rows))
+    blocked = (v.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int"))
+        .groupBy(*(key_cols + ["__blk"]))
+        .agg(F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("__n").alias("n"),
+                     F.col("__v").alias("v"))).alias("__items")))
+    l, r_ = blocked.alias("l"), blocked.alias("r")
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in key_cols]
+    on.append(F.col("l.__blk") <= F.col("r.__blk"))
+    bp = (l.join(r_, on=on)
+          .select(F.col("l.__items").alias("__ia"),
+                  F.col("r.__items").alias("__ib"),
+                  (F.col("l.__blk") == F.col("r.__blk")).alias("__same")))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", id_field.dataType),
+        T.StructField("id_b", id_field.dataType),
+        T.StructField("__cos", T.DoubleType()),
+    ])
+
+    def _unpack(items):
+        ids = np.fromiter((d["i"] for d in items), dtype=np.int64,
+                          count=len(items))
+        ns = np.fromiter((d["n"] for d in items), dtype=np.float64,
+                         count=len(items))
+        V = np.stack([np.asarray(d["v"], dtype=np.float64)
+                      for d in items])
+        return ids, ns, V
+
+    def gen(it):
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for ia, ib, same in zip(pdf["__ia"], pdf["__ib"],
+                                    pdf["__same"]):
+                ids_a, na, Va = _unpack(ia)
+                if same:
+                    iu, ju = np.triu_indices(len(ids_a), 1)
+                    ids_b, nb, Vb = ids_a, na, Va
+                else:
+                    ids_b, nb, Vb = _unpack(ib)
+                    iu = np.repeat(np.arange(len(ids_a)), len(ids_b))
+                    ju = np.tile(np.arange(len(ids_b)), len(ids_a))
+                for s0 in range(0, len(iu), 16384):
+                    si, sj = iu[s0:s0 + 16384], ju[s0:s0 + 16384]
+                    A, B = Va[si], Vb[sj]
+                    d = np.einsum("ij,ij->i", A, B)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = d / (na[si] * nb[sj])
+                        m = cos >= min_cos
+                    if not m.any():
+                        continue
+                    xa, xb = ids_a[si[m]], ids_b[sj[m]]
+                    out_a.append(np.minimum(xa, xb))
+                    out_b.append(np.maximum(xa, xb))
+                    out_c.append(cos[m])
+            if out_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "__cos": np.concatenate(out_c)})
+            else:
+                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                    "id_b": pd.Series([], dtype="int64"),
+                                    "__cos": pd.Series([], dtype="float64")})
+
+    return bp.mapInPandas(gen, out_schema)
 
 
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -139,22 +255,21 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     if use_lsh:
         dim = probe_vector_dim(df, vec_col)
         v = rp_lsh_buckets(v, dim, planes, seed, "__v").withColumnRenamed("lsh_bucket", "__b")
-        join_on = [F.col("l.__b") == F.col("r.__b"),
-                   F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
-    else:
-        join_on = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
-    # signatures/norms are cheap but feed both sides of a self-join —
-    # materialize once so Spark doesn't recompute them per side
+    # signatures/norms are cheap but feed both consumers of the blocked
+    # pair pass (group-size probe + block aggregate) — materialize once
     v = v.localCheckpoint()
-    l, r_ = v.alias("l"), v.alias("r")
-    pairs = l.join(r_, on=join_on)
-    dot = _pair_dot_udf(F.col("l.__v"), F.col("r.__v"))
-    cos = dot / (F.col("l.__n") * F.col("r.__n"))
+    # blocked pair pass (see _blocked_pair_cos): same pair set and the
+    # same float64 arithmetic as the old l-join-r + _pair_dot_udf form,
+    # but vectors cross the Arrow boundary per BLOCK, not per pair; the
+    # exact accept decision (round to 4, >= threshold) stays in the JVM —
+    # the 1e-4 prefilter margin can only admit extra boundary-band rows,
+    # never drop a qualifying pair (|round4(x) - x| <= 0.5e-4)
+    edges = _blocked_pair_cos(v, id_col, ["__b"] if use_lsh else [],
+                              min_cos=threshold - 1e-4)
     return (
-        pairs.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
+        edges.select(
+            "id_a", "id_b",
+            F.round(F.col("__cos"), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -543,15 +658,20 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 16,
                                        max_group_rows=max_group_rows)
     if pair_strategy != "join":
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
-    l, r_ = v.alias("l"), v.alias("r")
-    pairs = l.join(r_, on=[F.col("l.sem_cluster") == F.col("r.sem_cluster"),
-                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-    dot = _pair_dot_udf(F.col("l.__v"), F.col("r.__v"))
-    cos = dot / (F.col("l.__n") * F.col("r.__n"))
-    dup_edges = (pairs.select(
-        F.col(f"l.{id_col}").alias("__keep_id"),
-        F.col(f"r.{id_col}").alias("__dup_id"),
-        F.round(cos, 6).alias("__cos"))
+    # blocked pair pass (see _blocked_pair_cos): identical pair set and
+    # float64 arithmetic to the old cluster-equi-join + _pair_dot_udf
+    # form (round-9 profile: the 25 M sf1 pair rows cost 0.7 s to JOIN
+    # and 51 s to SHIP through the per-pair Arrow boundary), with the
+    # exact accept decision (round to 6, >= threshold) kept in the JVM —
+    # the 1e-6 prefilter margin only admits boundary-band extras that
+    # the JVM filter then judges exactly
+    edges = _blocked_pair_cos(v.select(id_col, "sem_cluster", "__v", "__n"),
+                              id_col, ["sem_cluster"],
+                              min_cos=threshold - 1e-6)
+    dup_edges = (edges.select(
+        F.col("id_a").alias("__keep_id"),
+        F.col("id_b").alias("__dup_id"),
+        F.round(F.col("__cos"), 6).alias("__cos"))
         .filter(F.col("__cos") >= threshold))
     dup_of = (dup_edges.groupBy("__dup_id")
               .agg(F.min("__keep_id").alias("dup_of"))
