@@ -182,12 +182,29 @@ def _blocked_pair_cos(v: DataFrame, id_col: str, key_cols: list[str],
                                     pdf["__same"]):
                 ids_a, na, Va = _unpack(ia)
                 if same:
-                    iu, ju = np.triu_indices(len(ids_a), 1)
                     ids_b, nb, Vb = ids_a, na, Va
                 else:
                     ids_b, nb, Vb = _unpack(ib)
-                    iu = np.repeat(np.arange(len(ids_a)), len(ids_b))
-                    ju = np.tile(np.arange(len(ids_b)), len(ids_a))
+                # matmul PROPOSES, einsum DECIDES: gathering per-pair
+                # operand matrices for the exact kernel costs 2x64x8
+                # bytes of memory traffic PER PAIR — measured
+                # memory-bound at 200k vectors (2.5e9 pairs = 2.5 TB of
+                # gathers, ~115 s).  One blockwise dgemm bounds every
+                # pair's cosine with ~(Ba+Bb)x64 traffic instead; its
+                # FP error vs the per-pair einsum is <= ~64 ulp
+                # (~1e-14 relative), so a 1e-9 margin can only ADMIT
+                # extra candidates.  The exact contiguous-operand
+                # einsum + scalar divide then recomputes the SURVIVORS
+                # (boundary band + true accepts, a tiny fraction), so
+                # every emitted __cos carries the same bits as before.
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    R = (Va @ Vb.T) / np.outer(na, nb)
+                    cand = R >= (min_cos - 1e-9)
+                if same:
+                    np.logical_and(cand,
+                                   np.triu(np.ones_like(cand), 1),
+                                   out=cand)
+                iu, ju = np.nonzero(cand)
                 for s0 in range(0, len(iu), 16384):
                     si, sj = iu[s0:s0 + 16384], ju[s0:s0 + 16384]
                     A, B = Va[si], Vb[sj]
