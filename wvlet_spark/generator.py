@@ -22,6 +22,7 @@ Key semantic rules re-implemented from the reference language:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -1498,8 +1499,125 @@ class SqlGenerator:
 
     # ----- set ops
 
+    def _try_fuse_intersect(self, rel: N.SetOp) -> "SqlGenerator.Block | None":
+        """INTERSECT branches that are the same projection over the same
+        source and differ ONLY in their filter predicate collapse to one
+        pass over the source:
+
+            SELECT P FROM S WHERE p1
+            INTERSECT SELECT P FROM S WHERE p2 ...
+          = SELECT P FROM S WHERE p1 OR ... OR pn
+            GROUP BY P
+            HAVING max(CASE WHEN p1 THEN 1 ELSE 0 END) = 1 AND ...
+
+        Set semantics line up exactly: INTERSECT emits the distinct rows
+        present in every branch (null-safe row equality), GROUP BY groups
+        with the same null-safe equality, and max(CASE WHEN p_i ...)=1 is
+        precisely "some source row with this projection satisfied p_i".
+        The rewrite deletes n-1 executions of S — for the TPC-DS q14
+        cross-channel shape S is a fact-table join, so n-1 scans of the
+        biggest table plus n-1 joins disappear (guide §2.4: remove
+        shuffles/passes outright; §1.2 step 1: the distributed algorithm
+        first).  Applies only when every branch matches the pattern and
+        one-evaluation safety is provable: deterministic, subquery-free,
+        aggregate-free, window-free items and predicates, and a
+        deterministic common source (Spark dialect only — DuckDB is the
+        oracle side and stays the literal set op)."""
+        from wvlet_spark.analyzer import transform as ast_transform
+
+        if self.dialect != SPARK:
+            return None
+        if os.environ.get("WVLET_SPARK_FUSE_INTERSECT", "1") == "0":
+            return None  # A/B kill switch (measurement harnesses)
+
+        branches: list[N.Relation] = []
+
+        def flat(r: N.Relation) -> None:
+            if isinstance(r, N.SetOp) and r.op == "intersect":
+                flat(r.left)
+                flat(r.right)
+            else:
+                branches.append(r)
+
+        flat(rel)
+        if len(branches) < 2:
+            return None
+        parsed: list[tuple[list, N.Expr, N.Relation]] = []
+        for b in branches:
+            while isinstance(b, N.ParenRelation):
+                b = b.child
+            if not isinstance(b, N.Project) or not isinstance(b.child, N.Filter):
+                return None
+            if any(not isinstance(it, N.NamedExpr) for it in b.items):
+                return None
+            parsed.append((b.items, b.child.cond, b.child.child))
+        items0, _, common0 = parsed[0]
+        if any(its != items0 or c != common0 for its, _, c in parsed[1:]):
+            return None
+
+        bad = [False]
+
+        def expr_guard(x):
+            if isinstance(x, (N.InSubquery, N.Exists, N.ScalarSubquery)):
+                bad[0] = True
+            if isinstance(x, N.FunctionApply) \
+                    and (x.name.lower() in self._NONDET_FNS
+                         or getattr(x, "window", None) is not None):
+                bad[0] = True
+            if isinstance(x, N.MethodCall) \
+                    and getattr(x, "window", None) is not None:
+                bad[0] = True
+            return x
+
+        def rel_guard(r):
+            if isinstance(r, N.Sample):
+                bad[0] = True
+            return r
+
+        ast_transform(common0, expr_fn=expr_guard, rel_fn=rel_guard)
+        for it in items0:
+            ast_transform(it.expr, expr_fn=expr_guard)
+            if self._contains_agg(it.expr):
+                return None
+        preds = [p for _, p, _ in parsed]
+        for p in preds:
+            ast_transform(p, expr_fn=expr_guard)
+            if self._contains_agg(p):
+                return None
+        if bad[0]:
+            return None
+
+        b = self.gen_rel(common0)
+        # mirror _gen_filter's wrap policy so predicate column references
+        # resolve exactly as they did in each original branch (a wrapped
+        # subquery drops source aliases; an un-dirty join keeps them)
+        if b.group_keys is not None:
+            return None  # pending aggregation — WHERE vs HAVING differs
+        if self._needs_wrap_for_filter(b):
+            b = self.wrap(b)
+        pred_sqls = [self.expr(p) for p in preds]
+        b.where.append(" OR ".join(f"({p})" for p in pred_sqls))
+        sel: list[str] = []
+        names: list[str] = []
+        for it in items0:
+            esql = self.expr(it.expr)
+            name = it.alias or self._derived_name(it.expr)
+            sel.append(f"{esql} AS {self.q(name)}" if it.alias else esql)
+            names.append(name)
+        b.select = sel
+        b.columns = names
+        b.group_keys = [N.NamedExpr(expr=it.expr, alias=None) for it in items0]
+        b.having = [f"max(CASE WHEN ({p}) THEN 1 ELSE 0 END) = 1"
+                    for p in pred_sqls]
+        # downstream consumers see a dirty block and wrap as usual
+        return b
+
     def _gen_setop(self, rel: N.SetOp) -> "SqlGenerator.Block":
         B = SqlGenerator.Block
+        if rel.op == "intersect":
+            fused = self._try_fuse_intersect(rel)
+            if fused is not None:
+                return fused
         lb = self.gen_rel(rel.left)
         l = self.render(lb)
         r = self.render(self.gen_rel(rel.right))
