@@ -810,16 +810,17 @@ def duplicate_substring_spans(df: DataFrame, k: int = 5,
                 rot(F.element_at("__wh", i + j), (7 * j) % 63 + 1))
         return acc
 
+    # flat bigint array + posexplode: the generated position IS the gram
+    # position, so no (pos, h) struct is built per gram — one fewer
+    # allocation per exploded row (sf1 A/B: gram stage 1.19 -> 0.98 s,
+    # rows identical; round 10)
     grams = F.when(
         n >= k,
         F.transform(F.sequence(F.lit(1), n - k + 1),
-                    lambda i: F.struct(
-                        (i - 1).alias("pos"), gram_key(i).alias("h")))
-    ).otherwise(F.array().cast(
-        "array<struct<pos:int,h:bigint>>"))
-    g = (base.select(F.col(id_col), F.explode(grams).alias("g"))
-         .select(F.col(id_col), F.col("g.pos").alias("pos"),
-                 F.col("g.h").alias("h")))
+                    lambda i: gram_key(i))
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = base.select(F.col(id_col),
+                    F.posexplode(grams).alias("pos", "h"))
     from wvlet_spark.ops.util import materialize_if_big, sort_once
     g = materialize_if_big(g, df)
     dup_h = (g.groupBy("h").count()
